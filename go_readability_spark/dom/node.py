@@ -1,0 +1,308 @@
+"""Minimal mutable DOM for the readability engine.
+
+Mirrors the node surface the reference uses from golang.org/x/net/html
+(`/root/reference/parser.go:18`) and the go-shiori/dom helpers: linked
+parent/sibling/child pointers, element/text/comment node kinds, and the
+handful of accessors (TextContent, Children, GetElementsByTagName, ...).
+
+This is a fresh stdlib-only implementation; it is *not* a port of the Go
+code. Nodes are plain Python objects with __slots__ for speed (this runs
+inside Arrow-batched pandas UDFs on every document).
+"""
+
+from __future__ import annotations
+
+ELEMENT = 1
+TEXT = 3
+COMMENT = 8
+DOCUMENT = 9
+DOCTYPE = 10
+
+
+class Node:
+    __slots__ = (
+        "type",
+        "tag",
+        "data",
+        "attrs",
+        "parent",
+        "prev",
+        "next",
+        "first_child",
+        "last_child",
+    )
+
+    def __init__(self, type_: int, tag: str = "", data: str = "", attrs=None):
+        self.type = type_
+        self.tag = tag          # element tag name (lowercase) or "" for non-elements
+        self.data = data        # text/comment payload
+        self.attrs = attrs      # list[[name, value]] for elements, else None
+        self.parent = None
+        self.prev = None
+        self.next = None
+        self.first_child = None
+        self.last_child = None
+
+    # ------------------------------------------------------------------ tree ops
+
+    def append_child(self, child: "Node") -> None:
+        if child.parent is not None:
+            child.parent.remove_child(child)
+        child.parent = self
+        last = self.last_child
+        if last is None:
+            self.first_child = child
+            self.last_child = child
+            child.prev = None
+            child.next = None
+        else:
+            last.next = child
+            child.prev = last
+            child.next = None
+            self.last_child = child
+
+    def insert_before(self, child: "Node", ref: "Node | None") -> None:
+        if ref is None:
+            self.append_child(child)
+            return
+        if child.parent is not None:
+            child.parent.remove_child(child)
+        child.parent = self
+        prev = ref.prev
+        child.prev = prev
+        child.next = ref
+        ref.prev = child
+        if prev is None:
+            self.first_child = child
+        else:
+            prev.next = child
+
+    def remove_child(self, child: "Node") -> None:
+        prev, nxt = child.prev, child.next
+        if prev is None:
+            self.first_child = nxt
+        else:
+            prev.next = nxt
+        if nxt is None:
+            self.last_child = prev
+        else:
+            nxt.prev = prev
+        child.parent = None
+        child.prev = None
+        child.next = None
+
+    def replace_child(self, new: "Node", old: "Node") -> None:
+        self.insert_before(new, old)
+        self.remove_child(old)
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    # ------------------------------------------------------------------ queries
+
+    def child_nodes(self):
+        out = []
+        c = self.first_child
+        while c is not None:
+            out.append(c)
+            c = c.next
+        return out
+
+    def children(self):
+        out = []
+        c = self.first_child
+        while c is not None:
+            if c.type == ELEMENT:
+                out.append(c)
+            c = c.next
+        return out
+
+    def first_element_child(self):
+        c = self.first_child
+        while c is not None:
+            if c.type == ELEMENT:
+                return c
+            c = c.next
+        return None
+
+    def next_element_sibling(self):
+        c = self.next
+        while c is not None:
+            if c.type == ELEMENT:
+                return c
+            c = c.next
+        return None
+
+    def prev_element_sibling(self):
+        c = self.prev
+        while c is not None:
+            if c.type == ELEMENT:
+                return c
+            c = c.prev
+        return None
+
+    def clone(self, deep: bool = True) -> "Node":
+        n = Node(self.type, self.tag, self.data,
+                 [a[:] for a in self.attrs] if self.attrs is not None else None)
+        if deep:
+            c = self.first_child
+            while c is not None:
+                n.append_child(c.clone(True))
+                c = c.next
+        return n
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.type == ELEMENT:
+            return f"<Element {self.tag} attrs={self.attrs}>"
+        if self.type == TEXT:
+            return f"<Text {self.data[:30]!r}>"
+        if self.type == COMMENT:
+            return f"<Comment {self.data[:30]!r}>"
+        return f"<Node type={self.type}>"
+
+
+# ---------------------------------------------------------------------- helpers
+# Free functions mirroring the go-shiori/dom helper surface used by the
+# reference (GetAttribute / SetAttribute / TextContent / GetElementsByTagName).
+
+def get_attribute(node: Node, name: str) -> str:
+    attrs = node.attrs
+    if not attrs:
+        return ""
+    for k, v in attrs:
+        if k == name:
+            return v
+    return ""
+
+
+def has_attribute(node: Node, name: str) -> bool:
+    attrs = node.attrs
+    if not attrs:
+        return False
+    for k, _ in attrs:
+        if k == name:
+            return True
+    return False
+
+
+def set_attribute(node: Node, name: str, value: str) -> None:
+    attrs = node.attrs
+    if attrs is None:
+        attrs = node.attrs = []
+    for item in attrs:
+        if item[0] == name:
+            item[1] = value
+            return
+    attrs.append([name, value])
+
+
+def remove_attribute(node: Node, name: str) -> None:
+    attrs = node.attrs
+    if not attrs:
+        return
+    node.attrs = [a for a in attrs if a[0] != name]
+
+
+def class_name(node: Node) -> str:
+    return get_attribute(node, "class")
+
+
+def node_id(node: Node) -> str:
+    return get_attribute(node, "id")
+
+
+def text_content(node: Node) -> str:
+    """Concatenation of all text-node payloads in tree order
+    (go-shiori/dom TextContent semantics used at
+    /root/reference/parser-parse.go:92)."""
+    if node.type == TEXT:
+        return node.data
+    parts = []
+    # iterative DFS
+    stack = []
+    c = node.first_child
+    while c is not None or stack:
+        if c is None:
+            c = stack.pop()
+            c = c.next
+            continue
+        if c.type == TEXT:
+            parts.append(c.data)
+            c = c.next
+        elif c.first_child is not None:
+            stack.append(c)
+            c = c.first_child
+        else:
+            c = c.next
+    return "".join(parts)
+
+
+def get_elements_by_tag_name(node: Node, tag: str):
+    """All descendant elements with the given tag, document order.
+    tag='*' matches every element. Does not include `node` itself."""
+    out = []
+    any_tag = tag == "*"
+    stack = []
+    c = node.first_child
+    while c is not None or stack:
+        if c is None:
+            c = stack.pop()
+            c = c.next
+            continue
+        if c.type == ELEMENT:
+            if any_tag or c.tag == tag:
+                out.append(c)
+            if c.first_child is not None:
+                stack.append(c)
+                c = c.first_child
+                continue
+        c = c.next
+    return out
+
+
+def iter_elements(node: Node):
+    """Yield descendant elements in document order (no self)."""
+    stack = []
+    c = node.first_child
+    while c is not None or stack:
+        if c is None:
+            c = stack.pop()
+            c = c.next
+            continue
+        if c.type == ELEMENT:
+            yield c
+            if c.first_child is not None:
+                stack.append(c)
+                c = c.first_child
+                continue
+        c = c.next
+
+
+def create_element(tag: str) -> Node:
+    return Node(ELEMENT, tag, "", [])
+
+
+def create_text(data: str) -> Node:
+    return Node(TEXT, "", data)
+
+
+def document_element(doc: Node):
+    c = doc.first_child
+    while c is not None:
+        if c.type == ELEMENT and c.tag == "html":
+            return c
+        c = c.next
+    return None
+
+
+def body_element(doc: Node):
+    html = document_element(doc)
+    if html is None:
+        return None
+    c = html.first_child
+    while c is not None:
+        if c.type == ELEMENT and c.tag == "body":
+            return c
+        c = c.next
+    return None

@@ -1,0 +1,87 @@
+"""HTML serialization matching golang.org/x/net/html Render semantics,
+which produced the reference's golden ``expected.html`` files
+(`/root/reference/scripts/generate-test.go:80-130`).
+
+Escaping set: & ' < > " and \\r (x/net/html escape.go); void elements are
+rendered ``<br/>``; raw-text element children are rendered literally.
+"""
+
+from __future__ import annotations
+
+from .builder import VOID_ELEMENTS
+from .node import COMMENT, DOCUMENT, ELEMENT, TEXT, Node
+
+_ESCAPES = {
+    "&": "&amp;",
+    "'": "&#39;",
+    "<": "&lt;",
+    ">": "&gt;",
+    '"': "&#34;",
+    "\r": "&#13;",
+}
+
+_LITERAL_TEXT_PARENTS = frozenset(
+    ("iframe", "noembed", "noframes", "noscript", "plaintext", "script", "style", "xmp")
+)
+
+
+def escape_text(s: str) -> str:
+    if not any(c in s for c in "&'<>\"\r"):
+        return s
+    return "".join(_ESCAPES.get(c, c) for c in s)
+
+
+def render(node: Node, parts: list | None = None) -> str:
+    own = parts is None
+    if own:
+        parts = []
+    t = node.type
+    if t == TEXT:
+        p = node.parent
+        if p is not None and p.type == ELEMENT and p.tag in _LITERAL_TEXT_PARENTS:
+            parts.append(node.data)
+        else:
+            parts.append(escape_text(node.data))
+    elif t == COMMENT:
+        parts.append("<!--")
+        parts.append(node.data)
+        parts.append("-->")
+    elif t == ELEMENT:
+        parts.append("<")
+        parts.append(node.tag)
+        for k, v in node.attrs or ():
+            parts.append(" ")
+            parts.append(k)
+            parts.append('="')
+            parts.append(escape_text(v))
+            parts.append('"')
+        if node.tag in VOID_ELEMENTS:
+            parts.append("/>")
+        else:
+            parts.append(">")
+            c = node.first_child
+            while c is not None:
+                render(c, parts)
+                c = c.next
+            parts.append("</")
+            parts.append(node.tag)
+            parts.append(">")
+    elif t == DOCUMENT:
+        c = node.first_child
+        while c is not None:
+            render(c, parts)
+            c = c.next
+    return "".join(parts) if own else ""
+
+
+def inner_html(node: Node) -> str:
+    parts: list = []
+    c = node.first_child
+    while c is not None:
+        render(c, parts)
+        c = c.next
+    return "".join(parts)
+
+
+def outer_html(node: Node) -> str:
+    return render(node)

@@ -1,0 +1,129 @@
+"""Precompiled regular expressions and constant sets.
+
+Semantics mirror the reference's package-level regexes
+(`/root/reference/parser.go:21-64`) and the re2c DFA patterns
+(`/root/reference/internal/re2go/*.re`). Compiled once per worker at
+module import so Arrow batches reuse them (SURVEY.md §4).
+
+Go regexp `\\w`/`\\W` are ASCII-only, so patterns that depend on word
+classes use re.ASCII here.
+"""
+
+from __future__ import annotations
+
+import re
+
+RX_VIDEOS = re.compile(
+    r"//(www\.)?((dailymotion|youtube|youtube-nocookie|player\.vimeo|v\.qq)\.com"
+    r"|(archive|upload\.wikimedia)\.org|player\.twitch\.tv)",
+    re.I,
+)
+RX_TOKENIZE = re.compile(r"\W+", re.I | re.ASCII)
+RX_WHITESPACE = re.compile(r"^\s*$", re.I)
+RX_HAS_CONTENT = re.compile(r"\S$", re.I)
+RX_HASH_URL = re.compile(r"^#.+", re.I)
+RX_PROPERTY_PATTERN = re.compile(
+    r"\s*(dc|dcterm|og|article|twitter)\s*:\s*"
+    r"(author|creator|description|title|site_name|published_time|modified_time|image\S*)\s*",
+    re.I | re.ASCII,
+)
+RX_NAME_PATTERN = re.compile(
+    r"^\s*(?:(dc|dcterm|article|og|twitter|weibo:(article|webpage))\s*[\.:]\s*)?"
+    r"(author|creator|description|title|site_name|published_time|modified_time|image)\s*$",
+    re.I | re.ASCII,
+)
+RX_TITLE_SEPARATOR = re.compile(r" [\|\-\\/>»] ", re.I)
+RX_TITLE_HIERARCHY_SEP = re.compile(r" [\\/>»] ", re.I)
+RX_TITLE_REMOVE_FINAL_PART = re.compile(r"(.*)[\|\-\\/>»] .*", re.I)
+RX_TITLE_REMOVE_1ST_PART = re.compile(r"[^\|\-\\/>»]*[\|\-\\/>»](.*)", re.I)
+RX_TITLE_ANY_SEPARATOR = re.compile(r"[\|\-\\/>»]+", re.I)
+RX_DISPLAY_NONE = re.compile(r"display\s*:\s*none", re.I)
+RX_VISIBILITY_HIDDEN = re.compile(r"visibility\s*:\s*hidden", re.I)
+RX_SENTENCE_PERIOD = re.compile(r"\.( |$)", re.I)
+RX_SHARE_ELEMENTS = re.compile(r"(\b|_)(share|sharedaddy)(\b|_)", re.I | re.ASCII)
+RX_FAVICON_SIZE = re.compile(r"(\d+)x(\d+)", re.I | re.ASCII)
+RX_LAZY_IMAGE_SRCSET = re.compile(r"\.(jpg|jpeg|png|webp)\s+\d", re.I)
+RX_LAZY_IMAGE_SRC = re.compile(r"^\s*\S+\.(jpg|jpeg|png|webp)\S*\s*$", re.I)
+RX_IMG_EXTENSIONS = re.compile(r"\.(jpg|jpeg|png|webp)", re.I)
+RX_SRCSET_URL = re.compile(r"(\S+)(\s+[\d.]+[xw])?(\s*(?:,|$))", re.I)
+RX_B64_DATA_URL = re.compile(r"^data:\s*([^\s;,]+)\s*;\s*base64\s*,", re.I)
+RX_JSONLD_ARTICLE_TYPES = re.compile(
+    r"^Article|AdvertiserContentArticle|NewsArticle|AnalysisNewsArticle"
+    r"|AskPublicNewsArticle|BackgroundNewsArticle|OpinionNewsArticle"
+    r"|ReportageNewsArticle|ReviewNewsArticle|Report|SatiricalArticle"
+    r"|ScholarlyArticle|MedicalScholarlyArticle|SocialMediaPosting|BlogPosting"
+    r"|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference$",
+    re.I,
+)
+RX_CDATA = re.compile(r"^\s*<!\[CDATA\[|\]\]>\s*$")
+RX_SCHEMA_ORG = re.compile(r"^https?\:\/\/schema\.org\/?$", re.I)
+
+# --- re2c DFA equivalents (internal/re2go/*.re) ------------------------------
+
+# grab-article.re:3-20
+RX_UNLIKELY_CANDIDATES = re.compile(
+    r"-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap"
+    r"|disqus|extra|footer|gdpr|header|legends|menu|related|remark|replies"
+    r"|rss|shoutbox|sidebar|skyscraper|social|sponsor|supplemental|ad-break"
+    r"|agegate|pagination|pager|popup|yom-remote",
+    re.I,
+)
+# grab-article.re:22-39
+RX_MAYBE_CANDIDATE = re.compile(
+    r"and|article|body|column|content|main|shadow", re.I
+)
+# check-byline.re:13
+RX_BYLINE = re.compile(r"byline|author|dateline|writtenby|p-author", re.I)
+# class-weight.re:13
+RX_POSITIVE_CLASS = re.compile(
+    r"article|body|content|entry|hentry|h-entry|main|page|pagination|post"
+    r"|text|blog|story",
+    re.I,
+)
+# class-weight.re:53-93 — the original pattern with its ^/$/space 'hid' cases
+RX_NEGATIVE_CLASS = re.compile(
+    r"-ad-|hidden|\Ahid\Z| hid\Z| hid |\Ahid |banner|combx|comment|com-|contact"
+    r"|foot|footer|footnote|gdpr|masthead|media|meta|outbrain|promo|related"
+    r"|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|tool"
+    r"|widget",
+    re.I,
+)
+# grab-article.re:41-61 — nine Unicode comma variants
+COMMAS = ",،﹐︐︑⹁⸴⸲，"
+RX_COMMAS = re.compile("[" + COMMAS + "]")
+# normalize.re:6-42 — collapse runs of exactly these 5 chars (NOT \v, not
+# Unicode spaces)
+RX_NORMALIZE = re.compile(r"[\t\n\f\r ]{2,}")
+
+UNLIKELY_ROLES = frozenset(
+    ("menu", "menubar", "complementary", "navigation", "alert", "alertdialog", "dialog")
+)
+DIV_TO_P_ELEMS = frozenset(
+    ("blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul", "select")
+)
+ALTER_TO_DIV_EXCEPTIONS = ("div", "article", "section", "p")
+PRESENTATIONAL_ATTRIBUTES = (
+    "align", "background", "bgcolor", "border", "cellpadding", "cellspacing",
+    "frame", "hspace", "rules", "style", "valign", "vspace",
+)
+DEPRECATED_SIZE_ATTRIBUTE_ELEMS = ("table", "th", "td", "hr", "pre")
+PHRASING_ELEMS = frozenset((
+    "abbr", "audio", "b", "bdo", "br", "button", "cite", "code", "data",
+    "datalist", "dfn", "em", "embed", "i", "img", "input", "kbd", "label",
+    "mark", "math", "meter", "noscript", "object", "output", "progress", "q",
+    "ruby", "samp", "script", "select", "small", "span", "strong", "sub",
+    "sup", "textarea", "time", "var", "wbr",
+))
+
+
+def normalize_spaces(s: str) -> str:
+    """re2go.NormalizeSpaces (normalize.re:6-42)."""
+    return RX_NORMALIZE.sub(" ", s)
+
+
+def count_commas(s: str) -> int:
+    """re2go.CountCommas (grab-article.re:41-61)."""
+    n = 0
+    for ch in COMMAS:
+        n += s.count(ch)
+    return n
