@@ -681,7 +681,13 @@ class Parser:
                 top_score = self._get_content_score(top_candidate)
                 alternative_ancestors = []
                 for other in top_candidates[1:]:
-                    if self._get_content_score(other) / top_score >= 0.75:
+                    other_score = self._get_content_score(other)
+                    if top_score == 0.0:
+                        # Go float semantics: x/0 = ±Inf, 0/0 = NaN
+                        ratio_ok = other_score > 0
+                    else:
+                        ratio_ok = other_score / top_score >= 0.75
+                    if ratio_ok:
                         alternative_ancestors.append(self._get_node_ancestors(other, 0))
 
                 if len(alternative_ancestors) >= 3:

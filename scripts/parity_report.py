@@ -23,13 +23,17 @@ def expected_text(case):
     return text_content(body_element(doc)).strip()
 
 
+def norm(s):
+    return " ".join(s.replace("\xad", "").split())
+
+
 def main():
     cases = sorted(
         c for c in os.listdir(PAGES)
         if os.path.isfile(os.path.join(PAGES, c, "source.html"))
     )
     only = sys.argv[1:] or cases
-    ok, fail, err = [], [], []
+    ok, ok_norm, fail, err = [], [], [], []
     meta_fail = []
     for case in only:
         src = open(os.path.join(PAGES, case, "source.html"), "rb").read()
@@ -42,6 +46,12 @@ def main():
             got = art.text_content
             if got == exp:
                 ok.append(case)
+            elif norm(got) == norm(exp):
+                # goldens imported from mozilla/readability are js-beautified
+                # (whitespace collapsed, soft hyphens stripped); the reference
+                # harness also only compares whitespace-normalized text
+                # (parser_test.go:175-256)
+                ok_norm.append(case)
             else:
                 fail.append(case)
                 if len(sys.argv) > 1:
@@ -76,7 +86,9 @@ def main():
             if len(sys.argv) > 1:
                 traceback.print_exc()
 
-    print(f"\nTEXT  ok={len(ok)} fail={len(fail)} err={len(err)} / {len(only)}")
+    print(f"\nTEXT  byte-identical={len(ok)} normalized-identical={len(ok_norm)} fail={len(fail)} err={len(err)} / {len(only)}")
+    if ok_norm:
+        print("normalized-only:", " ".join(ok_norm))
     print(f"META  ok={len(only)-len(meta_fail)-len(err)} fail={len(meta_fail)}")
     if fail:
         print("text-fail:", " ".join(fail))
