@@ -1,0 +1,44 @@
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+TEST_PAGES = "/root/reference/test-pages"
+BASE_URL = "http://fakehost/test/page.html"
+
+# goldens imported verbatim from mozilla/readability are js-beautified
+# (whitespace collapsed, soft hyphens stripped); the reference's own harness
+# also only compares whitespace-normalized text (parser_test.go:175-256), so
+# byte-identity is defined over the goldens the reference generator itself
+# produced (scripts/generate-test.go) and normalized identity over the rest.
+BEAUTIFIED_GOLDENS = {"theverge", "videos-2", "visibility-hidden", "wapo-2"}
+
+
+def fixture_cases():
+    if not os.path.isdir(TEST_PAGES):
+        return []
+    return sorted(
+        c
+        for c in os.listdir(TEST_PAGES)
+        if os.path.isfile(os.path.join(TEST_PAGES, c, "source.html"))
+    )
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
+        .appName("go-readability-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
