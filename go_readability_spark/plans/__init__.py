@@ -1,0 +1,9 @@
+from .extract import (  # noqa: F401
+    extract_pages,
+    extract_record,
+    make_extractor,
+    run_extraction_job,
+    with_salt,
+)
+from .schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA, PAGES_SCHEMA  # noqa: F401
+from .session import build_session  # noqa: F401

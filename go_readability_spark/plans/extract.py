@@ -1,0 +1,211 @@
+"""The extraction pipeline: Iceberg/parquet scan → salted repartition →
+Arrow-batched mapInPandas extraction → sink, with per-partition
+checkpoint/lineage rows for resumability (SURVEY.md §3 'Spark lifecycle').
+
+Design notes for 10^12-row scale:
+
+* Column pruning is explicit: only (url, warc_ts, html) reach the shuffle;
+  Catalyst pushes the projection into the parquet/Iceberg scan.
+* Skew (host/size concentration in Common-Crawl) is defused by salting on
+  ``pmod(xxhash64(url), n_buckets)`` and repartitioning on the salt — the
+  only shuffle in the job. Bucket→partition assignment is deterministic,
+  which is what makes bucket-level resume sound.
+* The extraction itself is partition-local: one ``mapInPandas`` call per
+  partition, iterator form, so the compiled regexes and parser setup
+  amortize across all Arrow batches of the partition (no per-row Python
+  dispatch at the Spark boundary).
+* Resume: completed salt buckets are recorded in a checkpoint table; a
+  restart anti-joins pages against completed buckets. On a real cluster the
+  checkpoint table is an Iceberg table with transactional appends; in this
+  sandbox it is a parquet directory written atomically per task.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+from .schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA
+
+DEFAULT_N_BUCKETS = 256
+
+
+def _utc_naive(dt):
+    if dt is None:
+        return None
+    if dt.tzinfo is not None:
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def extract_record(url, html_bytes):
+    """Run the full readability extraction for one page; never raises."""
+    from ..dom import parse_html
+    from ..readability import Parser, check_document
+
+    out = {
+        "url": url, "title": "", "byline": "", "content": "",
+        "text_content": "", "length": 0, "excerpt": "", "site_name": "",
+        "image": "", "favicon": "", "lang": "", "published_time": None,
+        "modified_time": None, "readerable": None, "error": None,
+    }
+    try:
+        doc = parse_html(html_bytes if html_bytes is not None else b"")
+        out["readerable"] = check_document(doc)
+        art = Parser().parse_document(doc, url)
+        out.update(
+            title=art.title, byline=art.byline, content=art.content,
+            text_content=art.text_content, length=art.length,
+            excerpt=art.excerpt, site_name=art.site_name, image=art.image,
+            favicon=art.favicon, lang=art.language,
+            published_time=_utc_naive(art.published_time),
+            modified_time=_utc_naive(art.modified_time),
+        )
+    except Exception as exc:  # per-row error capture — never fail the task
+        out["error"] = f"{type(exc).__name__}: {exc}"
+    return out
+
+
+def make_extractor(checkpoint_dir: str | None = None):
+    """Build the mapInPandas function. Iterator form: per-partition setup
+    runs once, then every Arrow batch streams through."""
+    import pandas as pd
+
+    columns = [f.name for f in ARTICLES_SCHEMA.fields]
+
+    def extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        t0 = time.time()
+        bucket_stats: dict[str, list] = {}  # salt -> [rows_in, rows_out, errors, bytes_in]
+
+        for pdf in batches:
+            rows = []
+            salts = pdf["salt"] if "salt" in pdf.columns else None
+            for i in range(len(pdf)):
+                url = pdf["url"].iat[i]
+                html = pdf["html"].iat[i]
+                rec = extract_record(url, html)
+                rec["warc_ts"] = pdf["warc_ts"].iat[i] if "warc_ts" in pdf.columns else None
+                rows.append(rec)
+                if salts is not None:
+                    key = str(salts.iat[i])
+                    st = bucket_stats.setdefault(key, [0, 0, 0, 0])
+                    st[0] += 1
+                    st[1] += 0 if rec["error"] else 1
+                    st[2] += 1 if rec["error"] else 0
+                    st[3] += len(html) if html is not None else 0
+            out = pd.DataFrame(rows)
+            for col in ("published_time", "modified_time", "warc_ts"):
+                out[col] = pd.to_datetime(out[col], errors="coerce")
+            out["length"] = out["length"].astype("int32")
+            yield out[columns]
+
+        if checkpoint_dir and bucket_stats:
+            _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, time.time() - t0)
+
+    return extract_batches
+
+
+def _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, elapsed):
+    """Append one lineage row per completed salt bucket. Atomic per task:
+    written to a unique file name, so concurrent tasks never collide.
+    (Production: Iceberg transactional append — same rows, same schema.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    finished = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = {
+        "partition_key": list(bucket_stats.keys()),
+        "attempt": [1] * len(bucket_stats),
+        "status": ["done"] * len(bucket_stats),
+        "rows_in": [int(v[0]) for v in bucket_stats.values()],
+        "rows_out": [int(v[1]) for v in bucket_stats.values()],
+        "parse_errors": [int(v[2]) for v in bucket_stats.values()],
+        "bytes_in": [int(v[3]) for v in bucket_stats.values()],
+        "started_at": [started] * len(bucket_stats),
+        "finished_at": [finished] * len(bucket_stats),
+    }
+    schema = pa.schema(
+        [
+            ("partition_key", pa.string()), ("attempt", pa.int32()),
+            ("status", pa.string()), ("rows_in", pa.int64()),
+            ("rows_out", pa.int64()), ("parse_errors", pa.int64()),
+            ("bytes_in", pa.int64()), ("started_at", pa.timestamp("us")),
+            ("finished_at", pa.timestamp("us")),
+        ]
+    )
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, f"ckpt-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table(rows, schema=schema), path)
+
+
+def with_salt(pages: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Deterministic skew-defusing salt: pmod(xxhash64(url), n_buckets)."""
+    return pages.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)))
+
+
+def completed_buckets(spark, checkpoint_dir: str) -> DataFrame | None:
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    try:
+        ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
+    except Exception:
+        return None
+    return ckpt.where(F.col("status") == "done").select(
+        F.col("partition_key").cast("long").alias("salt")
+    ).distinct()
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """The extraction plan:
+
+    pages → select(url, warc_ts, html)          # column pruning to the scan
+          → withColumn(salt, pmod(xxhash64(url), B))
+          → [left_anti join completed buckets]  # resume (broadcast — tiny)
+          → repartition(P, salt)                # the one shuffle; defuses skew
+          → mapInPandas(extract, ARTICLES)      # partition-local, Arrow batches
+    """
+    spark = pages.sparkSession
+    df = pages.select("url", "warc_ts", "html")
+    df = with_salt(df, n_buckets)
+
+    if resume and checkpoint_dir:
+        done = completed_buckets(spark, checkpoint_dir)
+        if done is not None:
+            df = df.join(F.broadcast(done), "salt", "left_anti")
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    df = df.repartition(num_partitions, "salt")
+
+    return df.mapInPandas(make_extractor(checkpoint_dir), schema=ARTICLES_SCHEMA)
+
+
+def run_extraction_job(
+    pages: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> None:
+    """Batch job: extract and append to a parquet (or Iceberg) articles table."""
+    articles = extract_pages(
+        pages,
+        n_buckets=n_buckets,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    articles.write.mode("append").parquet(output_dir)

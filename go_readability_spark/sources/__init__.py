@@ -1,0 +1,12 @@
+from .fixtures import (  # noqa: F401
+    case_url,
+    expected_articles_rows,
+    fixture_case_ids,
+    load_pages_rows,
+    pages_dataframe,
+)
+from .synthetic import (  # noqa: F401
+    pages_from_documents,
+    synth_corpus_rows,
+    synth_pages_dataframe,
+)

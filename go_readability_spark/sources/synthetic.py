@@ -1,0 +1,131 @@
+"""Deterministic synthetic Common-Crawl-style corpus for the scale/skew
+tier (FIXTURES.md §1 'skew knobs'): seeded generator, host concentration,
+size tail, tiny-doc flood. Also synthesizes a `pages` table from the
+driver-provided `documents` parquet so benches need no external data."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta
+
+_HTML_SHELL = """<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<title>{title} | {site} | News</title>
+<meta property="og:title" content="{title}"/>
+<meta property="og:site_name" content="{site}"/>
+<meta property="og:description" content="{excerpt}"/>
+<meta property="article:published_time" content="{published}"/>
+<meta name="author" content="{author}"/>
+<link rel="icon" type="image/png" href="/favicon-32x32.png" sizes="32x32"/>
+</head>
+<body>
+<div id="header" class="site-header"><a href="/">{site}</a><ul class="menu">
+<li><a href="/news">News</a></li><li><a href="/sports">Sports</a></li></ul></div>
+<div class="sidebar widget"><ul>{sidebar}</ul></div>
+<div id="main" class="article-content">
+<h1>{title}</h1>
+<div class="byline">by {author}</div>
+{paragraphs}
+</div>
+<div class="footer comments"><p>comments and junk</p><div class="share">share buttons</div></div>
+</body>
+</html>"""
+
+_WORDS = (
+    "spark shuffle partition executor arrow batch schema catalyst codegen "
+    "broadcast skew salt bucket lineage checkpoint parquet iceberg scan "
+    "filter project aggregate join window stream watermark state token "
+    "document corpus crawl extract readability candidate score density"
+).split()
+
+
+def _rng_for(seed: int, key: str) -> random.Random:
+    h = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def synth_page(seed: int, idx: int, host: str, n_paragraphs: int) -> dict:
+    rng = _rng_for(seed, f"page:{idx}")
+    title = " ".join(rng.choice(_WORDS) for _ in range(6)).title()
+    author = f"{rng.choice(_WORDS).title()} {rng.choice(_WORDS).title()}"
+    paragraphs = []
+    for p in range(n_paragraphs):
+        n = rng.randint(40, 120)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        # commas matter to the scorer — sprinkle deterministically
+        text = " ".join(words)
+        text = text.replace(" ", ", ", 3) if p % 2 == 0 else text
+        paragraphs.append(f"<p>{text}.</p>")
+    sidebar = "".join(f"<li><a href='/t/{w}'>{w}</a></li>" for w in _WORDS[:12])
+    published = (datetime(2024, 1, 1) + timedelta(hours=idx % 8760)).isoformat()
+    url = f"https://{host}/{seed}/{idx}/{title.split()[0].lower()}.html"
+    html = _HTML_SHELL.format(
+        lang="en", title=title, site=host.split(".")[0].title(),
+        excerpt=" ".join(rng.choice(_WORDS) for _ in range(12)),
+        published=published, author=author, sidebar=sidebar,
+        paragraphs="\n".join(paragraphs),
+    )
+    return {
+        "url": url,
+        "warc_ts": datetime(2025, 1, 1) + timedelta(seconds=idx),
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": "en",
+    }
+
+
+def synth_corpus_rows(n_docs: int, seed: int = 42, skew: bool = True):
+    """Deterministic corpus with Common-Crawl-ish skew: ~30% of rows on one
+    host, a long size tail, and a tiny-doc flood."""
+    hosts = [f"site{i}.example.org" for i in range(32)]
+    rows = []
+    for idx in range(n_docs):
+        rng = _rng_for(seed, f"dist:{idx}")
+        if skew and rng.random() < 0.30:
+            host = "megahost.example.org"  # host concentration
+        else:
+            host = hosts[rng.randrange(len(hosts))]
+        r = rng.random()
+        if skew and r < 0.10:
+            n_paragraphs = 2  # tiny-doc flood
+        elif skew and r > 0.97:
+            n_paragraphs = rng.randint(150, 400)  # size tail
+        else:
+            n_paragraphs = rng.randint(8, 40)
+        rows.append(synth_page(seed, idx, host, n_paragraphs))
+    return rows
+
+
+def synth_pages_dataframe(spark, n_docs: int, seed: int = 42, skew: bool = True,
+                          num_slices: int | None = None):
+    from ..plans.schema import PAGES_SCHEMA
+
+    rows = synth_corpus_rows(n_docs, seed=seed, skew=skew)
+    return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+
+def pages_from_documents(spark, sf_dir: str):
+    """Wrap the driver-provided `documents` table text into the `pages`
+    shape deterministically (BASELINE 'input_hint': synthesize the input
+    table at small scale; no external data)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit(" | "), F.coalesce(F.col("source"), F.lit("src")),
+        F.lit('</title></head><body><div class="article-content"><h1>Document '),
+        F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), F.lit("\\. "), F.lit(".</p><p>")),
+        F.lit("</p></div></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,126 @@
+"""Spark tier: the full extraction pipeline over the fixture corpus packed
+into the north-rule `pages` shape, plus checkpoint/resume semantics."""
+
+import os
+
+import pytest
+
+from conftest import BEAUTIFIED_GOLDENS, fixture_cases
+
+pytestmark = pytest.mark.skipif(not fixture_cases(), reason="reference corpus not present")
+
+
+def _norm(s):
+    return " ".join(s.replace("\xad", "").split())
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    from go_readability_spark.plans import extract_pages
+    from go_readability_spark.sources import pages_dataframe
+
+    pages = pages_dataframe(spark)
+    return {r["url"]: r.asDict() for r in extract_pages(pages, num_partitions=8).collect()}
+
+
+def test_pipeline_text_parity(spark, extracted):
+    from go_readability_spark.sources import expected_articles_rows
+
+    expected = expected_articles_rows()
+    assert len(extracted) == len(expected)
+    for exp in expected:
+        got = extracted[exp["url"]]
+        assert got["error"] is None, (exp["case_id"], got["error"])
+        if exp["case_id"] in BEAUTIFIED_GOLDENS:
+            assert _norm(got["text_content"]) == _norm(exp["expected_text"]), exp["case_id"]
+        else:
+            assert got["text_content"] == exp["expected_text"], exp["case_id"]
+
+
+def test_pipeline_metadata_parity(spark, extracted):
+    from go_readability_spark.sources import expected_articles_rows
+
+    for exp in expected_articles_rows():
+        got = extracted[exp["url"]]
+        assert got["title"] == (exp["title"] or ""), exp["case_id"]
+        assert got["byline"] == (exp["byline"] or ""), exp["case_id"]
+        assert got["readerable"] == exp["readerable"], exp["case_id"]
+
+
+def test_pipeline_schema(spark, extracted):
+    row = next(iter(extracted.values()))
+    assert set(row) == {
+        "url", "warc_ts", "title", "byline", "content", "text_content",
+        "length", "excerpt", "site_name", "image", "favicon", "lang",
+        "published_time", "modified_time", "readerable", "error",
+    }
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Run half the corpus, then resume: completed salt buckets are skipped
+    (left_anti on the checkpoint table) and the union covers everything."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.plans import extract_pages, with_salt
+    from go_readability_spark.sources import pages_dataframe
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "articles")
+    pages = pages_dataframe(spark)
+    n_total = pages.count()
+
+    salted = with_salt(pages, n_buckets=16)
+    first_half = salted.where(F.col("salt") < 8).drop("salt")
+    run1 = extract_pages(first_half, n_buckets=16, num_partitions=4, checkpoint_dir=ckpt)
+    run1.write.mode("overwrite").parquet(out)
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < n_total
+
+    # completed buckets are recorded
+    ckpt_df = spark.read.parquet(ckpt)
+    done = {r["partition_key"] for r in ckpt_df.collect()}
+    assert done and all(int(k) < 8 for k in done)
+    assert ckpt_df.where("status = 'done'").count() == len(done)
+
+    # resume over the FULL corpus: only the unfinished buckets re-run
+    run2 = extract_pages(pages, n_buckets=16, num_partitions=4,
+                         checkpoint_dir=ckpt, resume=True)
+    run2.write.mode("append").parquet(out)
+    final = spark.read.parquet(out)
+    assert final.count() == n_total  # no duplicates, full coverage
+    assert final.select("url").distinct().count() == n_total
+
+    # lineage metrics add up
+    ckpt_df = spark.read.parquet(ckpt)
+    total_in = ckpt_df.agg(F.sum("rows_in")).collect()[0][0]
+    assert total_in == n_total
+    assert ckpt_df.agg(F.sum("bytes_in")).collect()[0][0] > 0
+
+
+def test_salt_distribution(spark):
+    """The salt must spread a host-skewed corpus ~uniformly over buckets."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.plans import with_salt
+    from go_readability_spark.sources import synth_pages_dataframe
+
+    pages = synth_pages_dataframe(spark, 400, seed=7, skew=True)
+    counts = [
+        r["c"]
+        for r in with_salt(pages, n_buckets=8)
+        .groupBy("salt").agg(F.count("*").alias("c")).collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 2.0 * (400 / 8)  # no bucket more than 2x the mean
+
+
+def test_synthetic_corpus_extracts(spark):
+    from go_readability_spark.plans import extract_pages
+    from go_readability_spark.sources import synth_pages_dataframe
+
+    pages = synth_pages_dataframe(spark, 24, seed=3, skew=False)
+    rows = extract_pages(pages, num_partitions=4).collect()
+    assert len(rows) == 24
+    ok = [r for r in rows if r["error"] is None and len(r["text_content"]) > 200]
+    assert len(ok) == 24
+    assert all(r["title"] for r in ok)
