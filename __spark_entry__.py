@@ -1,38 +1,296 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship readability-extraction pipeline on the
+sf0.001 tables. `queries()` exposes one entry per implemented operator
+family (SURVEY.md §2 + training-data ops); `oracle_sql()` carries the
+DuckDB-equivalent SQL for every SQL-expressible query. Extraction and
+hash-function-dependent ops (xxhash64 minhash/salt, simhash) have no
+ANSI-SQL twin and are recorded by the driver as rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_readability_spark.functions.text import (  # noqa: E402
+    BPE_TOKEN_PATTERN,
+    LANG_STOPWORDS,
+    PUNCT_PATTERN,
+    with_text_features,
+)
+from go_readability_spark.operators import (  # noqa: E402
+    brute_force_topk,
+    exact_duplicates,
+    lsh_bucketed_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_table,
+)
+from go_readability_spark.plans import extract_pages, with_salt  # noqa: E402
+from go_readability_spark.sources import pages_from_documents  # noqa: E402
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full readability extraction over a Common-Crawl-shaped
+    `pages` table synthesized deterministically from sf0.001 documents."""
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    articles = extract_pages(pages, n_buckets=64, num_partitions=8)
+    return articles.select(
+        "url", "title", "text_content", "length", "lang", "readerable", "error"
+    )
+
+
+# --------------------------------------------------------------------- queries
+
+def _q_extract_articles(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(pages, n_buckets=64, num_partitions=8).select(
+        "url", "title", "length", "readerable", "error"
+    )
+
+
+def _q_extract_salted(spark, sf_dir):
+    """Salted-repartition lineage counts: rows per salt bucket."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        with_salt(pages.select("url"), n_buckets=16)
+        .groupBy("salt")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _q_text_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return with_text_features(docs, "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
+        "stopword_ratio", "quality", "lang_id", "fingerprint",
+    )
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, num_bands=8, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash_table(docs, "doc_id", "text"), max_hamming=8)
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding", n_planes=6, seed=42, dim=64
+    )
+
+
+def _q_resume_antijoin(spark, sf_dir):
+    """The checkpoint-resume anti-join pattern on the TPC-H tables."""
+    li = _read(spark, sf_dir, "lineitem")
+    done = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    remaining = li.join(
+        F.broadcast(done.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_anti",
+    )
+    return remaining.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def _q_partition_metrics(spark, sf_dir):
+    """Per-bucket lineage metrics with an engine-portable bucket key."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_quality_partition(spark, sf_dir):
+    """Training-data curation: per-language doc counts above a quality bar."""
+    docs = with_text_features(_read(spark, sf_dir, "documents"), "text")
+    return (
+        docs.where(F.col("quality") >= 0.5)
+        .groupBy("lang_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("ws_tokens").alias("total_tokens"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_articles": _q_extract_articles,
+        "extract_salted": _q_extract_salted,
+        "text_features": _q_text_features,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "resume_antijoin": _q_resume_antijoin,
+        "partition_metrics": _q_partition_metrics,
+        "quality_partition": _q_quality_partition,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracle SQL
+
+_WS_TOKENS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_PUNCT_RAW = (
+    f"CASE WHEN length(text) = 0 THEN 0.0 "
+    f"ELSE len(regexp_extract_all(text, '{PUNCT_PATTERN}')) / length(text) END"
+)
+_STOP_HITS = {
+    lang: f"len(regexp_extract_all(lower(text), '{rx_}'))"
+    for lang, rx_ in LANG_STOPWORDS.items()
+}
+_STOP_RAW = (
+    f"CASE WHEN {_WS_TOKENS} = 0 THEN 0.0 "
+    f"ELSE {_STOP_HITS['en']} / {_WS_TOKENS} END"
+)
+_LANG_BEST = "greatest(" + ", ".join(_STOP_HITS[lang] for lang in ("en", "de", "fr", "es")) + ")"
+_LANG_ID = (
+    f"CASE WHEN {_LANG_BEST} = 0 THEN 'und' "
+    f"WHEN {_STOP_HITS['en']} = {_LANG_BEST} THEN 'en' "
+    f"WHEN {_STOP_HITS['de']} = {_LANG_BEST} THEN 'de' "
+    f"WHEN {_STOP_HITS['fr']} = {_LANG_BEST} THEN 'fr' ELSE 'es' END"
+)
+_FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "text_features": f"""
+            SELECT doc_id,
+                   {_WS_TOKENS} AS ws_tokens,
+                   len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS bpe_tokens,
+                   round({_PUNCT_RAW}, 6) AS punct_ratio,
+                   round({_STOP_RAW}, 6) AS stopword_ratio,
+                   round(0.4 * least(1.0, {_WS_TOKENS} / 100.0)
+                       + 0.3 * (1.0 - least(1.0, ({_PUNCT_RAW}) * 5))
+                       + 0.3 * least(1.0, ({_STOP_RAW}) * 5), 6) AS quality,
+                   {_LANG_ID} AS lang_id,
+                   {_FINGERPRINT} AS fingerprint
+            FROM documents
+        """,
+        "exact_dup_groups": f"""
+            SELECT {_FINGERPRINT} AS fingerprint,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH tokens AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                FROM documents
+            ),
+            shingled AS (
+                SELECT doc_id, {_SHINGLES} AS shingles
+                FROM tokens WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM exploded a JOIN exploded b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, inter,
+                   sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+                   round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= 0.5
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(e.embedding, q.qv) AS score
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id != q.qid
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        "resume_antijoin": """
+            SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+            GROUP BY l_returnflag
+        """,
+        "partition_metrics": """
+            SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        "quality_partition": f"""
+            WITH feats AS (
+                SELECT {_LANG_ID} AS lang_id,
+                       {_WS_TOKENS} AS ws_tokens,
+                       round(0.4 * least(1.0, {_WS_TOKENS} / 100.0)
+                           + 0.3 * (1.0 - least(1.0, ({_PUNCT_RAW}) * 5))
+                           + 0.3 * least(1.0, ({_STOP_RAW}) * 5), 6) AS quality
+                FROM documents
+            )
+            SELECT lang_id, count(*) AS n_docs, sum(ws_tokens) AS total_tokens
+            FROM feats WHERE quality >= 0.5 GROUP BY lang_id
+        """,
+        # extract_articles / extract_salted / minhash_pairs / simhash_pairs /
+        # ann_lsh_topk intentionally have no oracle: the extractor and the
+        # xxhash64/simhash signatures are not expressible in ANSI SQL →
+        # driver records rows-only checks for them.
+    }

@@ -1,0 +1,10 @@
+from .text import (  # noqa: F401
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    with_text_features,
+    ws_token_count,
+)

@@ -1,0 +1,95 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` column
+expressions (whole-stage codegen, no Python in the hot path), and every
+formula has an exact ANSI-SQL twin used for the DuckDB oracle checks in
+``__spark_entry__.py`` — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish tokenizer: letter runs, single digits, single punctuation marks
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+
+# per-language stopword regexes for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|it|for|on|with|that|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|für|auf|ich)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que|qui|pas)\b",
+    "es": r"\b(el|la|los|las|es|una|con|para|del|por|que|como)\b",
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-ish regex segmentation."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), F.lit(0)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    hits = F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
+    toks = ws_token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits / toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length, punctuation,
+    stopword signals (the classic 'looks like prose' gates)."""
+    toks = ws_token_count(col)
+    length_signal = F.least(F.lit(1.0), toks / F.lit(100.0))
+    punct_signal = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 5)
+    stop_signal = F.least(F.lit(1.0), stopword_ratio(col) * 5)
+    return F.round(0.4 * length_signal + 0.3 * punct_signal + 0.3 * stop_signal, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit argmax over {en,de,fr,es}; 'und' (undetermined) when no
+    language scores a hit. Ties resolve in LANG_ORDER."""
+    lowered = F.lower(col)
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(rx_), F.lit(0)))
+        for lang, rx_ in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized, lowercased
+    text. Stable across engines (the DuckDB oracle computes the same md5)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def with_text_features(df, text_col: str = "text"):
+    """Attach the full feature set as columns."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("ws_tokens", ws_token_count(c))
+        .withColumn("bpe_tokens", bpe_token_count(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_id", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

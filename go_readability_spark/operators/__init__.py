@@ -1,0 +1,22 @@
+from .dedup import (  # noqa: F401
+    deduplicate_exact,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_table,
+    word_shingles,
+)
+from .multimodal import (  # noqa: F401
+    decode_image,
+    extract_media_features,
+    synth_media_dataframe,
+)
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_near_pairs,
+    lsh_bucketed_topk,
+    with_unit_vectors,
+)

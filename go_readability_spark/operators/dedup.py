@@ -1,0 +1,251 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, cheapest to most semantic:
+  * exact        — hash-groupBy on a normalized-text fingerprint
+  * n-gram Jaccard — exact set similarity over word shingles (oracle-able)
+  * MinHash+LSH  — the scale path: signatures → bands → bucket join
+  * SimHash      — bitwise near-dup fingerprint (vectorized pandas UDF)
+
+All the heavy lifting is JVM-side DataFrame ops; the only Python is the
+SimHash bit-twiddling (Arrow-batched). Shuffle analysis in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint
+
+
+def normalized_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one shuffle (groupBy fingerprint). Returns
+    (fingerprint, canonical_id, dup_count) for groups with >1 member.
+    At 100 TB: the groupBy key is a 32-char md5 — partial aggregation
+    (map-side combine) reduces shuffle volume to ~#distinct docs."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def deduplicate_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    w = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    keep = w.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams as an array column — pure JVM expression:
+    tokens -> transform(sequence) -> concat. No UDF, no explode yet."""
+    tokens = F.split(F.trim(normalized_text(col)), " ")
+    count = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join on shingle (the shuffle is
+    on the shingle hash — hot shingles are the skew risk; at 100 TB add a
+    frequency cap on shingles before the join) → count intersections →
+    jaccard = inter / (|A| + |B| - inter).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sizes = shingled.select("id", F.size("shingles").alias("n_shingles"))
+    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document, entirely JVM-side:
+    sig[k] = min over shingles of xxhash64(k, shingle). One narrow pass,
+    no shuffle (array ops per row)."""
+    shingles = word_shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, k=k: F.xxhash64(F.lit(k), s)))
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature")).where(
+        F.size(F.col("signature")) > 0
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each signature band, bucket-join docs sharing a
+    band bucket. Shuffle key = (band, bucket-hash) — uniformly distributed
+    by construction, so no salting needed. Returns candidate pairs."""
+    bands = F.posexplode(
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("signature"), b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                )
+                for b in range(num_bands)
+            ]
+        )
+    )
+    buckets = signatures.select(F.col("id"), bands.alias("band", "bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification
+    of the (small) candidate set. The verify join re-reads only candidate
+    docs (left_semi pushdown), so the expensive exact computation never
+    touches the full corpus."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    candidates = minhash_lsh_candidates(sigs, num_bands, rows_per_band)
+    cand_ids = candidates.select(F.col("id_a").alias("id")).union(
+        candidates.select("id_b")
+    ).distinct()
+    cand_docs = df.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    verified = ngram_jaccard_pairs(cand_docs, id_col, text_col, n, threshold)
+    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+# --------------------------------------------------------------------- SimHash
+
+SIMHASH_SCHEMA = "id long, simhash long"
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc via an Arrow-batched mapInPandas (the bit
+    accumulation isn't expressible as a reasonable column tree)."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("t"))
+
+    def compute(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for i in range(len(pdf)):
+                toks = (pdf["t"].iat[i] or "").split()
+                acc = [0] * 64
+                for tok in toks:
+                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                    for bit in range(64):
+                        acc[bit] += 1 if (h >> bit) & 1 else -1
+                sh = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        sh |= 1 << bit
+                out_ids.append(pdf["id"].iat[i])
+                # store as signed int64
+                out_hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"id": out_ids, "simhash": out_hashes})
+
+    return src.mapInPandas(compute, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k. Banding on 16-bit chunks
+    (pigeonhole: distance ≤3 ⇒ at least one of 4 chunks equal) keeps the
+    join keyed instead of cross."""
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for i in range(4)
+        ]
+    )
+    banded = simhashes.select("id", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
