@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    shingle_table,
     simhash_table,
     word_shingles,
 )

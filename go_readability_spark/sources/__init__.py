@@ -9,4 +9,5 @@ from .synthetic import (  # noqa: F401
     pages_from_documents,
     synth_corpus_rows,
     synth_pages_dataframe,
+    synth_pages_distributed,
 )

@@ -106,6 +106,42 @@ def synth_pages_dataframe(spark, n_docs: int, seed: int = 42, skew: bool = True,
     return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
 
 
+def synth_pages_distributed(spark, n_docs: int, seed: int = 42, skew: bool = True,
+                            num_partitions: int = 32):
+    """Generate the synthetic corpus ON THE EXECUTORS (mapInPandas over an
+    index range) so bench corpora of arbitrary size never bottleneck on the
+    driver. Fully deterministic given (seed, n_docs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..plans.schema import PAGES_SCHEMA
+
+    hosts = [f"site{i}.example.org" for i in range(32)]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                rng = _rng_for(seed, f"dist:{idx}")
+                if skew and rng.random() < 0.30:
+                    host = "megahost.example.org"
+                else:
+                    host = hosts[rng.randrange(len(hosts))]
+                r = rng.random()
+                if skew and r < 0.10:
+                    n_paragraphs = 2
+                elif skew and r > 0.97:
+                    n_paragraphs = rng.randint(150, 400)
+                else:
+                    n_paragraphs = rng.randint(8, 40)
+                rows.append(synth_page(seed, idx, host, n_paragraphs))
+            yield pd.DataFrame(rows)
+
+    idx_df = spark.range(0, n_docs, 1, num_partitions)
+    return idx_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def pages_from_documents(spark, sf_dir: str):
     """Wrap the driver-provided `documents` table text into the `pages`
     shape deterministically (BASELINE 'input_hint': synthesize the input
