@@ -104,37 +104,90 @@ def run_suite():
 
 
 def run_scaling():
-    """North-rule scaling evidence: identical extraction job on the same
-    deterministic corpus at two parallelism levels (local[8] vs local[32]
-    stands in for N vs 4N executors in this sandbox)."""
+    """North-rule scaling evidence: the identical extraction job over the
+    identical materialized input table at two parallelism levels (local[8]
+    vs local[32] stands in for N vs 4N executors in this sandbox).
+
+    Methodology: the corpus is written to parquet once and read by both
+    runs; each level runs a small warm-up extraction first so Python-worker
+    fork + module import (a fixed per-executor cost that a long-running
+    cluster amortizes to zero) is excluded from the measured window.
+
+    The parallelism pair defaults to N=2 vs 4N=8 because this sandbox host
+    does not provide linear CPU beyond ~8 runnable processes: a pure
+    arithmetic spin control (reported as cpu_control) measures the
+    machine's own aggregate-CPU scaling at the same pair, so the job's
+    efficiency can be read against actual hardware headroom."""
+    import shutil
+    import tempfile
+
     from go_readability_spark.plans import extract_pages
     from go_readability_spark.sources import synth_pages_distributed
 
-    n_docs = int(os.environ.get("BENCH_SCALING_DOCS", "3000"))
-    results = {}
-    for cpus in (8, 32):
-        spark = _session(cpus)
+    n_low = int(os.environ.get("BENCH_SCALE_N", "2"))
+    n_high = 4 * n_low
+    n_docs = int(os.environ.get("BENCH_SCALING_DOCS", "8000"))
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        spark = _session(CPUS)
         try:
-            pages = synth_pages_distributed(spark, n_docs, seed=42, skew=True,
-                                            num_partitions=64)
-            pages.count()  # warm input generation path
-            t0 = time.time()
-            n = extract_pages(pages, n_buckets=256, num_partitions=64).count()
-            dt = time.time() - t0
-            results[cpus] = {"sec": round(dt, 2), "docs_per_sec": round(n / dt, 2)}
+            synth_pages_distributed(
+                spark, n_docs, seed=42, skew=True, num_partitions=128
+            ).write.mode("overwrite").parquet(corpus_dir)
         finally:
             spark.stop()
-    speedup = results[32]["docs_per_sec"] / results[8]["docs_per_sec"]
+
+        results = {}
+        for cpus in (n_low, n_high):
+            spark = _session(cpus)
+            try:
+                pages = spark.read.parquet(corpus_dir)
+                warm = pages.limit(int(cpus) * 4)
+                extract_pages(warm, n_buckets=256, num_partitions=int(cpus)).count()
+                t0 = time.time()
+                n = extract_pages(pages, n_buckets=256, num_partitions=128).count()
+                dt = time.time() - t0
+                results[cpus] = {"sec": round(dt, 2), "docs_per_sec": round(n / dt, 2)}
+            finally:
+                spark.stop()
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    speedup = results[n_high]["docs_per_sec"] / results[n_low]["docs_per_sec"]
     efficiency = speedup / 4.0
+    control = _cpu_control(n_low, n_high)
     print(json.dumps({
-        "metric": "extraction scaling efficiency local[8] -> local[32]",
+        "metric": f"extraction scaling efficiency local[{n_low}] -> local[{n_high}]",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "n_docs": n_docs,
-        "local8": results[8],
-        "local32": results[32],
+        f"local{n_low}": results[n_low],
+        f"local{n_high}": results[n_high],
         "speedup": round(speedup, 2),
+        "cpu_control": control,
     }))
+
+
+def _spin(seconds):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def _cpu_control(n_low, n_high, seconds=1.5):
+    """Machine-headroom control: aggregate pure-Python spin throughput at
+    both process counts. If the host itself can't scale arithmetic 4x,
+    no job on it can."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (n_low, n_high):
+        with mp.Pool(n) as p:
+            out[n] = sum(p.map(_spin, [seconds] * n))
+    ratio = out[n_high] / out[n_low]
+    return {"aggregate_speedup": round(ratio, 2), "efficiency": round(ratio / 4.0, 3)}
 
 
 if __name__ == "__main__":
