@@ -1,0 +1,91 @@
+"""Physical-plan assertions (SURVEY.md §4): these lock in the properties
+that make the pipeline survive a 100x scale-up — column pruning into the
+scan, broadcast resume-join, a single exchange, predicate pushdown."""
+
+import re
+
+import pytest
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from go_readability_spark.sources import synth_pages_distributed
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    synth_pages_distributed(spark, 64, seed=4, skew=False, num_partitions=4).write.parquet(path)
+    return path
+
+
+def test_scan_column_pruning(spark, pages_parquet):
+    """The extract plan must read only (url, warc_ts, html) — never `text`
+    or `lang` — so the 100 TB scan skips unused columns."""
+    from go_readability_spark.plans import extract_pages
+
+    df = extract_pages(spark.read.parquet(pages_parquet), num_partitions=4)
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    read_schema = m.group(1)
+    assert "url" in read_schema and "html" in read_schema
+    assert "text" not in read_schema.replace("text_content", "")
+    assert "lang" not in read_schema
+
+
+def test_resume_antijoin_is_broadcast(spark, pages_parquet, tmp_path):
+    """The checkpoint anti-join must broadcast the (tiny) bucket list, not
+    shuffle the 10^12-row pages table."""
+    from go_readability_spark.plans import extract_pages
+
+    ckpt = str(tmp_path / "ckpt")
+    pages = spark.read.parquet(pages_parquet)
+    extract_pages(pages, n_buckets=16, num_partitions=4, checkpoint_dir=ckpt).count()
+    df = extract_pages(pages, n_buckets=16, num_partitions=4,
+                       checkpoint_dir=ckpt, resume=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_single_exchange_in_extract(spark, pages_parquet):
+    """Exactly one shuffle: the salted repartition. (AQE may add a read
+    node, but there must be a single Exchange operator.)"""
+    from go_readability_spark.plans import extract_pages
+
+    df = extract_pages(spark.read.parquet(pages_parquet), num_partitions=4)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_filter_pushdown_to_scan(spark, pages_parquet):
+    """A pre-filter (e.g. warc_ts window or url prefix) must reach the
+    parquet scan as PushedFilters, not run post-scan only."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(pages_parquet).where(F.col("url").startswith("https://site1"))
+    plan = _plan(pages)
+    assert re.search(r"PushedFilters: \[.*StringStartsWith\(url", plan), plan
+
+
+def test_extract_has_no_python_row_udf(spark, pages_parquet):
+    """The extraction stage must be Arrow-batched (MapInPandas/ArrowEvalPython),
+    never row-at-a-time BatchEvalPython."""
+    from go_readability_spark.plans import extract_pages
+
+    plan = _plan(extract_pages(spark.read.parquet(pages_parquet), num_partitions=4))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ann_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
