@@ -83,6 +83,41 @@ TABLE_ALLOWED = frozenset(
 
 FOREIGN_ROOTS = frozenset(("svg", "math"))
 
+# WHATWG foreign-content case adjustments (x/net/html foreign.go): the HTML
+# tokenizer lowercases names; inside <svg>/<math> these get their canonical
+# mixed case back.
+SVG_TAG_ADJUST = {
+    t.lower(): t
+    for t in (
+        "altGlyph altGlyphDef altGlyphItem animateColor animateMotion "
+        "animateTransform clipPath feBlend feColorMatrix feComponentTransfer "
+        "feComposite feConvolveMatrix feDiffuseLighting feDisplacementMap "
+        "feDistantLight feDropShadow feFlood feFuncA feFuncB feFuncG feFuncR "
+        "feGaussianBlur feImage feMerge feMergeNode feMorphology feOffset "
+        "fePointLight feSpecularLighting feSpotLight feTile feTurbulence "
+        "foreignObject glyphRef linearGradient radialGradient textPath"
+    ).split()
+}
+SVG_ATTR_ADJUST = {
+    a.lower(): a
+    for a in (
+        "attributeName attributeType baseFrequency baseProfile calcMode "
+        "clipPathUnits contentScriptType contentStyleType diffuseConstant "
+        "edgeMode externalResourcesRequired filterUnits glyphRef "
+        "gradientTransform gradientUnits kernelMatrix kernelUnitLength "
+        "keyPoints keySplines keyTimes lengthAdjust limitingConeAngle "
+        "markerHeight markerUnits markerWidth maskContentUnits maskUnits "
+        "numOctaves pathLength patternContentUnits patternTransform "
+        "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha "
+        "preserveAspectRatio primitiveUnits refX refY repeatCount repeatDur "
+        "requiredExtensions requiredFeatures specularConstant "
+        "specularExponent spreadMethod startOffset stdDeviation stitchTiles "
+        "surfaceScale systemLanguage tableValues targetX targetY textLength "
+        "viewBox viewTarget xChannelSelector yChannelSelector zoomAndPan"
+    ).split()
+}
+MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
+
 
 class _TreeBuilder(HTMLParser):
     # extend stdlib CDATA handling (script/style) to all HTML5 raw-text
@@ -192,15 +227,17 @@ class _TreeBuilder(HTMLParser):
 
     def _start_tag(self, tag, attrs, explicit_self_closing):
         if self.foreign_depth > 0:
-            el = Node(ELEMENT, tag, "", self._dedupe_attrs(attrs))
+            adj = [
+                [SVG_ATTR_ADJUST.get(k, MATHML_ATTR_ADJUST.get(k, k)), v]
+                for k, v in self._dedupe_attrs(attrs)
+            ]
+            el = Node(ELEMENT, SVG_TAG_ADJUST.get(tag, tag), "", adj)
             self._current().append_child(el)
             if tag in FOREIGN_ROOTS:
                 self.foreign_depth += 1
                 self.stack.append(el)
             elif not explicit_self_closing:
                 self.stack.append(el)
-                if tag in FOREIGN_ROOTS:
-                    pass
             return
 
         if tag == "image":
@@ -256,7 +293,15 @@ class _TreeBuilder(HTMLParser):
         elif tag == "a":
             i = self._find_in_scope("a", SCOPE_BOUNDARY)
             if i != -1:
-                self._pop_through(i)
+                # adoption-agency-lite: if only phrasing content is open
+                # above the stale <a>, close it (simple case); if a special
+                # element (e.g. a <div> inside the <a>) intervenes, the spec
+                # keeps those elements open and just drops the stale <a>
+                # from the stack — the new <a> nests inside the div.
+                if any(self.stack[j].tag in SPECIAL for j in range(i + 1, len(self.stack))):
+                    del self.stack[i]
+                else:
+                    self._pop_through(i)
         elif tag == "button":
             i = self._find_in_scope("button", SCOPE_BOUNDARY)
             if i != -1:
@@ -302,7 +347,13 @@ class _TreeBuilder(HTMLParser):
             elif tag in ("td", "th") and cur_tag not in ("tr",):
                 pass
 
-        el = Node(ELEMENT, tag, "", self._dedupe_attrs(attrs))
+        el_attrs = self._dedupe_attrs(attrs)
+        if tag in FOREIGN_ROOTS:
+            el_attrs = [
+                [SVG_ATTR_ADJUST.get(k, MATHML_ATTR_ADJUST.get(k, k)), v]
+                for k, v in el_attrs
+            ]
+        el = Node(ELEMENT, tag, "", el_attrs)
         self._insert_node(el, foster)
 
         if tag == "form":
@@ -350,7 +401,7 @@ class _TreeBuilder(HTMLParser):
         if self.foreign_depth > 0:
             for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
-                if node.tag == tag:
+                if node.tag.lower() == tag:
                     for j in range(len(self.stack) - 1, i - 1, -1):
                         if self.stack[j].tag in FOREIGN_ROOTS:
                             self.foreign_depth -= 1

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 from .regexps import RX_TOKENIZE
 
@@ -36,14 +36,58 @@ def is_valid_url(s: str) -> bool:
     return bool(parts.scheme) or s.startswith("/")
 
 
+# Go net/url escaping emulation (net/url shouldEscape/setPath semantics):
+# String() emits the original escaped path verbatim when it is "valid
+# encoded" (alnum, -_.~, sub-delims, :@/[]%), otherwise the whole path is
+# re-escaped with encodePath rules — an all-or-nothing re-serialization.
+_GO_PATH_VALID = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "-_.~!$&'()*+,;=:@[]%/"
+)
+_GO_PATH_SAFE = "$&+,/:;=@-_.~"  # chars escape() leaves alone in encodePath
+_HEX = "0123456789abcdefABCDEF"
+
+
+def _go_valid_encoded_path(p: str) -> bool:
+    return all(c in _GO_PATH_VALID for c in p)
+
+
+def _valid_percent(s: str) -> bool:
+    i = 0
+    while True:
+        i = s.find("%", i)
+        if i == -1:
+            return True
+        if len(s) - i < 3 or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+            return False
+        i += 3
+
+
+def _go_reencode_path(path: str) -> str:
+    from urllib.parse import quote, unquote_to_bytes
+
+    if _go_valid_encoded_path(path) and _valid_percent(path):
+        return path
+    decoded = unquote_to_bytes(path)
+    return quote(decoded, safe=_GO_PATH_SAFE)
+
+
 def to_absolute_uri(uri: str, base: str | None) -> str:
     """utils.go:39-67: resolve uri against base, passing through fragments,
-    data: URIs and already-absolute URLs *unchanged*."""
+    data: URIs and already-absolute URLs *unchanged*. Resolution output is
+    re-serialized with Go net/url's path-escaping semantics so hrefs match
+    the reference byte-for-byte (e.g. 'a b' -> 'a%20b', 'C|' -> 'C%7C')."""
     if not uri or not base:
         return uri
     if uri.startswith("#"):
         return uri
     if uri.startswith("data:"):
+        return uri
+    if any(ord(c) < 0x20 or ord(c) == 0x7F for c in uri):
+        # Go url.Parse rejects control characters -> passthrough
+        return uri
+    if not _valid_percent(uri):
+        # Go url.Parse rejects invalid percent escapes -> passthrough
         return uri
     try:
         parts = urlsplit(uri)
@@ -52,9 +96,17 @@ def to_absolute_uri(uri: str, base: str | None) -> str:
     except ValueError:
         return uri
     try:
-        return urljoin(base, uri)
+        resolved = urljoin(base, uri)
     except ValueError:
         return uri
+    try:
+        r = urlsplit(resolved)
+    except ValueError:
+        return resolved
+    path = _go_reencode_path(r.path)
+    if path == r.path:
+        return resolved
+    return urlunsplit((r.scheme, r.netloc, path, r.query, r.fragment))
 
 
 def str_or(*args: str) -> str:
