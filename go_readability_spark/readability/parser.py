@@ -49,6 +49,16 @@ from .metadata import (
 from .utils import char_count, text_similarity, to_absolute_uri
 
 
+def _WS_ONLY(s: str) -> bool:
+    return not s.strip()
+
+
+_CLEAN_COND_TAGS = frozenset(
+    ("ul", "ol", "p", "img", "li", "input", "object", "embed", "iframe",
+     "h1", "h2", "h3", "h4", "h5", "h6")
+)
+
+
 @dataclass
 class Article:
     """Output record mirroring the reference Article struct
@@ -234,17 +244,34 @@ class Parser:
 
     @staticmethod
     def _is_element_without_content(node) -> bool:
-        """parser.go:1628-1636."""
+        """parser.go:1628-1636 (single-pass equivalent: empty text iff no
+        text node holds a non-whitespace char; child/br/hr counts gathered
+        in the same walk)."""
         if node.type != ELEMENT:
             return False
-        if text_content(node).strip() != "":
-            return False
-        childs = node.children()
-        if not childs:
-            return True
-        brs = get_elements_by_tag_name(node, "br")
-        hrs = get_elements_by_tag_name(node, "hr")
-        return len(childs) == len(brs) + len(hrs)
+        n_children = 0
+        n_brhr = 0
+        stack = []
+        c = node.first_child
+        while c is not None or stack:
+            if c is None:
+                c = stack.pop().next
+                continue
+            t = c.type
+            if t == TEXT:
+                if not _WS_ONLY(c.data):
+                    return False
+            elif t == ELEMENT:
+                if c.parent is node:
+                    n_children += 1
+                if c.tag == "br" or c.tag == "hr":
+                    n_brhr += 1
+                if c.first_child is not None:
+                    stack.append(c)
+                    c = c.first_child
+                    continue
+            c = c.next
+        return n_children == 0 or n_children == n_brhr
 
     @staticmethod
     def _has_single_tag_inside_element(element, tag) -> bool:
@@ -347,6 +374,28 @@ class Parser:
         for tag in tags:
             out.extend(get_elements_by_tag_name(node, tag))
         return out
+
+    @staticmethod
+    def _collect_tags(node, wanted: frozenset):
+        """One walk over the subtree collecting {tag: [nodes]} for every
+        tag in `wanted` (document order per tag — equivalent to separate
+        GetElementsByTagName calls for counting/summing purposes)."""
+        found: dict[str, list] = {t: [] for t in wanted}
+        stack = []
+        c = node.first_child
+        while c is not None or stack:
+            if c is None:
+                c = stack.pop().next
+                continue
+            if c.type == ELEMENT:
+                if c.tag in wanted:
+                    found[c.tag].append(c)
+                if c.first_child is not None:
+                    stack.append(c)
+                    c = c.first_child
+                    continue
+            c = c.next
+        return found
 
     def _video_filter(self):
         return self.allowed_video_regex or rx.RX_VIDEOS
@@ -847,13 +896,22 @@ class Parser:
         self._replace_node_tags(get_elements_by_tag_name(article_content, "h1"), "h2")
 
         def empty_p(p):
-            total = (
-                len(get_elements_by_tag_name(p, "img"))
-                + len(get_elements_by_tag_name(p, "embed"))
-                + len(get_elements_by_tag_name(p, "object"))
-                + len(get_elements_by_tag_name(p, "iframe"))
-            )
-            return total == 0 and get_inner_text(p, False) == ""
+            # single walk: any media descendant keeps the <p>
+            stack = []
+            c = p.first_child
+            while c is not None or stack:
+                if c is None:
+                    c = stack.pop().next
+                    continue
+                if c.type == ELEMENT:
+                    if c.tag in ("img", "embed", "object", "iframe"):
+                        return False
+                    if c.first_child is not None:
+                        stack.append(c)
+                        c = c.first_child
+                        continue
+                c = c.next
+            return get_inner_text(p, False) == ""
 
         self._remove_nodes(get_elements_by_tag_name(article_content, "p"), empty_p)
 
@@ -926,17 +984,18 @@ class Parser:
             if has_attribute(table, "summary"):
                 self._set_data_table(table, True)
                 continue
-            captions = get_elements_by_tag_name(table, "caption")
+            found = self._collect_tags(
+                table,
+                frozenset(("caption", "col", "colgroup", "tfoot", "thead", "th", "table")),
+            )
+            captions = found["caption"]
             if captions and captions[0].first_child is not None:
                 self._set_data_table(table, True)
                 continue
-            if any(
-                get_elements_by_tag_name(table, t)
-                for t in ("col", "colgroup", "tfoot", "thead", "th")
-            ):
+            if any(found[t] for t in ("col", "colgroup", "tfoot", "thead", "th")):
                 self._set_data_table(table, True)
                 continue
-            if get_elements_by_tag_name(table, "table"):
+            if found["table"]:
                 self._set_data_table(table, False)
                 continue
             rows, columns = self._get_row_and_column_count(table)
@@ -1003,13 +1062,15 @@ class Parser:
             if tag == "table" and self._is_data_table(node):
                 return False
 
+            found = self._collect_tags(node, _CLEAN_COND_TAGS)
+            node_text_len = char_count(get_inner_text(node, True))
+
             is_list = tag in ("ul", "ol")
             if not is_list:
                 list_length = 0
-                for lst in self._get_all_nodes_with_tag(node, "ul", "ol"):
+                for lst in found["ul"] + found["ol"]:
                     list_length += char_count(get_inner_text(lst, True))
-                node_length = char_count(get_inner_text(node, True))
-                is_list = node_length > 0 and list_length / node_length > 0.9
+                is_list = node_text_len > 0 and list_length / node_text_len > 0.9
 
             if self._has_ancestor_tag(node, "table", -1, self._is_data_table):
                 return False
@@ -1021,16 +1082,21 @@ class Parser:
                 return True
 
             if self._get_char_count(node, ",") < 10:
-                p = float(len(get_elements_by_tag_name(node, "p")))
-                img = float(len(get_elements_by_tag_name(node, "img")))
-                li = float(len(get_elements_by_tag_name(node, "li")) - 100)
-                inputs = float(len(get_elements_by_tag_name(node, "input")))
-                heading_density = self._get_text_density(
-                    node, ("h1", "h2", "h3", "h4", "h5", "h6")
-                )
+                p = float(len(found["p"]))
+                img = float(len(found["img"]))
+                li = float(len(found["li"]) - 100)
+                inputs = float(len(found["input"]))
+                if node_text_len == 0:
+                    heading_density = 0.0
+                else:
+                    heading_chars = 0
+                    for h in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                        for child in found[h]:
+                            heading_chars += char_count(get_inner_text(child, True))
+                    heading_density = heading_chars / node_text_len
 
                 embed_count = 0
-                for embed in self._get_all_nodes_with_tag(node, "object", "embed", "iframe"):
+                for embed in found["object"] + found["embed"] + found["iframe"]:
                     for _, val in embed.attrs or ():
                         if rx_video.search(val):
                             return False
@@ -1039,7 +1105,7 @@ class Parser:
                     embed_count += 1
 
                 link_density = self._get_link_density(node)
-                content_length = char_count(get_inner_text(node, True))
+                content_length = node_text_len
                 have_to_remove = (
                     (img > 1 and p / img < 0.5 and not self._has_ancestor_tag(node, "figure", 3))
                     or (not is_list and li > p)
@@ -1060,7 +1126,7 @@ class Parser:
                     for child in node.children():
                         if len(child.children()) > 1:
                             return have_to_remove
-                    li_count = len(get_elements_by_tag_name(node, "li"))
+                    li_count = len(found["li"])
                     if int(img) == li_count:
                         return False
 
@@ -1259,3 +1325,22 @@ def from_document(doc: Node, page_url: str | None = None, **options) -> Article:
 
 def from_reader(html_source, page_url: str | None = None, **options) -> Article:
     return Parser(**options).parse(html_source, page_url)
+
+
+def from_url(page_url: str, timeout: float = 30.0, **options) -> Article:
+    """readability.go:40-71: HTTP GET with timeout + text/html content-type
+    gate, then parse. Single-document convenience only — the cluster
+    pipeline reads an already-fetched corpus table (SURVEY.md §2a)."""
+    from urllib.parse import urlsplit
+    from urllib.request import Request, urlopen
+
+    parts = urlsplit(page_url)
+    if not parts.scheme or not parts.netloc:
+        raise ValueError(f"failed to parse URL: {page_url}")
+    req = Request(page_url, headers={"User-Agent": "go-readability-spark/0.1"})
+    with urlopen(req, timeout=timeout) as resp:  # noqa: S310 — explicit user call
+        content_type = resp.headers.get("Content-Type", "")
+        if "text/html" not in content_type:
+            raise ValueError(f"URL is not a HTML document: {content_type}")
+        body = resp.read()
+    return Parser(**options).parse(body, page_url)
