@@ -145,10 +145,25 @@ class Node:
     def clone(self, deep: bool = True) -> "Node":
         n = Node(self.type, self.tag, self.data,
                  [a[:] for a in self.attrs] if self.attrs is not None else None)
-        if deep:
-            c = self.first_child
-            while c is not None:
-                n.append_child(c.clone(True))
+        if not deep:
+            return n
+        # iterative deep copy (hostile web pages nest thousands deep)
+        dst = n
+        c = self.first_child
+        stack = []
+        while c is not None or stack:
+            if c is None:
+                c, dst = stack.pop()
+                c = c.next
+                continue
+            cc = Node(c.type, c.tag, c.data,
+                      [a[:] for a in c.attrs] if c.attrs is not None else None)
+            dst.append_child(cc)
+            if c.first_child is not None:
+                stack.append((c, dst))
+                dst = cc
+                c = c.first_child
+            else:
                 c = c.next
         return n
 

@@ -35,42 +35,49 @@ def render(node: Node, parts: list | None = None) -> str:
     own = parts is None
     if own:
         parts = []
-    t = node.type
-    if t == TEXT:
-        p = node.parent
-        if p is not None and p.type == ELEMENT and p.tag in _LITERAL_TEXT_PARENTS:
-            parts.append(node.data)
-        else:
-            parts.append(escape_text(node.data))
-    elif t == COMMENT:
-        parts.append("<!--")
-        parts.append(node.data)
-        parts.append("-->")
-    elif t == ELEMENT:
-        parts.append("<")
-        parts.append(node.tag)
-        for k, v in node.attrs or ():
-            parts.append(" ")
-            parts.append(k)
-            parts.append('="')
-            parts.append(escape_text(v))
-            parts.append('"')
-        if node.tag in VOID_ELEMENTS:
-            parts.append("/>")
-        else:
-            parts.append(">")
-            c = node.first_child
-            while c is not None:
-                render(c, parts)
-                c = c.next
+    # iterative serializer (hostile pages nest thousands deep)
+    stack = [(node, False)]
+    while stack:
+        nd, closing = stack.pop()
+        if closing:
             parts.append("</")
-            parts.append(node.tag)
+            parts.append(nd.tag)
             parts.append(">")
-    elif t == DOCUMENT:
-        c = node.first_child
-        while c is not None:
-            render(c, parts)
-            c = c.next
+            continue
+        t = nd.type
+        if t == TEXT:
+            p = nd.parent
+            if p is not None and p.type == ELEMENT and p.tag in _LITERAL_TEXT_PARENTS:
+                parts.append(nd.data)
+            else:
+                parts.append(escape_text(nd.data))
+        elif t == COMMENT:
+            parts.append("<!--")
+            parts.append(nd.data)
+            parts.append("-->")
+        elif t == ELEMENT:
+            parts.append("<")
+            parts.append(nd.tag)
+            for k, v in nd.attrs or ():
+                parts.append(" ")
+                parts.append(k)
+                parts.append('="')
+                parts.append(escape_text(v))
+                parts.append('"')
+            if nd.tag in VOID_ELEMENTS:
+                parts.append("/>")
+            else:
+                parts.append(">")
+                stack.append((nd, True))
+                c = nd.last_child
+                while c is not None:
+                    stack.append((c, False))
+                    c = c.prev
+        elif t == DOCUMENT:
+            c = nd.last_child
+            while c is not None:
+                stack.append((c, False))
+                c = c.prev
     return "".join(parts) if own else ""
 
 

@@ -230,17 +230,26 @@ class Parser:
 
     @classmethod
     def _is_phrasing_content(cls, node) -> bool:
-        """parser.go:1648-1653."""
-        if node.type == TEXT:
-            return True
-        if node.type != ELEMENT:
+        """parser.go:1648-1653 (iterative: a/del/ins chains can nest deep
+        in hostile markup)."""
+        pending = [node]
+        while pending:
+            n = pending.pop()
+            if n.type == TEXT:
+                continue
+            if n.type != ELEMENT:
+                return False
+            tag = n.tag
+            if tag in rx.PHRASING_ELEMS:
+                continue
+            if tag in ("a", "del", "ins"):
+                c = n.first_child
+                while c is not None:
+                    pending.append(c)
+                    c = c.next
+                continue
             return False
-        tag = node.tag
-        if tag in rx.PHRASING_ELEMS:
-            return True
-        if tag in ("a", "del", "ins"):
-            return all(cls._is_phrasing_content(c) for c in node.child_nodes())
-        return False
+        return True
 
     @staticmethod
     def _is_element_without_content(node) -> bool:
@@ -286,10 +295,20 @@ class Parser:
 
     @classmethod
     def _has_child_block_element(cls, element) -> bool:
-        """parser.go:1640-1645."""
-        for n in element.child_nodes():
-            if (n.type == ELEMENT and n.tag in rx.DIV_TO_P_ELEMS) or cls._has_child_block_element(n):
+        """parser.go:1640-1645 (iterative subtree scan)."""
+        stack = []
+        c = element.first_child
+        while c is not None or stack:
+            if c is None:
+                c = stack.pop().next
+                continue
+            if c.type == ELEMENT and c.tag in rx.DIV_TO_P_ELEMS:
                 return True
+            if c.first_child is not None:
+                stack.append(c)
+                c = c.first_child
+            else:
+                c = c.next
         return False
 
     def _get_link_density(self, element) -> float:
@@ -423,21 +442,21 @@ class Parser:
         self._remove_nodes(self._get_all_nodes_with_tag(doc, "script", "noscript"))
 
     def _remove_comments(self, doc) -> None:
-        """parser.go:2212-2233."""
+        """parser.go:2212-2233 (iterative walk over every node)."""
         comments = []
-
-        def finder(n):
-            if n.type == 8:  # COMMENT
-                comments.append(n)
-            c = n.first_child
-            while c is not None:
-                finder(c)
-                c = c.next
-
+        stack = []
         c = doc.first_child
-        while c is not None:
-            finder(c)
-            c = c.next
+        while c is not None or stack:
+            if c is None:
+                c = stack.pop().next
+                continue
+            if c.type == 8:  # COMMENT
+                comments.append(c)
+            if c.first_child is not None:
+                stack.append(c)
+                c = c.first_child
+            else:
+                c = c.next
         self._remove_nodes(comments)
 
     def _replace_brs(self, elem) -> None:
@@ -489,13 +508,14 @@ class Parser:
 
     @classmethod
     def _is_single_image(cls, node) -> bool:
-        """parser.go:1512-1524."""
-        if node.type == ELEMENT and node.tag == "img":
-            return True
-        children = node.children()
-        if len(children) != 1 or text_content(node).strip() != "":
-            return False
-        return cls._is_single_image(children[0])
+        """parser.go:1512-1524 (loop over the single-child chain)."""
+        while True:
+            if node.type == ELEMENT and node.tag == "img":
+                return True
+            children = node.children()
+            if len(children) != 1 or text_content(node).strip() != "":
+                return False
+            node = children[0]
 
     def _unwrap_noscript_images(self, doc) -> None:
         """parser.go:1530-1603."""
@@ -939,18 +959,23 @@ class Parser:
                         table.parent.replace_child(cell, table)
 
     def _clean_styles(self, node) -> None:
-        """parser.go:1680-1699."""
-        if node is None or (node.type == ELEMENT and node.tag == "svg"):
+        """parser.go:1680-1699 (iterative; svg subtrees skipped)."""
+        if node is None:
             return
-        for attr in rx.PRESENTATIONAL_ATTRIBUTES:
-            remove_attribute(node, attr)
-        if node.tag in rx.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            remove_attribute(node, "width")
-            remove_attribute(node, "height")
-        child = node.first_element_child()
-        while child is not None:
-            self._clean_styles(child)
-            child = child.next_element_sibling()
+        pending = [node]
+        while pending:
+            n = pending.pop()
+            if n.type == ELEMENT and n.tag == "svg":
+                continue
+            for attr in rx.PRESENTATIONAL_ATTRIBUTES:
+                remove_attribute(n, attr)
+            if n.tag in rx.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                remove_attribute(n, "width")
+                remove_attribute(n, "height")
+            child = n.first_element_child()
+            while child is not None:
+                pending.append(child)
+                child = child.next_element_sibling()
 
     def _get_row_and_column_count(self, table):
         """parser.go:1811-1841."""
@@ -1229,25 +1254,31 @@ class Parser:
             node = self._get_next_node(node, False)
 
     def _clean_classes(self, node) -> None:
-        """parser.go:235-253."""
-        preserved = [c for c in class_name(node).split() if c in self.classes_to_preserve]
-        if preserved:
-            set_attribute(node, "class", " ".join(preserved))
-        else:
-            remove_attribute(node, "class")
-        child = node.first_element_child()
-        while child is not None:
-            self._clean_classes(child)
-            child = child.next_element_sibling()
+        """parser.go:235-253 (iterative)."""
+        pending = [node]
+        while pending:
+            n = pending.pop()
+            preserved = [c for c in class_name(n).split() if c in self.classes_to_preserve]
+            if preserved:
+                set_attribute(n, "class", " ".join(preserved))
+            else:
+                remove_attribute(n, "class")
+            child = n.first_element_child()
+            while child is not None:
+                pending.append(child)
+                child = child.next_element_sibling()
 
     def _clear_readability_attr(self, node) -> None:
-        """parser.go:2286-2293."""
-        remove_attribute(node, "data-readability-score")
-        remove_attribute(node, "data-readability-table")
-        child = node.first_element_child()
-        while child is not None:
-            self._clear_readability_attr(child)
-            child = child.next_element_sibling()
+        """parser.go:2286-2293 (iterative)."""
+        pending = [node]
+        while pending:
+            n = pending.pop()
+            remove_attribute(n, "data-readability-score")
+            remove_attribute(n, "data-readability-table")
+            child = n.first_element_child()
+            while child is not None:
+                pending.append(child)
+                child = child.next_element_sibling()
 
     # ------------------------------------------------------------ entry points
 

@@ -1,0 +1,90 @@
+"""Robustness tier: hostile/degenerate input must never crash the UDF —
+at 10^12 documents every pathological page shape WILL occur."""
+
+import pytest
+
+from go_readability_spark.plans.extract import extract_record
+
+
+def _ok(record):
+    assert record["error"] is None, record["error"]
+    assert record["length"] == len(record["text_content"])
+    return record
+
+
+def test_deep_div_nesting():
+    html = b"<html><body>" + b"<div>" * 3000 + b"deep content here" + b"</div>" * 3000
+    _ok(extract_record("http://x/d.html", html))
+
+
+def test_deep_phrasing_nesting():
+    html = b"<p>" + b"<span>" * 2500 + b"x" + b"</span>" * 2500
+    _ok(extract_record("http://x/s.html", html))
+
+
+def test_deep_anchor_chain():
+    html = b"<body>" + b"<a href=x>" * 2000 + b"t" + b"</a>" * 2000
+    _ok(extract_record("http://x/a.html", html))
+
+
+def test_binary_garbage():
+    _ok(extract_record("http://x/g.html", bytes(range(256)) * 20))
+
+
+def test_empty_and_none():
+    _ok(extract_record("http://x/e.html", b""))
+    _ok(extract_record("http://x/n.html", None))
+
+
+def test_null_bytes_and_bad_utf8():
+    _ok(extract_record("http://x/z.html", b"<p>a\x00b\xff\xfec</p>"))
+
+
+def test_unclosed_everything():
+    _ok(extract_record("http://x/u.html", b"<div><table><tr><td><b><i>text<p>more"))
+
+
+def test_huge_attribute():
+    html = b'<p class="' + b"x" * 500_000 + b'">content</p>'
+    _ok(extract_record("http://x/h.html", html))
+
+
+def test_many_siblings():
+    html = b"<body>" + b"<p>para text</p>" * 20_000
+    _ok(extract_record("http://x/m.html", html))
+
+
+@pytest.mark.parametrize("snippet", [
+    b"<script>while(1){<div>", b"<!--", b"<![CDATA[junk", b"<?php echo ?>",
+    b"</p></div></table>", b"<svg><foreignObject><div>x</div></foreignObject></svg>",
+    b"<table><table><table>a", b"<select><option><p>x",
+])
+def test_fragment_zoo(snippet):
+    _ok(extract_record("http://x/f.html", snippet))
+
+
+def test_hypothesis_fuzz():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    tags = st.sampled_from(
+        ["div", "p", "a", "span", "table", "tr", "td", "ul", "li", "script",
+         "style", "noscript", "title", "br", "img", "h1", "form", "svg"]
+    )
+    chunk = st.one_of(
+        st.text(max_size=30),
+        tags.map(lambda t: f"<{t}>"),
+        tags.map(lambda t: f"</{t}>"),
+        tags.map(lambda t: f"<{t} class='c{t}' id='i{t}'>"),
+        st.sampled_from(["<!-- c -->", "&amp;", "&#x41;", "<![CDATA[x]]>", "<!DOCTYPE html>"]),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(chunk, max_size=60))
+    def run(parts):
+        html = "".join(parts).encode("utf-8", "replace")
+        rec = extract_record("http://fuzz/x.html", html)
+        assert rec["error"] is None
+        assert rec["length"] == len(rec["text_content"])
+
+    run()
