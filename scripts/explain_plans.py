@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for the engine's key plans into EXPLAIN.md —
+the plan-shape evidence (pruning, pushdown, broadcast, single exchange)
+that tests/test_plan_quality.py asserts programmatically."""
+
+import contextlib
+import io
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from go_readability_spark.operators import brute_force_topk, minhash_dedup_pairs
+from go_readability_spark.plans import build_session, extract_pages
+from go_readability_spark.sources import synth_pages_distributed
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def formatted(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    spark = build_session(master="local[4]")
+    out = ["# EXPLAIN — physical plans of the key pipelines\n"]
+    with tempfile.TemporaryDirectory() as tmp:
+        pages_path = f"{tmp}/pages"
+        synth_pages_distributed(spark, 32, seed=2, skew=False, num_partitions=2)\
+            .write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+
+        ckpt = f"{tmp}/ckpt"
+        extract_pages(pages, n_buckets=16, num_partitions=2, checkpoint_dir=ckpt).count()
+
+        out.append("## extract_pages (scan → salt → mapInPandas)\n```")
+        out.append(formatted(extract_pages(pages, num_partitions=2)))
+        out.append("```\n")
+
+        out.append("## extract_pages with checkpoint resume (broadcast left_anti)\n```")
+        out.append(formatted(extract_pages(pages, n_buckets=16, num_partitions=2,
+                                           checkpoint_dir=ckpt, resume=True)))
+        out.append("```\n")
+
+        out.append("## filter pushdown into the pages scan\n```")
+        out.append(formatted(pages.where(F.col("url").startswith("https://site1"))
+                             .select("url", "html")))
+        out.append("```\n")
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out.append("## minhash_dedup_pairs (signatures → LSH bands → per-pair verify)\n```")
+        out.append(formatted(minhash_dedup_pairs(docs.limit(50))))
+        out.append("```\n")
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out.append("## brute_force_topk (broadcast queries → dot → rank)\n```")
+        out.append(formatted(brute_force_topk(emb, emb.where(F.col("vec_id") < 2), k=3)))
+        out.append("```\n")
+
+    open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "EXPLAIN.md"), "w").write("\n".join(out))
+    spark.stop()
+    print("wrote EXPLAIN.md")
+
+
+if __name__ == "__main__":
+    main()
