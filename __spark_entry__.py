@@ -26,6 +26,7 @@ from go_readability_spark.functions.text import (  # noqa: E402
 )
 from go_readability_spark.operators import (  # noqa: E402
     brute_force_topk,
+    duplicate_clusters,
     exact_duplicates,
     lsh_bucketed_topk,
     minhash_dedup_pairs,
@@ -86,6 +87,13 @@ def _q_exact_dup_groups(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters over n-gram-Jaccard pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return duplicate_clusters(pairs)
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -155,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
@@ -245,6 +254,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= 0.5
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE tokens AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                FROM documents
+            ),
+            shingled AS (
+                SELECT doc_id, {_SHINGLES} AS shingles
+                FROM tokens WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM exploded a JOIN exploded b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+            )
+            SELECT src AS id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,3 +1,4 @@
+from .clusters import duplicate_clusters  # noqa: F401
 from .dedup import (  # noqa: F401
     deduplicate_exact,
     exact_duplicates,

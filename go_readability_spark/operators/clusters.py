@@ -1,0 +1,61 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+After any pairwise dedup (exact groups already cluster; MinHash/SimHash/
+Jaccard emit PAIRS), training pipelines need transitive clusters with one
+canonical representative. This is min-label propagation over the pair
+graph — each iteration is two shuffles (groupBy + join), converging in
+O(log(diameter)) rounds; duplicate-cluster diameters are tiny in practice,
+so the default cap of 10 rounds is generous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """(id_a, id_b) pairs → (id, cluster_id) where cluster_id is the
+    minimum member id of the connected component. Deterministic."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # label(v) starts as min(v, min neighbor)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
+    ).persist()
+
+    for _ in range(max_iterations):
+        # propagate: new_label(v) = min(label(v), min over neighbors of label(n))
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("src").alias("id"), "nlabel")
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

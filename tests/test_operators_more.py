@@ -95,3 +95,29 @@ def test_brute_force_topk_agrees_with_numpy(spark):
     scores[0] = -np.inf
     want = list(np.argsort(-scores)[:5])
     assert [g[0] for g in got] == [int(w) for w in want]
+
+
+def test_duplicate_clusters(spark):
+    from go_readability_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (11, 12), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_sql_registered_extraction_udfs(spark, tmp_path):
+    from go_readability_spark.functions.extraction_udfs import register_all
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    register_all(spark)
+    rows = synth_corpus_rows(6, seed=21, skew=False)
+    spark.createDataFrame(rows, schema=PAGES_SCHEMA).createOrReplaceTempView("pages_v")
+    out = spark.sql(
+        "SELECT url, readability_title(html) AS t, length(readability_text(html)) AS n "
+        "FROM pages_v WHERE readerable(html)"
+    ).collect()
+    assert len(out) == 6
+    assert all(r["t"] and r["n"] > 200 for r in out)
