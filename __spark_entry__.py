@@ -156,6 +156,43 @@ def _q_quality_partition(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling event-time windows (batch twin of the streaming metrics)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30 min gap per user
+    (lag + cumulative flag — the standard window-function pattern)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)  # interval math: timezone-free on NTZ
+    new_session = F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -168,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
         "quality_partition": _q_quality_partition,
@@ -306,6 +345,28 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 10
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
         """,
         "resume_antijoin": """
             SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty

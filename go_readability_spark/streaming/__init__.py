@@ -3,3 +3,4 @@ from .extract_stream import (  # noqa: F401
     read_pages_stream,
     run_stream_to_parquet,
 )
+from .metrics_stream import pages_ingest_metrics  # noqa: F401

@@ -65,7 +65,7 @@ def test_every_query_runs(spark, entry_mod):
 
 @pytest.mark.parametrize("name", [
     "text_features", "exact_dup_groups", "ngram_jaccard", "dup_clusters", "ann_topk",
-    "resume_antijoin", "partition_metrics", "quality_partition",
+    "events_windowed", "events_sessionize", "resume_antijoin", "partition_metrics", "quality_partition",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()

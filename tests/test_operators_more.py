@@ -121,3 +121,28 @@ def test_sql_registered_extraction_udfs(spark, tmp_path):
     ).collect()
     assert len(out) == 6
     assert all(r["t"] and r["n"] > 200 for r in out)
+
+
+def test_streaming_windowed_metrics(spark, tmp_path):
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+    from go_readability_spark.streaming import pages_ingest_metrics, read_pages_stream
+
+    src = str(tmp_path / "pages_m")
+    rows = synth_corpus_rows(20, seed=13, skew=True)
+    spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(2).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=10)
+    metrics = pages_ingest_metrics(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("ingest_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ingest_metrics").collect()
+    # availableNow + watermark: finalized windows are emitted
+    assert sum(r["n_pages"] for r in got) <= 20
+    assert all(r["host"] and r["bytes_in"] > 0 for r in got)
