@@ -84,26 +84,35 @@ def make_extractor(checkpoint_dir: str | None = None):
         bucket_stats: dict[str, list] = {}  # salt -> [rows_in, rows_out, errors, bytes_in]
 
         for pdf in batches:
-            rows = []
-            salts = pdf["salt"] if "salt" in pdf.columns else None
-            for i in range(len(pdf)):
-                url = pdf["url"].iat[i]
-                html = pdf["html"].iat[i]
+            data: dict[str, list] = {c: [] for c in columns}
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            warc = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * len(urls)
+            salts = pdf["salt"].tolist() if "salt" in pdf.columns else None
+            for i, (url, html) in enumerate(zip(urls, htmls)):
                 rec = extract_record(url, html)
-                rec["warc_ts"] = pdf["warc_ts"].iat[i] if "warc_ts" in pdf.columns else None
-                rows.append(rec)
+                rec["warc_ts"] = warc[i]
+                for c in columns:
+                    data[c].append(rec[c])
                 if salts is not None:
-                    key = str(salts.iat[i])
-                    st = bucket_stats.setdefault(key, [0, 0, 0, 0])
+                    st = bucket_stats.setdefault(str(salts[i]), [0, 0, 0, 0])
                     st[0] += 1
                     st[1] += 0 if rec["error"] else 1
                     st[2] += 1 if rec["error"] else 0
                     st[3] += len(html) if html is not None else 0
-            out = pd.DataFrame(rows)
-            for col in ("published_time", "modified_time", "warc_ts"):
-                out[col] = pd.to_datetime(out[col], errors="coerce")
-            out["length"] = out["length"].astype("int32")
-            yield out[columns]
+            out = pd.DataFrame(
+                {
+                    c: (
+                        pd.to_datetime(pd.Series(data[c], dtype="object"), errors="coerce")
+                        if c in ("published_time", "modified_time", "warc_ts")
+                        else pd.Series(data[c], dtype="int32")
+                        if c == "length"
+                        else data[c]
+                    )
+                    for c in columns
+                }
+            )
+            yield out
 
         if checkpoint_dir and bucket_stats:
             _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, time.time() - t0)
