@@ -1,3 +1,4 @@
+from .curate import curate_corpus  # noqa: F401
 from .extract import (  # noqa: F401
     extract_pages,
     extract_record,

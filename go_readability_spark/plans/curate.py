@@ -1,0 +1,70 @@
+"""End-to-end training-data curation: the composition a 100 TB pipeline
+actually runs —
+
+  pages ──extract──▶ articles ──filter──▶ quality/langid ──▶ exact dedup
+        ──▶ MinHash near-dedup ──▶ curated corpus
+
+Each stage is one of this package's operators; the composition adds no new
+shuffle beyond what the stages own (extract: 1 salted repartition; dedup:
+groupBy fingerprint + LSH band join). Stage boundaries are natural Iceberg
+table checkpoints at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, lang_id, quality_score, ws_token_count
+from ..operators.dedup import minhash_dedup_pairs
+from .extract import extract_pages
+
+
+def curate_corpus(
+    pages: DataFrame,
+    min_length: int = 200,
+    min_quality: float = 0.3,
+    languages: tuple = ("en",),
+    near_dup_threshold: float = 0.7,
+    n_buckets: int = 256,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns the curated articles DataFrame:
+    (url, title, text_content, length, lang_id, quality, ws_tokens,
+    fingerprint) — readerable, long enough, high-quality, language-matched,
+    exact- and near-deduplicated (min-url representative per group)."""
+    articles = extract_pages(
+        pages,
+        n_buckets=n_buckets,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    c = F.col("text_content")
+    enriched = (
+        articles.where(F.col("error").isNull())
+        .where(F.col("readerable"))
+        .where(F.col("length") >= min_length)
+        .withColumn("lang_id", lang_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("ws_tokens", ws_token_count(c))
+        .withColumn("fingerprint", fingerprint(c))
+        .where(F.col("quality") >= min_quality)
+    )
+    if languages:
+        enriched = enriched.where(F.col("lang_id").isin(*languages))
+
+    # exact dedup: keep min-url representative per fingerprint
+    keep = enriched.groupBy("fingerprint").agg(F.min("url").alias("url"))
+    exact_unique = enriched.join(keep, ["fingerprint", "url"], "left_semi")
+
+    # near dedup: drop the lexicographically larger side of each verified pair
+    docs = exact_unique.select(F.col("url").alias("doc_id"), F.col("text_content").alias("text"))
+    pairs = minhash_dedup_pairs(docs, threshold=near_dup_threshold)
+    drop = pairs.select(F.greatest("id_a", "id_b").alias("url")).distinct()
+    curated = exact_unique.join(drop, "url", "left_anti")
+
+    return curated.select(
+        "url", "title", "text_content", "length",
+        "lang_id", "quality", "ws_tokens", "fingerprint",
+    )

@@ -124,3 +124,33 @@ def test_synthetic_corpus_extracts(spark):
     ok = [r for r in rows if r["error"] is None and len(r["text_content"]) > 200]
     assert len(ok) == 24
     assert all(r["title"] for r in ok)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Full curation composition: extract -> quality/lang filters ->
+    exact + near dedup. Duplicated pages must collapse to one survivor."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    rows = synth_corpus_rows(16, seed=31, skew=False)
+    # plant exact duplicates under different urls
+    import copy
+
+    for k in range(3):
+        dup = dict(rows[0])
+        dup["url"] = f"https://dup{k}.example.org/copy.html"
+        rows.append(dup)
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+    curated = curate_corpus(pages, min_length=100, min_quality=0.0,
+                            languages=("en", "und"), num_partitions=4).cache()
+    urls = [r["url"] for r in curated.select("url").collect()]
+    assert len(urls) == len(set(urls))
+    # the 4 identical docs collapsed to exactly one
+    n_total = curated.count()
+    assert n_total <= 17
+    fp = curated.groupBy("fingerprint").count().agg(F.max("count")).collect()[0][0]
+    assert fp == 1
