@@ -24,7 +24,11 @@ def cmd_parse(args) -> int:
     from .dom import parse_html
     from .readability import Parser, check_document
 
-    data = sys.stdin.buffer.read() if args.file == "-" else open(args.file, "rb").read()
+    try:
+        data = sys.stdin.buffer.read() if args.file == "-" else open(args.file, "rb").read()
+    except OSError as exc:
+        print(f"error: cannot read {args.file}: {exc.strerror}", file=sys.stderr)
+        return 2
     doc = parse_html(data)
     if args.check_only:
         readerable = check_document(doc)
