@@ -512,15 +512,47 @@ class _TreeBuilder(HTMLParser):
         self.handle_comment("?" + data)
 
 
+_META_CHARSET_RX = None
+
+
+def _sniff_decode(raw: bytes) -> str:
+    """Decode page bytes like the reference stack does (go-shiori/dom pulls
+    gogs/chardet for sniffing — SURVEY.md §1): UTF-8 wins whenever the bytes
+    are valid UTF-8 (every reference fixture is, including `qq` whose meta
+    tag *claims* gb2312); otherwise honor a declared <meta charset>/
+    content-type charset if Python knows the codec; fall back to UTF-8 with
+    replacement."""
+    global _META_CHARSET_RX
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        return raw.decode("utf-16", errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    if _META_CHARSET_RX is None:
+        import re as _re
+
+        _META_CHARSET_RX = _re.compile(
+            rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9._-]+)""", _re.I
+        )
+    m = _META_CHARSET_RX.search(raw[:4096])
+    if m:
+        try:
+            return raw.decode(m.group(1).decode("ascii"), errors="replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return raw.decode("utf-8", errors="replace")
+
+
 def parse_html(source) -> Node:
     """Parse HTML text/bytes into a Document node.
 
-    Bytes are decoded as UTF-8 with replacement (all reference fixtures are
-    valid UTF-8 on disk — SURVEY.md §1 'Input encoding'). Newlines are
-    normalized to \\n as the HTML5 tokenizer requires.
+    Bytes are charset-sniffed (UTF-8-first, then declared charset — see
+    _sniff_decode). Newlines are normalized to \\n as the HTML5 tokenizer
+    requires.
     """
     if isinstance(source, (bytes, bytearray, memoryview)):
-        source = bytes(source).decode("utf-8", errors="replace")
+        source = _sniff_decode(bytes(source))
     if "\r" in source:
         source = source.replace("\r\n", "\n").replace("\r", "\n")
     if "\x00" in source:

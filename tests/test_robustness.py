@@ -88,3 +88,20 @@ def test_hypothesis_fuzz():
         assert rec["length"] == len(rec["text_content"])
 
     run()
+
+
+def test_charset_sniffing():
+    """Non-UTF8 pages decode via declared charset; valid UTF-8 always wins
+    (the `qq` fixture declares gb2312 but IS UTF-8 — parity depends on it)."""
+    from go_readability_spark.dom import body_element, parse_html, text_content
+
+    gb = "<html><head><meta charset=gb2312></head><body><p>中文内容测试页面很长的句子</p></body></html>".encode("gb2312")
+    doc = parse_html(gb)
+    assert "中文内容测试页面" in text_content(body_element(doc))
+
+    latin = "<html><head><meta charset=iso-8859-1></head><body><p>café naïve</p></body></html>".encode("latin-1")
+    assert "café naïve" in text_content(body_element(parse_html(latin)))
+
+    # declared-but-wrong charset: valid UTF-8 bytes stay UTF-8
+    utf8_claiming_gb = "<meta charset=gb2312><p>日本語テキスト</p>".encode("utf-8")
+    assert "日本語テキスト" in text_content(body_element(parse_html(utf8_claiming_gb)))
