@@ -249,8 +249,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "text_features": f"""
             SELECT doc_id,
-                   {_WS_TOKENS} AS ws_tokens,
-                   len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS bpe_tokens,
+                   CAST({_WS_TOKENS} AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER) AS bpe_tokens,
                    round({_PUNCT_RAW}, 6) AS punct_ratio,
                    round({_STOP_RAW}, 6) AS stopword_ratio,
                    round(0.4 * least(1.0, {_WS_TOKENS} / 100.0)
@@ -287,7 +287,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b, inter,
-                   sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+                   CAST(sa.n_shingles AS INTEGER) AS size_a, CAST(sb.n_shingles AS INTEGER) AS size_b,
                    round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
@@ -338,7 +338,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
                 WHERE e.vec_id != q.qid
             )
-            SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (
                            PARTITION BY query_id
@@ -364,7 +364,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
         """,
@@ -379,20 +379,20 @@ def oracle_sql() -> dict[str, str]:
         "partition_metrics": """
             SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY 1
         """,
         "quality_partition": f"""
             WITH feats AS (
                 SELECT {_LANG_ID} AS lang_id,
-                       {_WS_TOKENS} AS ws_tokens,
+                       CAST({_WS_TOKENS} AS INTEGER) AS ws_tokens,
                        round(0.4 * least(1.0, {_WS_TOKENS} / 100.0)
                            + 0.3 * (1.0 - least(1.0, ({_PUNCT_RAW}) * 5))
                            + 0.3 * least(1.0, ({_STOP_RAW}) * 5), 6) AS quality
                 FROM documents
             )
-            SELECT lang_id, count(*) AS n_docs, sum(ws_tokens) AS total_tokens
+            SELECT lang_id, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
             FROM feats WHERE quality >= 0.5 GROUP BY lang_id
         """,
         # extract_articles / extract_salted / minhash_pairs / simhash_pairs /
