@@ -221,19 +221,28 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     def compute(batches):
         import hashlib
 
+        import numpy as np
+
+        # bit i of the hash == bit i of the little-endian unpacked matrix
         for pdf in batches:
             out_ids, out_hashes = [], []
             for i in range(len(pdf)):
                 toks = (pdf["t"].iat[i] or "").split()
-                acc = [0] * 64
-                for tok in toks:
-                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                    for bit in range(64):
-                        acc[bit] += 1 if (h >> bit) & 1 else -1
-                sh = 0
-                for bit in range(64):
-                    if acc[bit] > 0:
-                        sh |= 1 << bit
+                if toks:
+                    digests = np.frombuffer(
+                        b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                        dtype=np.uint8,
+                    ).reshape(len(toks), 8)
+                    bits = np.unpackbits(digests, axis=1, bitorder="big")
+                    # digest bytes are big-endian 64-bit ints: column j holds
+                    # bit (63-j); accumulate +1/-1 votes per bit position
+                    votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+                    sh = 0
+                    for j in range(64):
+                        if votes[j] > 0:
+                            sh |= 1 << (63 - j)
+                else:
+                    sh = 0
                 out_ids.append(pdf["id"].iat[i])
                 # store as signed int64
                 out_hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
