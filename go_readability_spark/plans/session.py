@@ -17,6 +17,10 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode: the driver JVM is the executor — the 1g default heap
+        # OOMs under 32 concurrent HTML-heavy tasks (measured at 50k docs)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.maxResultSize", "2g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
