@@ -40,6 +40,10 @@ _WORDS = (
     "document corpus crawl extract readability candidate score density"
 ).split()
 
+# interleaved so language-ID and stopword-ratio features behave like real
+# English prose on the synthetic corpus
+_STOPWORDS = "the and of to in is it for on with that was".split()
+
 
 def _rng_for(seed: int, key: str) -> random.Random:
     h = hashlib.sha256(f"{seed}:{key}".encode()).digest()
@@ -53,7 +57,10 @@ def synth_page(seed: int, idx: int, host: str, n_paragraphs: int) -> dict:
     paragraphs = []
     for p in range(n_paragraphs):
         n = rng.randint(40, 120)
-        words = [rng.choice(_WORDS) for _ in range(n)]
+        words = [
+            rng.choice(_STOPWORDS) if i % 3 == 1 else rng.choice(_WORDS)
+            for i in range(n)
+        ]
         # commas matter to the scorer — sprinkle deterministically
         text = " ".join(words)
         text = text.replace(" ", ", ", 3) if p % 2 == 0 else text
