@@ -1351,7 +1351,12 @@ class Parser:
 
 
 def from_document(doc: Node, page_url: str | None = None, **options) -> Article:
-    return Parser(**options).parse_document(doc, page_url)
+    """Parse an already-built DOM. Clones first so the caller's document
+    stays untouched (the reference does the same at parser-parse.go:29 —
+    its test generator reuses the doc for CheckDocument afterwards). The
+    pipeline's hot path calls Parser.parse_document directly and skips the
+    clone because the UDF owns the tree."""
+    return Parser(**options).parse_document(doc.clone(True), page_url)
 
 
 def from_reader(html_source, page_url: str | None = None, **options) -> Article:

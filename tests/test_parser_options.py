@@ -80,3 +80,18 @@ def test_parse_document_twice_resets_state():
     a2 = p.parse(ARTICLE, None)
     assert a1.text_content == a2.text_content
     assert a1.byline == a2.byline
+
+
+def test_from_document_preserves_caller_doc():
+    from go_readability_spark.dom import parse_html, text_content
+    from go_readability_spark.readability import check_document, from_document
+
+    doc = parse_html(ARTICLE)
+    before = text_content(doc)
+    art = from_document(doc, "http://fakehost/test/page.html")
+    assert art.length > 0
+    # caller's tree untouched (reference clones at parser-parse.go:29)
+    assert text_content(doc) == before
+    # still usable for the readerable check afterwards (paragraphs here are
+    # <140 bytes each, so the answer is legitimately False — parser-check.go:73)
+    assert check_document(doc) is False
