@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "3000"))
+FIXTURE_DOCS = int(os.environ.get("BENCH_FIXTURE_DOCS", "1000"))
 
 
 def _session(cpus):
@@ -59,6 +60,17 @@ def bench_queries(spark):
                                         num_partitions=int(CPUS))
         return _count(extract_pages(pages, n_buckets=256))
 
+    def q_extract_fixture_mix():
+        # real-world HTML structures: the reference's own 118 pages expanded
+        from go_readability_spark.sources import fixture_mix_pages
+
+        try:
+            pages = fixture_mix_pages(spark, FIXTURE_DOCS, seed=42,
+                                      num_partitions=int(CPUS))
+        except FileNotFoundError:
+            return 0
+        return _count(extract_pages(pages, n_buckets=256))
+
     def q_text_features():
         return _count(with_text_features(docs, "text"))
 
@@ -72,6 +84,7 @@ def bench_queries(spark):
     return {
         "extract_documents": (q_extract_documents, None),
         "extract_synth": (q_extract_synth, SYNTH_DOCS),
+        "extract_fixture_mix": (q_extract_fixture_mix, FIXTURE_DOCS),
         "text_features": (q_text_features, None),
         "minhash_dedup": (q_minhash_dedup, None),
         "ann_topk": (q_ann_topk, None),
