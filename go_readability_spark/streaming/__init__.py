@@ -4,3 +4,4 @@ from .extract_stream import (  # noqa: F401
     run_stream_to_parquet,
 )
 from .metrics_stream import pages_ingest_metrics  # noqa: F401
+from .stateful_dedup import streaming_exact_dedup  # noqa: F401

@@ -146,3 +146,38 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     # availableNow + watermark: finalized windows are emitted
     assert sum(r["n_pages"] for r in got) <= 20
     assert all(r["host"] and r["bytes_in"] > 0 for r in got)
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: repeats across micro-batches dropped."""
+    import pandas as pd
+
+    src = str(tmp_path / "txt_stream")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); doc B repeats
+    rows1 = pd.DataFrame({"url": ["u1", "u2"], "text": ["doc A text", "doc B text"]})
+    rows2 = pd.DataFrame({"url": ["u3", "u4"], "text": ["doc B text", "doc C text"]})
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(src + "/f2")
+
+    from go_readability_spark.streaming import streaming_exact_dedup
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_exact_dedup(stream, n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["url"]) for r in spark.sql("select * from dedup_stream").collect()}
+    # one of u2/u3 (same content) survives, plus u1 and u4
+    assert "u1" in got and "u4" in got
+    assert len({"u2", "u3"} & got) == 1
+    assert len(got) == 3
