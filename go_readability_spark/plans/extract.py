@@ -158,16 +158,45 @@ def with_salt(pages: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame
     return pages.withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)))
 
 
-def completed_buckets(spark, checkpoint_dir: str) -> DataFrame | None:
+def completed_buckets(spark, checkpoint_dir: str,
+                      verify_output_dir: str | None = None,
+                      n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame | None:
+    """Salt buckets safe to skip on resume.
+
+    With `verify_output_dir`, a bucket only counts as done if the articles
+    actually present in the output agree with the checkpoint's rows_out —
+    closing the failure window where a task wrote its lineage row but died
+    before its output committed. The bucket is recomputed from the output's
+    url column (xxhash64 is deterministic), so no schema change is needed.
+    (Iceberg: both writes share one transaction and this check is free.)"""
     if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
         return None
     try:
         ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
     except Exception:
         return None
-    return ckpt.where(F.col("status") == "done").select(
-        F.col("partition_key").cast("long").alias("salt")
-    ).distinct()
+    done = (
+        ckpt.where(F.col("status") == "done")
+        .groupBy(F.col("partition_key").cast("long").alias("salt"))
+        .agg(F.sum("rows_out").alias("rows_out"))
+    )
+    if not verify_output_dir:
+        return done.select("salt")
+    try:
+        out = spark.read.parquet(verify_output_dir)
+    except Exception:
+        # no output at all -> nothing is truly done
+        return None
+    actual = (
+        out.where(F.col("error").isNull())
+        .groupBy(F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).alias("salt"))
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return (
+        done.join(actual, "salt")
+        .where(F.col("rows_out") == F.col("actual_rows"))
+        .select("salt")
+    )
 
 
 def extract_pages(
@@ -176,6 +205,7 @@ def extract_pages(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    verify_output_dir: str | None = None,
 ) -> DataFrame:
     """The extraction plan:
 
@@ -190,7 +220,9 @@ def extract_pages(
     df = with_salt(df, n_buckets)
 
     if resume and checkpoint_dir:
-        done = completed_buckets(spark, checkpoint_dir)
+        done = completed_buckets(spark, checkpoint_dir,
+                                 verify_output_dir=verify_output_dir,
+                                 n_buckets=n_buckets)
         if done is not None:
             df = df.join(F.broadcast(done), "salt", "left_anti")
 

@@ -105,3 +105,33 @@ def test_charset_sniffing():
     # declared-but-wrong charset: valid UTF-8 bytes stay UTF-8
     utf8_claiming_gb = "<meta charset=gb2312><p>日本語テキスト</p>".encode("utf-8")
     assert "日本語テキスト" in text_content(body_element(parse_html(utf8_claiming_gb)))
+
+
+def test_cross_process_determinism():
+    """Extraction must be identical under different PYTHONHASHSEEDs — at
+    10^12 rows, executor processes have different hash seeds and results
+    must not depend on set/dict iteration order."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import sys, hashlib; sys.path.insert(0, '/root/repo')\n"
+        "from go_readability_spark.sources.synthetic import synth_corpus_rows\n"
+        "from go_readability_spark.plans.extract import extract_record\n"
+        "h = hashlib.sha256()\n"
+        "for r in synth_corpus_rows(20, seed=77, skew=True):\n"
+        "    rec = extract_record(r['url'], r['html'])\n"
+        "    h.update(rec['text_content'].encode()); h.update(rec['content'].encode())\n"
+        "    h.update(str(rec['title']).encode()); h.update(str(rec['readerable']).encode())\n"
+        "print(h.hexdigest())\n"
+    )
+    digests = set()
+    for seed in ("0", "1", "42424242"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-500:]
+        digests.add(out.stdout.strip())
+    assert len(digests) == 1, digests

@@ -154,3 +154,43 @@ def test_curate_corpus_end_to_end(spark):
     assert n_total <= 17
     fp = curated.groupBy("fingerprint").count().agg(F.max("count")).collect()[0][0]
     assert fp == 1
+
+
+def test_resume_verifies_output(spark, tmp_path):
+    """A bucket whose checkpoint row exists but whose output was lost
+    (task died between lineage write and commit) must re-run when
+    verify_output_dir is set."""
+    import glob
+    import os
+
+    from go_readability_spark.plans import extract_pages
+    from go_readability_spark.plans.extract import completed_buckets
+    from go_readability_spark.sources import synth_pages_dataframe
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "articles")
+    pages = synth_pages_dataframe(spark, 40, seed=23, skew=False)
+    extract_pages(pages, n_buckets=8, num_partitions=4,
+                  checkpoint_dir=ckpt).write.parquet(out)
+    assert spark.read.parquet(out).count() == 40
+
+    # all 8 buckets verified-done while output is intact
+    done = completed_buckets(spark, ckpt, verify_output_dir=out, n_buckets=8)
+    assert done.count() == 8
+
+    # simulate lost output: delete one parquet part file
+    parts = sorted(glob.glob(out + "/part-*.parquet"))
+    os.remove(parts[0])
+    survivors = spark.read.parquet(out).count()
+    assert survivors < 40
+
+    done2 = completed_buckets(spark, ckpt, verify_output_dir=out, n_buckets=8)
+    assert done2.count() < 8  # damaged buckets no longer count as done
+
+    # resume with verification re-runs exactly the damaged buckets
+    rerun = extract_pages(pages, n_buckets=8, num_partitions=4,
+                          checkpoint_dir=ckpt, resume=True,
+                          verify_output_dir=out)
+    rerun.write.mode("append").parquet(out)
+    final = spark.read.parquet(out)
+    assert final.select("url").distinct().count() == 40
