@@ -27,6 +27,7 @@ from go_readability_spark.functions.text import (  # noqa: E402
 from go_readability_spark.operators import (  # noqa: E402
     brute_force_topk,
     duplicate_clusters,
+    winnowing_overlap_pairs,
     exact_duplicates,
     lsh_bucketed_topk,
     minhash_dedup_pairs,
@@ -101,6 +102,13 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, num_bands=8, threshold=0.5
     ).select("id_a", "id_b", "jaccard")
+
+
+def _q_winnowing_pairs(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing/MOSS): pairs of docs
+    sharing fingerprint minima."""
+    docs = _read(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(docs, "doc_id", "text", k=8, window=4, min_overlap=3)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -202,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
+        "winnowing_pairs": _q_winnowing_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -329,6 +338,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "winnowing_pairs": """
+            WITH staged AS (
+                SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(t) - 6),
+                           i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 8)) AS BIGINT)
+                       ) AS hashes
+                FROM staged
+            ),
+            fps AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(hashes) - 2),
+                           i -> list_min(hashes[i:i+3]))) AS fingerprints
+                FROM hashed WHERE len(hashes) >= 4
+            ),
+            ex AS (SELECT doc_id, unnest(fingerprints) AS fp FROM fps),
+            rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 100),
+            exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fingerprints
+            FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

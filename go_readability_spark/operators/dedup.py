@@ -85,7 +85,9 @@ def ngram_jaccard_pairs(
     frequency cap on shingles before the join) → count intersections →
     jaccard = inter / (|A| + |B| - inter).
     """
-    shingled = shingle_table(df, id_col, text_col, n)
+    # persist before exploding (CollapseProject would re-inline the shingle
+    # expression into the Generate operator — see winnowing.py)
+    shingled = shingle_table(df, id_col, text_col, n).persist()
     sizes = shingled.select("id", F.size("shingles").alias("n_shingles"))
     exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
 

@@ -64,7 +64,7 @@ def test_every_query_runs(spark, entry_mod):
 
 
 @pytest.mark.parametrize("name", [
-    "text_features", "exact_dup_groups", "ngram_jaccard", "dup_clusters", "ann_topk",
+    "text_features", "exact_dup_groups", "ngram_jaccard", "dup_clusters", "winnowing_pairs", "ann_topk",
     "events_windowed", "events_sessionize", "resume_antijoin", "partition_metrics", "quality_partition",
 ])
 def test_oracle_match(spark, entry_mod, name):
