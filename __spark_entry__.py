@@ -72,6 +72,59 @@ def _q_extract_salted(spark, sf_dir):
     )
 
 
+def _q_extract_salted_md5(spark, sf_dir):
+    """Engine-portable twin of the salt distribution (md5-based bucket so
+    DuckDB can verify the partitioning logic; production uses xxhash64)."""
+    pages = pages_from_documents(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long"),
+        F.lit(16),
+    )
+    return pages.select(bucket.alias("salt")).groupBy("salt").agg(
+        F.count("*").alias("n_pages")
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary) — scan+filter+agg breadth check."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # exact decimal arithmetic so the sum is order-independent and
+            # bit-reproducible against the DuckDB oracle
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_like(spark, sf_dir):
+    """Q3-style 3-way join: revenue of unshipped orders per order."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .where(F.col("revenue") > 300000)
+    )
+
+
 def _q_text_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return with_text_features(docs, "text").select(
@@ -205,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
         "extract_salted": _q_extract_salted,
+        "extract_salted_md5": _q_extract_salted_md5,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3_like": _q_tpch_q3_like,
         "text_features": _q_text_features,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -256,6 +312,37 @@ _SHINGLES = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_salted_md5": """
+            SELECT CAST(('0x' || substr(md5(
+                       'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'
+                   ), 1, 8)) AS BIGINT) % 16 AS salt,
+                   count(*) AS n_pages
+            FROM documents GROUP BY 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY 1, 2
+        """,
+        "tpch_q3_like": """
+            SELECT o_orderkey AS orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY 1
+            HAVING revenue > 300000
+        """,
         "text_features": f"""
             SELECT doc_id,
                    CAST({_WS_TOKENS} AS INTEGER) AS ws_tokens,
