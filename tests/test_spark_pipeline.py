@@ -194,3 +194,21 @@ def test_resume_verifies_output(spark, tmp_path):
     rerun.write.mode("append").parquet(out)
     final = spark.read.parquet(out)
     assert final.select("url").distinct().count() == 40
+
+
+def test_extraction_partitioning_invariance(spark):
+    """Per-url results must not depend on bucket count, partition count, or
+    parallelism — the cluster-resize invariant behind the scaling claim."""
+    from go_readability_spark.plans import extract_pages
+    from go_readability_spark.sources import synth_pages_dataframe
+
+    pages = synth_pages_dataframe(spark, 30, seed=41, skew=True)
+    a = {
+        r["url"]: (r["text_content"], r["title"], r["length"], r["readerable"])
+        for r in extract_pages(pages, n_buckets=4, num_partitions=2).collect()
+    }
+    b = {
+        r["url"]: (r["text_content"], r["title"], r["length"], r["readerable"])
+        for r in extract_pages(pages, n_buckets=512, num_partitions=16).collect()
+    }
+    assert a == b
