@@ -39,6 +39,24 @@ from go_readability_spark.plans import extract_pages, with_salt  # noqa: E402
 from go_readability_spark.sources import pages_from_documents  # noqa: E402
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_shipped: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make go_readability_spark importable on executors regardless of the
+    driver's CWD: build the --py-files zip and addPyFile it once per
+    session (the same artifact scripts/submit_extract.sh ships)."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from build_pyfiles import build  # noqa: E402
+
+    spark.sparkContext.addPyFile(build())
+    _shipped.add(key)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -46,6 +64,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full readability extraction over a Common-Crawl-shaped
     `pages` table synthesized deterministically from sf0.001 documents."""
+    _ship_package(spark)
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
     articles = extract_pages(pages, n_buckets=64, num_partitions=8)
     return articles.select(
@@ -56,6 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------- queries
 
 def _q_extract_articles(spark, sf_dir):
+    _ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
     return extract_pages(pages, n_buckets=64, num_partitions=8).select(
         "url", "title", "length", "readerable", "error"
@@ -64,6 +84,7 @@ def _q_extract_articles(spark, sf_dir):
 
 def _q_extract_salted(spark, sf_dir):
     """Salted-repartition lineage counts: rows per salt bucket."""
+    _ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
     return (
         with_salt(pages.select("url"), n_buckets=16)
@@ -75,6 +96,7 @@ def _q_extract_salted(spark, sf_dir):
 def _q_extract_salted_md5(spark, sf_dir):
     """Engine-portable twin of the salt distribution (md5-based bucket so
     DuckDB can verify the partitioning logic; production uses xxhash64)."""
+    _ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long"),
@@ -87,6 +109,7 @@ def _q_extract_salted_md5(spark, sf_dir):
 
 def _q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 (pricing summary) — scan+filter+agg breadth check."""
+    _ship_package(spark)
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
@@ -106,6 +129,7 @@ def _q_tpch_q1(spark, sf_dir):
 
 def _q_tpch_q3_like(spark, sf_dir):
     """Q3-style 3-way join: revenue of unshipped orders per order."""
+    _ship_package(spark)
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
@@ -126,6 +150,7 @@ def _q_tpch_q3_like(spark, sf_dir):
 
 
 def _q_text_features(spark, sf_dir):
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return with_text_features(docs, "text").select(
         "doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
@@ -134,23 +159,27 @@ def _q_text_features(spark, sf_dir):
 
 
 def _q_exact_dup_groups(spark, sf_dir):
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return exact_duplicates(docs, "doc_id", "text")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 def _q_dup_clusters(spark, sf_dir):
     """Transitive duplicate clusters over n-gram-Jaccard pairs."""
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return duplicate_clusters(pairs)
 
 
 def _q_minhash_pairs(spark, sf_dir):
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, num_bands=8, threshold=0.5
@@ -160,22 +189,26 @@ def _q_minhash_pairs(spark, sf_dir):
 def _q_winnowing_pairs(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing/MOSS): pairs of docs
     sharing fingerprint minima."""
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return winnowing_overlap_pairs(docs, "doc_id", "text", k=8, window=4, min_overlap=3)
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash_table(docs, "doc_id", "text"), max_hamming=8)
 
 
 def _q_ann_topk(spark, sf_dir):
+    _ship_package(spark)
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
+    _ship_package(spark)
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_bucketed_topk(
@@ -185,6 +218,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 def _q_resume_antijoin(spark, sf_dir):
     """The checkpoint-resume anti-join pattern on the TPC-H tables."""
+    _ship_package(spark)
     li = _read(spark, sf_dir, "lineitem")
     done = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     remaining = li.join(
@@ -199,6 +233,7 @@ def _q_resume_antijoin(spark, sf_dir):
 
 def _q_partition_metrics(spark, sf_dir):
     """Per-bucket lineage metrics with an engine-portable bucket key."""
+    _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return docs.groupBy(bucket.alias("bucket")).agg(
@@ -209,6 +244,7 @@ def _q_partition_metrics(spark, sf_dir):
 
 def _q_quality_partition(spark, sf_dir):
     """Training-data curation: per-language doc counts above a quality bar."""
+    _ship_package(spark)
     docs = with_text_features(_read(spark, sf_dir, "documents"), "text")
     return (
         docs.where(F.col("quality") >= 0.5)
@@ -219,6 +255,7 @@ def _q_quality_partition(spark, sf_dir):
 
 def _q_events_windowed(spark, sf_dir):
     """Tumbling event-time windows (batch twin of the streaming metrics)."""
+    _ship_package(spark)
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -238,6 +275,7 @@ def _q_events_windowed(spark, sf_dir):
 def _q_events_sessionize(spark, sf_dir):
     """Sessionization: a new session starts after a >30 min gap per user
     (lag + cumulative flag — the standard window-function pattern)."""
+    _ship_package(spark)
     from pyspark.sql import Window
 
     ev = _read(spark, sf_dir, "events")

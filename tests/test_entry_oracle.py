@@ -97,3 +97,24 @@ def test_minhash_recall_vs_exact(spark, entry_mod):
     assert mh.issubset(exact)
     if exact:
         assert len(mh) / len(exact) >= 0.5  # LSH recall sanity
+
+
+def test_entry_from_foreign_cwd():
+    """The driver may import __spark_entry__ from any CWD — executors must
+    still import the package (shipped via addPyFile)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "rows = e.entry(spark).take(3)\n"
+        "assert len(rows) == 3 and rows[0]['error'] is None\n"
+        "print('FOREIGN_CWD_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script], cwd="/tmp",
+                         capture_output=True, text=True, timeout=300)
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-1000:]
