@@ -51,11 +51,12 @@ def cmd_parse(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    from .plans import build_session, run_extraction_job
+    from .plans import build_session, run_extraction_job, ship_package
     from .plans.schema import PAGES_SCHEMA
 
     spark = build_session(master=args.master)
     try:
+        ship_package(spark)
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
         run_extraction_job(
             pages,

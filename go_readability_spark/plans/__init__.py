@@ -7,4 +7,4 @@ from .extract import (  # noqa: F401
     with_salt,
 )
 from .schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA, PAGES_SCHEMA  # noqa: F401
-from .session import build_session  # noqa: F401
+from .session import build_session, ship_package  # noqa: F401

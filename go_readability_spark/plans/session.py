@@ -31,4 +31,35 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
     )
     for k, v in extra.items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # always make the package importable on executors, regardless of CWD
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark) -> None:
+    """Make this package importable on executors regardless of the driver's
+    CWD or install location: zip the package directory and addPyFile it.
+    No-op when already shipped to this context."""
+    import tempfile
+    import zipfile
+
+    import go_readability_spark as pkg
+
+    sc = spark.sparkContext
+    if getattr(sc, "_grs_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "go_readability_spark_shipped.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "go_readability_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._grs_pkg_shipped = True
