@@ -186,6 +186,19 @@ def _q_minhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", "jaccard")
 
 
+def _q_minhash_pairs_md5(spark, sf_dir):
+    """Engine-portable twin of the MinHash+LSH pipeline: identical
+    signature→band→bucket-join→verify logic, with md5-derived hash
+    functions DuckDB can reproduce (production uses xxhash64)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.dedup import minhash_dedup_pairs_md5
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs_md5(
+        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4, threshold=0.5
+    )
+
+
 def _q_winnowing_pairs(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing/MOSS): pairs of docs
     sharing fingerprint minima."""
@@ -304,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
         "winnowing_pairs": _q_winnowing_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
@@ -346,6 +360,78 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, len(toks) - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
+# shared CTE prefix for the n-gram Jaccard family: shingle, explode, apply
+# the max_df hot-shingle cap (mirrors ngram_jaccard_pairs max_df=10000),
+# count pairwise intersections
+_JACCARD_CTES = f"""
+            tokens AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                FROM documents
+            ),
+            shingled AS (
+                SELECT doc_id, {_SHINGLES} AS shingles
+                FROM tokens WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+            rare AS (
+                SELECT shingle FROM exploded GROUP BY shingle
+                HAVING count(*) <= 10000
+            ),
+            expl AS (
+                SELECT e.doc_id, e.shingle FROM exploded e JOIN rare USING (shingle)
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM expl a JOIN expl b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )"""
+
+# 64-bit md5-prefix SimHash, bit-for-bit the Spark plan's semantics:
+# token hash = first 8 bytes of md5 (big-endian signed int64, composed in
+# HUGEINT to dodge DuckDB's checked left-shift), per-bit +1/-1 votes,
+# bit j set iff vote > 0. Docs with no tokens get simhash 0.
+_SIMHASH_CTES = """
+            norm AS (
+                SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x != '')) AS tok
+                FROM norm
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN h >= 9223372036854775808
+                                 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS h
+                FROM (
+                    SELECT doc_id,
+                           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)::HUGEINT * 4294967296
+                           + CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h
+                    FROM toks)
+            ),
+            votes AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hashed CROSS JOIN range(0, 64) r(j)
+                GROUP BY 1, 2
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN s >= 9223372036854775808
+                                 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS simhash
+                FROM (
+                    SELECT doc_id,
+                           sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << j)
+                               ELSE CAST(0 AS HUGEINT) END) AS s
+                    FROM votes GROUP BY doc_id)
+            ),
+            sims AS (
+                SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN packed p USING (doc_id)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -403,23 +489,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
         """,
         "ngram_jaccard": f"""
-            WITH tokens AS (
-                SELECT doc_id,
-                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-                FROM documents
-            ),
-            shingled AS (
-                SELECT doc_id, {_SHINGLES} AS shingles
-                FROM tokens WHERE len(toks) >= 3
-            ),
-            sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
-            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM exploded a JOIN exploded b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+            WITH {_JACCARD_CTES}
             SELECT id_a, id_b, inter,
                    CAST(sa.n_shingles AS INTEGER) AS size_a, CAST(sb.n_shingles AS INTEGER) AS size_b,
                    round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) AS jaccard
@@ -429,23 +499,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= 0.5
         """,
         "dup_clusters": f"""
-            WITH RECURSIVE tokens AS (
-                SELECT doc_id,
-                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-                FROM documents
-            ),
-            shingled AS (
-                SELECT doc_id, {_SHINGLES} AS shingles
-                FROM tokens WHERE len(toks) >= 3
-            ),
-            sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
-            exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM exploded a JOIN exploded b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
+            WITH RECURSIVE {_JACCARD_CTES},
             pairs AS (
                 SELECT id_a, id_b FROM inter
                 JOIN sizes sa ON sa.doc_id = id_a
@@ -490,6 +544,51 @@ def oracle_sql() -> dict[str, str]:
             FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 3
+        """,
+        "minhash_pairs_md5": f"""
+            WITH {_JACCARD_CTES},
+            sigs AS (
+                SELECT doc_id, shingles,
+                       list_transform(range(0, 16), k ->
+                           list_min(list_transform(shingles, s ->
+                               CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 8)) AS BIGINT)
+                           ))) AS sig
+                FROM shingled
+            ),
+            buckets AS (
+                SELECT doc_id, b.band,
+                       md5(CAST(b.band AS VARCHAR) || ':' ||
+                           CAST(sig[b.band * 4 + 1] AS VARCHAR) || ',' ||
+                           CAST(sig[b.band * 4 + 2] AS VARCHAR) || ',' ||
+                           CAST(sig[b.band * 4 + 3] AS VARCHAR) || ',' ||
+                           CAST(sig[b.band * 4 + 4] AS VARCHAR)) AS bucket
+                FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter,
+                   CAST(len(sa.shingles) AS INTEGER) AS size_a,
+                   CAST(len(sb.shingles) AS INTEGER) AS size_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles))
+                       / (len(sa.shingles) + len(sb.shingles)
+                          - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+            FROM cands
+            JOIN shingled sa ON sa.doc_id = id_a
+            JOIN shingled sb ON sb.doc_id = id_b
+            WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                      / (len(sa.shingles) + len(sb.shingles)
+                         - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTES}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -556,8 +655,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_id, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
             FROM feats WHERE quality >= 0.5 GROUP BY lang_id
         """,
-        # extract_articles / extract_salted / minhash_pairs / simhash_pairs /
-        # ann_lsh_topk intentionally have no oracle: the extractor and the
-        # xxhash64/simhash signatures are not expressible in ANSI SQL →
-        # driver records rows-only checks for them.
+        # extract_articles / extract_salted / minhash_pairs / ann_lsh_topk
+        # intentionally have no oracle: the extractor, xxhash64 signatures,
+        # and float hyperplane buckets are not portably expressible in
+        # ANSI SQL → driver records rows-only checks for them. Each has an
+        # oracle-green twin covering its logic: fixture_parity (extraction),
+        # extract_salted_md5 (salting), minhash_pairs_md5 (LSH banding).
     }

@@ -65,6 +65,7 @@ def cmd_extract(args) -> int:
             n_buckets=args.buckets,
             num_partitions=args.partitions,
             resume=not args.no_resume,
+            verify_output=not args.no_verify_output,
         )
     finally:
         spark.stop()
@@ -92,6 +93,9 @@ def main(argv=None) -> int:
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--master", default=None, help="override spark master")
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--no-verify-output", action="store_true",
+                   help="trust checkpoint rows without verifying the output "
+                        "(unsafe if a prior run died mid-commit)")
     e.set_defaults(fn=cmd_extract)
 
     args = ap.parse_args(argv)

@@ -51,13 +51,20 @@ def word_shingles(col, n: int = 3):
     staged column (see shingle_table), not a raw expression — Catalyst does
     not CSE subexpressions into higher-order-function lambdas, so an inline
     tokenizer would re-split the text once per shingle (measured 19x slower
-    at sf0.1)."""
+    at sf0.1).
+
+    Docs with fewer than n tokens yield an EMPTY array. The guard matters:
+    sequence(1, 0) in Spark is the DESCENDING array [1, 0], and slice(col,
+    0, n) then throws INVALID_PARAMETER_VALUE.START, killing the whole job
+    on the first short document in the corpus."""
     count = F.size(col) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        F.sequence(F.lit(1), count),
         lambda i: F.array_join(F.slice(col, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -77,34 +84,69 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
-    Plan: explode distinct shingles → self-join on shingle (the shuffle is
-    on the shingle hash — hot shingles are the skew risk; at 100 TB add a
-    frequency cap on shingles before the join) → count intersections →
+    Plan: explode distinct shingles (each exploded row CARRIES its doc's
+    shingle count, so no per-document sizes table — and therefore no join,
+    let alone a broadcast of a table that grows with the corpus) →
+    self-join on shingle → count intersections →
     jaccard = inter / (|A| + |B| - inter).
+
+    Skew control: shingles appearing in more than ``max_df`` documents are
+    dropped before the self-join — a hot shingle produces df² join rows,
+    which is both the skew bottleneck and quadratic blowup at 10^12 docs.
+    A shingle shared by >max_df docs carries ~no near-dup signal (its
+    contribution to any one pair's intersection is 1), so the cap trades
+    an ε recall loss for bounded per-key join fan-out. Pass ``None`` for
+    the exact (uncapped) semantics.
     """
     # persist before exploding (CollapseProject would re-inline the shingle
     # expression into the Generate operator — see winnowing.py)
     shingled = shingle_table(df, id_col, text_col, n).persist()
-    sizes = shingled.select("id", F.size("shingles").alias("n_shingles"))
-    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+    exploded = shingled.select(
+        "id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    if max_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     return (
-        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
     )
+
+
+def _minhash_fn_xxhash64(s, k: int):
+    """Production per-(seed, shingle) hash: JVM xxhash64."""
+    return F.xxhash64(F.lit(k), s)
+
+
+def _minhash_fn_md5(s, k: int):
+    """Engine-portable per-(seed, shingle) hash: 32-bit md5 prefix. Slower
+    than xxhash64 but reproducible in DuckDB for the oracle twin."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 8), 16, 10
+    ).cast("long")
 
 
 def minhash_signatures(
@@ -113,23 +155,35 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn=_minhash_fn_xxhash64,
 ) -> DataFrame:
     """MinHash signature per document, entirely JVM-side:
-    sig[k] = min over shingles of xxhash64(k, shingle). One narrow pass,
+    sig[k] = min over shingles of hash_fn(k, shingle). One narrow pass,
     no shuffle (array ops per row over a staged shingle column)."""
     shingled = shingle_table(df, id_col, text_col, n)
     sh = F.col("shingles")
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, k=k: F.xxhash64(F.lit(k), s)))
+            F.array_min(F.transform(sh, lambda s, k=k: hash_fn(s, k)))
             for k in range(num_hashes)
         ]
     )
     return shingled.select("id", sig.alias("signature"))
 
 
+def _band_bucket_xxhash64(band_str, b: int):
+    return F.xxhash64(F.lit(b), band_str)
+
+
+def _band_bucket_md5(band_str, b: int):
+    return F.md5(F.concat(F.lit(f"{b}:"), band_str))
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_fn=_band_bucket_xxhash64,
 ) -> DataFrame:
     """LSH banding: hash each signature band, bucket-join docs sharing a
     band bucket. Shuffle key = (band, bucket-hash) — uniformly distributed
@@ -137,8 +191,7 @@ def minhash_lsh_candidates(
     bands = F.posexplode(
         F.array(
             *[
-                F.xxhash64(
-                    F.lit(b),
+                bucket_fn(
                     F.concat_ws(
                         ",",
                         *[
@@ -146,6 +199,7 @@ def minhash_lsh_candidates(
                             for r in range(rows_per_band)
                         ],
                     ),
+                    b,
                 )
                 for b in range(num_bands)
             ]
@@ -183,12 +237,41 @@ def minhash_dedup_pairs(
     a second global shingle self-join. At 100 TB the candidate set is
     orders of magnitude smaller than the corpus, so this is the step that
     keeps the exact check affordable."""
+    return _minhash_pairs_impl(
+        df, id_col, text_col, n, num_hashes, num_bands, threshold,
+        hash_fn=_minhash_fn_xxhash64, bucket_fn=_band_bucket_xxhash64,
+    )
+
+
+def minhash_dedup_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Engine-portable twin of :func:`minhash_dedup_pairs`: the identical
+    signature → band → bucket-join → exact-verify pipeline, with md5-based
+    hash functions a DuckDB oracle can reproduce bit-for-bit. Production
+    uses the xxhash64 variant (faster JVM hash); this twin exists so the
+    banding/bucket-join LOGIC is hash-verified, not just row-counted."""
+    return _minhash_pairs_impl(
+        df, id_col, text_col, n, num_hashes, num_bands, threshold,
+        hash_fn=_minhash_fn_md5, bucket_fn=_band_bucket_md5,
+    )
+
+
+def _minhash_pairs_impl(
+    df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn
+) -> DataFrame:
     rows_per_band = num_hashes // num_bands
     # materialize signatures once: the banding self-join references the
     # signature plan on both sides (at 10^12 scale this is a checkpointed
     # signatures table, not a cache)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
-    candidates = minhash_lsh_candidates(sigs, num_bands, rows_per_band)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn).persist()
+    candidates = minhash_lsh_candidates(sigs, num_bands, rows_per_band, bucket_fn)
     shingled = shingle_table(df, id_col, text_col, n)
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -213,54 +296,86 @@ def minhash_dedup_pairs(
 SIMHASH_SCHEMA = "id long, simhash long"
 
 
+def simhash_chunk_layout(n_chunks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, splitting `bits` as evenly as possible.
+    Shared by the Spark plan and the DuckDB oracle twin so both band the
+    signature identically."""
+    base, rem = divmod(bits, n_chunks)
+    layout, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc via an Arrow-batched mapInPandas (the bit
-    accumulation isn't expressible as a reasonable column tree)."""
-    import pandas as pd
+    """64-bit SimHash per doc, entirely JVM-side column expressions (no
+    Python in the hot path — the per-token md5 loop was the measured
+    100×-scale hotspot of the old Arrow-batched version; this produces
+    bit-identical hashes).
 
-    src = df.select(F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("t"))
+    Token hash = first 8 bytes of md5, big-endian signed int64, composed
+    from two 32-bit conv() halves (portable to the DuckDB oracle). Votes
+    and bit-packing are aggregate/zip_with trees over STAGED array columns
+    (Catalyst does not CSE into higher-order-function lambdas)."""
+    src = df.select(
+        F.col(id_col).alias("id"),
+        normalized_text(F.col(text_col)).alias("t"),
+    )
+    toks = src.select(
+        "id",
+        F.expr("filter(split(t, ' '), x -> x != '')").alias("toks"),
+    )
+    hashed = toks.select(
+        "id",
+        F.expr(
+            "transform(toks, tok -> "
+            "  shiftleft(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), 32)"
+            "  | cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint))"
+        ).alias("hashes"),
+    )
+    votes = hashed.select(
+        "id",
+        F.expr(
+            "aggregate(hashes, "
+            "  array_repeat(0, 64), "
+            "  (acc, h) -> zip_with(acc, "
+            "      transform(sequence(0, 63), j -> "
+            "          CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END), "
+            "      (x, y) -> x + y))"
+        ).alias("votes"),
+    )
+    sim = F.expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), "
+        "  (acc, j) -> acc + CASE WHEN element_at(votes, j + 1) > 0 "
+        "      THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    )
+    return votes.select("id", sim.alias("simhash"))
 
-    def compute(batches):
-        import hashlib
 
-        import numpy as np
-
-        # bit i of the hash == bit i of the little-endian unpacked matrix
-        for pdf in batches:
-            out_ids, out_hashes = [], []
-            for i in range(len(pdf)):
-                toks = (pdf["t"].iat[i] or "").split()
-                if toks:
-                    digests = np.frombuffer(
-                        b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-                        dtype=np.uint8,
-                    ).reshape(len(toks), 8)
-                    bits = np.unpackbits(digests, axis=1, bitorder="big")
-                    # digest bytes are big-endian 64-bit ints: column j holds
-                    # bit (63-j); accumulate +1/-1 votes per bit position
-                    votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-                    sh = 0
-                    for j in range(64):
-                        if votes[j] > 0:
-                            sh |= 1 << (63 - j)
-                else:
-                    sh = 0
-                out_ids.append(pdf["id"].iat[i])
-                # store as signed int64
-                out_hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({"id": out_ids, "simhash": out_hashes})
-
-    return src.mapInPandas(compute, schema=SIMHASH_SCHEMA)
-
-
-def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ k. Banding on 16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ at least one of 4 chunks equal) keeps the
-    join keyed instead of cross."""
+def simhash_near_pairs(
+    simhashes: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k. Banding into k+1 chunks
+    (pigeonhole: distance ≤ k ⇒ at least one of k+1 chunks is equal — with
+    FEWER chunks than k+1 the guarantee breaks and pairs are silently
+    missed) keeps the join keyed instead of cross. `n_chunks` may be
+    raised above k+1 for cheaper buckets at the cost of extra candidate
+    rows; it must never be below k+1, which is enforced here."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole recall guarantee would be violated"
+        )
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
-            for i in range(4)
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("int")
+            for off, width in simhash_chunk_layout(n_chunks)
         ]
     )
     banded = simhashes.select("id", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk"))

@@ -18,11 +18,15 @@ from .dedup import normalized_text
 def _kgram_hashes(text_col, k: int):
     """Array of int hashes, one per character k-gram. Stage `text` as a
     column before calling (lambdas re-evaluate inline expressions)."""
-    n_grams = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
-    return F.transform(
+    n_grams = F.length(text_col) - (k - 1)
+    grams = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(F.substring(F.md5(F.substring(text_col, i, k)), 1, 8), 16, 10).cast("long"),
     )
+    # guard: text shorter than k makes sequence(1, n<=0) DESCENDING ([1,0]),
+    # which would emit two phantom k-gram hashes (substring tolerates start
+    # 0); the DuckDB oracle yields an empty list for such rows
+    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<long>"))
 
 
 def winnowing_fingerprints(

@@ -127,10 +127,18 @@ def _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, elapsed):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = (ctx.attemptNumber() + 1) if ctx is not None else 1
+    except Exception:
+        attempt = 1
+
     finished = datetime.now(timezone.utc).replace(tzinfo=None)
     rows = {
         "partition_key": list(bucket_stats.keys()),
-        "attempt": [1] * len(bucket_stats),
+        "attempt": [attempt] * len(bucket_stats),
         "status": ["done"] * len(bucket_stats),
         "rows_in": [int(v[0]) for v in bucket_stats.values()],
         "rows_out": [int(v[1]) for v in bucket_stats.values()],
@@ -175,10 +183,13 @@ def completed_buckets(spark, checkpoint_dir: str,
         ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
     except Exception:
         return None
+    # max (not sum) per partition_key: retried/speculative attempts append
+    # duplicate 'done' rows for the same bucket; summing would inflate
+    # rows_out and break the verify comparison
     done = (
         ckpt.where(F.col("status") == "done")
         .groupBy(F.col("partition_key").cast("long").alias("salt"))
-        .agg(F.sum("rows_out").alias("rows_out"))
+        .agg(F.max("rows_out").alias("rows_out"))
     )
     if not verify_output_dir:
         return done.select("salt")
@@ -240,13 +251,21 @@ def run_extraction_job(
     n_buckets: int = DEFAULT_N_BUCKETS,
     num_partitions: int | None = None,
     resume: bool = True,
+    verify_output: bool = True,
 ) -> None:
-    """Batch job: extract and append to a parquet (or Iceberg) articles table."""
+    """Batch job: extract and append to a parquet (or Iceberg) articles table.
+
+    Resume verifies buckets against the actual output by default: the
+    checkpoint lineage rows are written by the task OUTSIDE Spark's
+    output-commit protocol, so a job that dies after the ckpt file lands
+    but before the parquet commit would otherwise mark buckets 'done'
+    whose rows were never written — a silent-data-loss window."""
     articles = extract_pages(
         pages,
         n_buckets=n_buckets,
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        verify_output_dir=output_dir if verify_output else None,
     )
     articles.write.mode("append").parquet(output_dir)

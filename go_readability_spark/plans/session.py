@@ -50,7 +50,12 @@ def ship_package(spark) -> None:
     if getattr(sc, "_grs_pkg_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "go_readability_spark_shipped.zip")
+    # unique per-driver file: a fixed path races when two drivers on the
+    # same host overlap (addPyFile could ship a mid-overwrite zip)
+    fd, zip_path = tempfile.mkstemp(
+        prefix="go_readability_spark_shipped_", suffix=".zip"
+    )
+    os.close(fd)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, dirnames, filenames in os.walk(pkg_dir):
             dirnames[:] = [d for d in dirnames if d != "__pycache__"]

@@ -181,3 +181,108 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert "u1" in got and "u4" in got
     assert len({"u2", "u3"} & got) == 1
     assert len(got) == 3
+
+
+# ----------------------------------------------------- round-2 hardening tests
+
+def test_shingle_family_survives_short_docs(spark):
+    """sequence(1, 0) is DESCENDING in Spark — unguarded shingling threw
+    INVALID_PARAMETER_VALUE.START on any corpus with a <=2-token doc and
+    killed the whole job (ADVICE r1). Every shingle-family operator must
+    tolerate empty/one-word/two-word documents."""
+    from go_readability_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_md5,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "alpha beta gamma delta epsilon"),
+            (5, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    # short docs produce no shingles (matches the DuckDB oracle's
+    # WHERE len(toks) >= 3 guard) instead of crashing
+    assert {r.id for r in shingle_table(df).collect()} == {4, 5}
+    jac = ngram_jaccard_pairs(df).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in jac] == [(4, 5, 1.0)]
+    assert minhash_dedup_pairs(df).count() == 1
+    assert minhash_dedup_pairs_md5(df).count() == 1
+
+
+def test_winnowing_short_text_no_phantom_fingerprints(spark):
+    """Text shorter than k must yield zero fingerprints (not the two
+    phantom hashes the descending sequence produced), even at window
+    values small enough to pass the size filter."""
+    from go_readability_spark.operators.winnowing import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "a much longer text that has plenty of k-grams")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.fingerprints for r in winnowing_fingerprints(df, k=8, window=1).collect()}
+    assert 1 not in rows  # 2-char text: no 8-grams at all
+    assert len(rows[2]) > 0
+
+
+def test_simhash_banding_recall_complete(spark):
+    """Banding into max_hamming+1 chunks must find EVERY pair within the
+    claimed distance (pigeonhole guarantee) — verified against exact
+    all-pairs hamming on a corpus of mutated near-duplicates."""
+    from go_readability_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [(0, base)]
+    words = base.split()
+    for i in range(1, 12):
+        mutated = list(words)
+        mutated[i % len(words)] = f"tok{i}"
+        docs.append((i, " ".join(mutated)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sims = simhash_table(df).persist()
+    by_id = {r.id: r.simhash for r in sims.collect()}
+
+    for k in (3, 8):
+        expect = set()
+        ids = sorted(by_id)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    d = bin((by_id[i] ^ by_id[j]) & ((1 << 64) - 1)).count("1")
+                    if d <= k:
+                        expect.add((i, j, d))
+        got = {(r.id_a, r.id_b, r.hamming) for r in simhash_near_pairs(sims, max_hamming=k).collect()}
+        assert got == expect, f"max_hamming={k}"
+    assert expect, "test corpus produced no near pairs at k=8 — not exercising recall"
+    sims.unpersist()
+
+
+def test_simhash_banding_rejects_unsound_chunking(spark):
+    from go_readability_spark.operators.dedup import simhash_near_pairs, simhash_table
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(simhash_table(df), max_hamming=8, n_chunks=4)
+
+
+def test_ngram_jaccard_max_df_cap_drops_hot_shingles(spark):
+    """A shingle present in more docs than max_df is excluded from the
+    self-join (skew/quadratic-blowup control at scale)."""
+    from go_readability_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the hot shingle 'x y z'; each pair overlaps ONLY there
+    docs = [(i, f"x y z unique{i} word{i} tail{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with_cap = ngram_jaccard_pairs(df, threshold=0.0, max_df=3)
+    assert with_cap.count() == 0
+    without_cap = ngram_jaccard_pairs(df, threshold=0.0, max_df=None)
+    assert without_cap.count() == 15  # all C(6,2) pairs share 'x y z'

@@ -89,3 +89,23 @@ def test_ann_broadcasts_queries(spark):
     df = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_jaccard_no_per_document_broadcast(spark):
+    """The per-document sizes table must NOT be broadcast (it grows with
+    the corpus — broadcasting it is impossible at 10^12 docs). Shingle
+    counts ride through the explode instead, so the only joins left are
+    the max-df semi-join and the shingle self-join."""
+    from go_readability_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, "doc_id", "text"))
+    # every join must be keyed on the shingle (max-df semi-join + the
+    # self-join); a join keyed on document id would mean the sizes table
+    # is back. (AQE may choose broadcast for the small shingle joins at
+    # this scale — that's statistics-driven and fine; a HINTED broadcast
+    # of a per-document table is not, and can't appear if the join itself
+    # is gone.)
+    for m in re.finditer(r"(?:HashJoin|SortMergeJoin)\w* \[([a-z_]+)#", plan):
+        assert m.group(1) == "shingle", plan
+    assert re.search(r"(?:HashJoin|SortMergeJoin)", plan), plan
