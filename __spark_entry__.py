@@ -107,6 +107,30 @@ def _q_extract_salted_md5(spark, sf_dir):
     )
 
 
+def _q_fixture_parity(spark, sf_dir):
+    """Extraction correctness as a DRIVER-verified hash match: run the full
+    readability pipeline over the 118 real reference fixture pages and emit
+    (url, md5 of normalized text, metadata); the DuckDB oracle reads the
+    goldens parquet derived from the reference's own expected files
+    (/root/reference/parser_test.go:34-111 semantics). Note sf_dir is
+    unused by design — the fixture corpus is the reference's, not
+    scale-factor data."""
+    _ship_package(spark)
+    from go_readability_spark.sources.fixture_corpus import (
+        ensure_parity_parquets,
+        normalize_parity_col,
+    )
+
+    pages_path, _ = ensure_parity_parquets()
+    pages = spark.read.parquet(pages_path)
+    arts = extract_pages(pages, n_buckets=16, num_partitions=8)
+    return arts.select(
+        "url",
+        F.md5(normalize_parity_col(F.col("text_content"))).alias("text_md5"),
+        "title", "byline", "excerpt", "site_name", "lang", "readerable",
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 (pricing summary) — scan+filter+agg breadth check."""
     _ship_package(spark)
@@ -310,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_articles": _q_extract_articles,
         "extract_salted": _q_extract_salted,
         "extract_salted_md5": _q_extract_salted_md5,
+        "fixture_parity": _q_fixture_parity,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_like": _q_tpch_q3_like,
         "text_features": _q_text_features,
@@ -434,8 +459,28 @@ _SIMHASH_CTES = """
             )"""
 
 
+def _fixture_parity_oracle() -> dict[str, str]:
+    """Oracle for fixture_parity: DuckDB reads the goldens parquet built
+    from the reference's expected files. Guarded — if the reference corpus
+    is absent the query itself can't run either, and the driver records
+    the entry as it sees fit."""
+    try:
+        from go_readability_spark.sources.fixture_corpus import ensure_parity_parquets
+
+        _, golden_path = ensure_parity_parquets()
+    except Exception:
+        return {}
+    return {
+        "fixture_parity": f"""
+            SELECT url, text_md5, title, byline, excerpt, site_name, lang, readerable
+            FROM read_parquet('{golden_path}')
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_fixture_parity_oracle(),
         "extract_salted_md5": """
             SELECT CAST(('0x' || substr(md5(
                        'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'

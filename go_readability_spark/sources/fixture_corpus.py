@@ -60,3 +60,117 @@ def fixture_mix_pages(spark, n_docs: int, seed: int = 42, test_pages: str = TEST
     return spark.range(0, n_docs, 1, num_partitions).mapInPandas(
         gen, schema=PAGES_SCHEMA
     )
+
+
+# ------------------------------------------------- driver parity corpus
+#
+# The 118 reference fixtures materialized as two parquet tables so the
+# DRIVER's correctness gate (not just pytest) hash-verifies extraction
+# itself: `fixture_pages` is the input (url, warc_ts, html), and
+# `fixture_goldens` carries the expected outputs derived from the
+# reference's own goldens (expected-metadata.json verbatim; text md5 over
+# expected.html body text — the same data tests/test_parity.py asserts
+# against, semantics /root/reference/parser_test.go:34-111).
+
+# ASCII whitespace collapse + soft-hyphen strip, applied to BOTH sides of
+# the text hash. Java \s == [ \t\n\x0B\f\r]; the class below is spelled
+# with literal control chars so the Python re and the Spark (Java) regex
+# are the same automaton. Four goldens are js-beautified Mozilla imports
+# where byte identity is impossible even for the reference, so the hash is
+# defined over normalized text for all cases (byte-identical implies
+# normalized-identical for the other 114).
+ASCII_WS_CLASS = "[ \t\n\x0b\x0c\r]+"
+SOFT_HYPHEN = "­"
+
+
+def normalize_parity_text(s: str) -> str:
+    import re
+
+    return re.sub(ASCII_WS_CLASS, " ", s.replace(SOFT_HYPHEN, "")).strip(" ")
+
+
+def normalize_parity_col(col):
+    """Spark column twin of normalize_parity_text."""
+    from pyspark.sql import functions as F
+
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, SOFT_HYPHEN, ""), ASCII_WS_CLASS, " "
+        )
+    )
+
+
+def ensure_parity_parquets(out_dir: str | None = None,
+                           test_pages: str = TEST_PAGES) -> tuple[str, str]:
+    """Build (once, cached on disk) and return the paths of
+    (fixture_pages.parquet, fixture_goldens.parquet)."""
+    import hashlib as _hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if out_dir is None:
+        out_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "dist", "fixtures",
+        )
+    pages_path = os.path.join(out_dir, "fixture_pages.parquet")
+    golden_path = os.path.join(out_dir, "fixture_goldens.parquet")
+    if os.path.exists(pages_path) and os.path.exists(golden_path):
+        return pages_path, golden_path
+
+    from ..dom import body_element, parse_html, text_content
+
+    cases = fixture_case_ids(test_pages)
+    if not cases:
+        raise FileNotFoundError(f"no fixtures under {test_pages}")
+
+    pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    golden = {
+        "url": [], "text_md5": [], "title": [], "byline": [], "excerpt": [],
+        "site_name": [], "lang": [], "readerable": [],
+    }
+    ts = datetime(2025, 1, 1)
+    for case in cases:
+        url = f"http://fakehost/test/{case}/page.html"
+        with open(os.path.join(test_pages, case, "source.html"), "rb") as f:
+            pages["url"].append(url)
+            pages["warc_ts"].append(ts)
+            pages["html"].append(f.read())
+            pages["text"].append(None)
+            pages["lang"].append(None)
+        with open(os.path.join(test_pages, case, "expected.html"), "rb") as f:
+            exp_text = text_content(body_element(parse_html(f.read()))).strip()
+        meta = json.load(open(os.path.join(test_pages, case, "expected-metadata.json")))
+        golden["url"].append(url)
+        golden["text_md5"].append(
+            _hashlib.md5(normalize_parity_text(exp_text).encode("utf-8")).hexdigest()
+        )
+        golden["title"].append(meta.get("title", ""))
+        golden["byline"].append(meta.get("byline") or "")
+        golden["excerpt"].append(meta.get("excerpt") or "")
+        golden["site_name"].append(meta.get("siteName") or "")
+        golden["lang"].append(meta.get("language") or "")
+        golden["readerable"].append(bool(meta.get("readerable", False)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ])
+    golden_schema = pa.schema([
+        ("url", pa.string()), ("text_md5", pa.string()), ("title", pa.string()),
+        ("byline", pa.string()), ("excerpt", pa.string()),
+        ("site_name", pa.string()), ("lang", pa.string()),
+        ("readerable", pa.bool_()),
+    ])
+    # atomic rename so a concurrent reader never sees a half-written file
+    for path, data, schema in (
+        (pages_path, pages, pages_schema),
+        (golden_path, golden, golden_schema),
+    ):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table(data, schema=schema), tmp)
+        os.replace(tmp, path)
+    return pages_path, golden_path

@@ -67,7 +67,7 @@ def test_every_query_runs(spark, entry_mod):
     "text_features", "exact_dup_groups", "ngram_jaccard", "dup_clusters", "winnowing_pairs", "ann_topk",
     "events_windowed", "events_sessionize", "resume_antijoin", "partition_metrics", "quality_partition",
     "extract_salted_md5", "tpch_q1", "tpch_q3_like",
-    "minhash_pairs_md5", "simhash_pairs",
+    "minhash_pairs_md5", "simhash_pairs", "fixture_parity",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()
