@@ -62,23 +62,56 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, planes) -> "F.Column":
-    """Sign pattern of the vector against fixed hyperplanes, packed into a
-    long. `planes` is a list of python float lists (deterministic, seeded),
-    inlined as literals so executors need no side data."""
-    bits = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = _dot(vec_col.cast("array<double>"), lit_plane)
-        bits = bits + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bits
-
-
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42):
     import numpy as np
 
     rng = np.random.RandomState(seed)
     return [list(rng.randn(dim)) for _ in range(n_planes)]
+
+
+def _band_bucket_expr(vec_name: str, band: int, per_band: int) -> "F.Column":
+    """Bucket of one band: sign bits of the vector against planes
+    [band*per_band, (band+1)*per_band) of the broadcast `hp_planes` matrix
+    column, packed into a long. All data lives in the (single-row,
+    broadcast) planes relation — the expression tree stays O(n_bands),
+    not O(n_planes x dim) literal nodes (at dim=768 the literal form is
+    thousands of nodes per signature; plan-bloat flagged in round 1)."""
+    return F.expr(
+        f"aggregate(sequence(0, {per_band - 1}), cast(0 as bigint), (acc, r) -> "
+        f"  acc + CASE WHEN aggregate("
+        f"      zip_with({vec_name}, element_at(hp_planes, {band * per_band} + r + 1), (x, y) -> x * y),"
+        f"      cast(0.0 as double), (a, v) -> a + v) >= 0 "
+        f"    THEN shiftleft(cast(1 as bigint), r) ELSE cast(0 as bigint) END)"
+    )
+
+
+def with_hyperplane_bands(
+    df: DataFrame,
+    planes: list,
+    n_bands: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each row into (band, bucket) pairs — multi-band random-
+    hyperplane LSH (OR-construction, like MinHash banding): a pair is a
+    candidate if ANY band bucket matches, so recall rises with n_bands
+    while per-bucket population stays 1/2^(n_planes/n_bands) of the data.
+    The planes ride in as ONE broadcast single-row relation."""
+    if n_bands < 1 or len(planes) % n_bands != 0:
+        raise ValueError(f"n_planes={len(planes)} not divisible by n_bands={n_bands}")
+    per_band = len(planes) // n_bands
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [([list(map(float, p)) for p in planes],)],
+        "hp_planes array<array<double>>",
+    )
+    staged = df.withColumn("_hp_vec", F.col(vec_col).cast("array<double>"))
+    joined = staged.join(F.broadcast(planes_df))
+    bands = F.posexplode(
+        F.array(*[_band_bucket_expr("_hp_vec", b, per_band) for b in range(n_bands)])
+    )
+    return joined.select(
+        *[c for c in df.columns], bands.alias("band", "bucket")
+    )
 
 
 def lsh_bucketed_topk(
@@ -90,29 +123,48 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's hyperplane
-    bucket. At 10^12 scale the bucket column becomes the table's physical
-    partition key so the probe prunes to 1/2^planes of the data."""
+    """Approximate top-k: score only vectors sharing a hyperplane band
+    bucket with the query. At 10^12 scale the bucket column becomes the
+    table's physical partition key so the probe prunes to
+    1/2^(n_planes/n_bands) of the data per band; raise n_bands for recall
+    (every single-band candidate is also a multi-band candidate).
+
+    `dim` is required: sniffing it from the data would launch a Spark job
+    during plan construction (a driver-side `.first()` per call)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required (embedding dimensionality): inferring it via "
+            "df.first() would launch a Spark job during plan construction"
+        )
     planes = make_planes(dim, n_planes, seed)
 
-    base = with_unit_vectors(df, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "unit_vec",
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    base = with_hyperplane_bands(
+        with_unit_vectors(df, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "unit_vec"
+        ),
+        planes, n_bands, vec_col="unit_vec",
     )
-    qs = with_unit_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("unit_vec").alias("query_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    qs = with_hyperplane_bands(
+        with_unit_vectors(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("unit_vec").alias("query_vec")
+        ),
+        planes, n_bands, vec_col="query_vec",
     )
-    scored = base.join(
+    cand = base.join(
         F.broadcast(qs),
         (F.col("neighbor_id") != F.col("query_id"))
+        & (base["band"] == qs["band"])
         & (base["bucket"] == qs["bucket"]),
-    ).withColumn("score", _dot(F.col("unit_vec"), F.col("query_vec")))
+    )
+    if n_bands > 1:
+        # a pair matching in several bands must score once, not n times
+        cand = cand.groupBy("query_id", "neighbor_id").agg(
+            F.first("unit_vec").alias("unit_vec"),
+            F.first("query_vec").alias("query_vec"),
+        )
+    scored = cand.withColumn("score", _dot(F.col("unit_vec"), F.col("query_vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -126,26 +178,46 @@ def cosine_near_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
+    n_bands: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
-    scored within a hyperplane bucket (recall trades off with n_planes)."""
-    dim = len(df.select(vec_col).first()[0])
+    """Embedding-cosine near-duplicate pairs, multi-band LSH-bucketed:
+    pairs are scored only when some band bucket matches. Bucket population
+    is data/2^(n_planes/n_bands) per band — sized so the within-bucket
+    self-join stays near-linear; n_bands buys back the recall that the
+    deeper buckets cost (OR-construction)."""
+    if dim is None:
+        raise ValueError(
+            "dim is required (embedding dimensionality): inferring it via "
+            "df.first() would launch a Spark job during plan construction"
+        )
     planes = make_planes(dim, n_planes, seed)
-    base = with_unit_vectors(df, vec_col).select(
-        F.col(id_col).alias("id"),
-        "unit_vec",
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    base = with_hyperplane_bands(
+        with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec"),
+        planes, n_bands, vec_col="unit_vec",
     )
     a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.first(F.col("a.unit_vec")).alias("va"),
+            F.first(F.col("b.unit_vec")).alias("vb"),
+        )
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("score", _dot(F.col("a.unit_vec"), F.col("b.unit_vec")))
+        pairs.withColumn("score", _dot(F.col("va"), F.col("vb")))
         .where(F.col("score") >= threshold)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round("score", 6).alias("cosine"),
         )
     )

@@ -286,3 +286,107 @@ def test_ngram_jaccard_max_df_cap_drops_hot_shingles(spark):
     assert with_cap.count() == 0
     without_cap = ngram_jaccard_pairs(df, threshold=0.0, max_df=None)
     assert without_cap.count() == 15  # all C(6,2) pairs share 'x y z'
+
+
+def test_lsh_requires_dim_and_launches_no_job(spark):
+    """Plan construction must not run a Spark job (the round-1 version
+    sniffed the dim with df.first() — a job per call), and dim=None must
+    be an explicit error."""
+    from go_readability_spark.operators.similarity import (
+        cosine_near_pairs,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="dim is required"):
+        lsh_bucketed_topk(emb, emb.limit(3))
+    with pytest.raises(ValueError, match="dim is required"):
+        cosine_near_pairs(emb)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df1 = lsh_bucketed_topk(emb, emb.limit(3), k=5, dim=64, n_planes=8, n_bands=2)
+    df2 = cosine_near_pairs(emb, threshold=0.9, dim=64, n_planes=16, n_bands=2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a Spark job"
+    assert df1.columns == ["query_id", "neighbor_id", "rank"]
+    assert df2.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_lsh_multiband_recall_superset_and_vs_bruteforce(spark):
+    """Splitting the same planes into 2 bands is an OR-construction: every
+    single-band candidate also matches in both bands, so multi-band
+    top-k recall vs brute force can only improve."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_bands):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucketed_topk(
+                emb, queries, k=5, dim=64, n_planes=12, n_bands=n_bands
+            ).collect()
+        }
+        return len(got & exact) / len(exact), got
+
+    r1, got1 = recall(1)
+    r2, got2 = recall(2)
+    assert r2 >= r1, (r1, r2)
+    # every exact hit found by the AND-construction is kept by the OR
+    assert (got1 & exact) <= got2
+
+    # absolute recall is only meaningful when true neighbors are actually
+    # close (uniform-random embeddings have low-cosine top-k, which NO
+    # bucketed LSH finds reliably): plant 30 near-duplicates and require
+    # the banded probe to surface them as rank-1 hits
+    import numpy as np
+
+    from go_readability_spark.operators.similarity import lsh_bucketed_topk as topk
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(300, 32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    rows += [
+        (1000 + i, [float(x) for x in base[i] + 0.02 * rng.randn(32)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") >= 1000)
+    hits = {
+        r.query_id: r.neighbor_id
+        for r in topk(df, qs, k=1, dim=32, n_planes=12, n_bands=3).collect()
+    }
+    found = sum(1 for i in range(30) if hits.get(1000 + i) == i)
+    assert found >= 27, f"planted near-dup recall {found}/30"
+
+
+def test_cosine_near_pairs_finds_planted_near_dups(spark):
+    import numpy as np
+
+    from go_readability_spark.operators.similarity import cosine_near_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicates: tiny perturbations of vectors 0..4
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(df, threshold=0.98, dim=16, n_planes=12, n_bands=3).collect()
+    }
+    assert {(i, 100 + i) for i in range(5)} <= pairs, pairs
