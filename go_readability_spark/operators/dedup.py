@@ -149,6 +149,22 @@ def _minhash_fn_md5(s, k: int):
     ).cast("long")
 
 
+def _seeded_min(sh, hash_fn, k: int):
+    """min over shingles of hash_fn(shingle, k), with a SINGLE-parameter
+    lambda. NEVER write `lambda s, k=k: ...` inside F.transform: a
+    two-parameter callable makes PySpark bind the second parameter to the
+    ELEMENT INDEX column (overriding the default), which silently turned
+    every per-seed hash into the same index-seeded hash — all signature
+    components identical, collapsing 32-hash/8-band MinHash LSH into a
+    single-hash exact match (round-1 bug, caught by the md5 oracle twin
+    work in round 2)."""
+    return F.array_min(F.transform(sh, lambda s: hash_fn(s, k)))
+
+
+def _signature_expr(sh, num_hashes: int, hash_fn):
+    return F.array(*[_seeded_min(sh, hash_fn, k) for k in range(num_hashes)])
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,14 +177,9 @@ def minhash_signatures(
     sig[k] = min over shingles of hash_fn(k, shingle). One narrow pass,
     no shuffle (array ops per row over a staged shingle column)."""
     shingled = shingle_table(df, id_col, text_col, n)
-    sh = F.col("shingles")
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, k=k: hash_fn(s, k)))
-            for k in range(num_hashes)
-        ]
+    return shingled.select(
+        "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn).alias("signature")
     )
-    return shingled.select("id", sig.alias("signature"))
 
 
 def _band_bucket_xxhash64(band_str, b: int):
@@ -267,12 +278,17 @@ def _minhash_pairs_impl(
     df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn
 ) -> DataFrame:
     rows_per_band = num_hashes // num_bands
-    # materialize signatures once: the banding self-join references the
-    # signature plan on both sides (at 10^12 scale this is a checkpointed
-    # signatures table, not a cache)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn).persist()
+    # materialize the SHINGLE table once: it feeds the signatures AND both
+    # sides of the verification join — unpersisted, the tokenize+shingle
+    # pass (the pipeline's dominant per-row cost) would run three times.
+    # (At 10^12 scale both this and the signatures are checkpointed
+    # tables, not caches.)
+    shingled = shingle_table(df, id_col, text_col, n).persist()
+    # persist signatures too: the banding self-join references them twice
+    sigs = shingled.select(
+        "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn).alias("signature")
+    ).persist()
     candidates = minhash_lsh_candidates(sigs, num_bands, rows_per_band, bucket_fn)
-    shingled = shingle_table(df, id_col, text_col, n)
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -390,3 +390,23 @@ def test_cosine_near_pairs_finds_planted_near_dups(spark):
         for r in cosine_near_pairs(df, threshold=0.98, dim=16, n_planes=12, n_bands=3).collect()
     }
     assert {(i, 100 + i) for i in range(5)} <= pairs, pairs
+
+
+def test_minhash_signature_components_are_independent_hashes(spark):
+    """Regression for the index-binding lambda bug: a two-parameter lambda
+    inside F.transform receives the ELEMENT INDEX as its second argument
+    (PySpark arity dispatch), which silently made all num_hashes signature
+    components identical — collapsing LSH to a single-hash exact match."""
+    from go_readability_spark.operators.dedup import (
+        minhash_signatures,
+        _minhash_fn_md5,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    for fn in (None, _minhash_fn_md5):
+        kw = {} if fn is None else {"hash_fn": fn}
+        sig = minhash_signatures(df, num_hashes=16, **kw).collect()[0].signature
+        assert len(set(sig)) > 8, f"seeds not independent: {sig}"
