@@ -1,11 +1,16 @@
 """Command-line surface.
 
-Mirrors the reference CLI capabilities (cmd/go-readability/main.go:38-177:
-parse a file, -m metadata-only, -t text-only, -l check-readerable) plus the
-cluster job entrypoint used with spark-submit:
+Mirrors the reference CLI capabilities (cmd/go-readability/main.go:38-186:
+parse a file OR a URL, -m metadata-only, -t text-only, -l check-readerable,
+plus the HTTP-server mode) and adds the cluster job entrypoint used with
+spark-submit:
 
-  # single document (no Spark)
+  # single document (no Spark); source may be a file, '-' (stdin), or a URL
   python -m go_readability_spark parse page.html [--url U] [-m|-t|-l]
+  python -m go_readability_spark parse https://example.org/story [-m|-t]
+
+  # HTTP server (main.go:82-112: GET /?url=...&metadata=true&text=true)
+  python -m go_readability_spark serve --listen 127.0.0.1:8123
 
   # cluster batch job (spark-submit --py-files go_readability_spark.zip)
   python -m go_readability_spark extract \
@@ -20,9 +25,77 @@ import json
 import sys
 
 
+# mirror of the reference server's index form (main.go:19-36)
+_INDEX_HTML = """<!DOCTYPE HTML>
+<html>
+ <head>
+  <meta charset="utf-8">
+  <title>go-readability</title>
+ </head>
+ <body>
+ <form action="/" style="width:80%">
+  <fieldset>
+   <legend>Get readability content</legend>
+   <p><label for="url">URL </label><input type="url" name="url" style="width:90%"></p>
+   <p><input type="checkbox" name="text" value="true">text only</p>
+   <p><input type="checkbox" name="metadata" value="true">only get the page's metadata</p>
+  </fieldset>
+  <p><input type="submit"></p>
+ </form>
+ </body>
+</html>"""
+
+
+def _is_url(path: str) -> bool:
+    """main.go:179-186 validateURL: absolute http(s) URL with a host."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(path)
+    return bool(parts.scheme in ("http", "https") and parts.netloc)
+
+
+def _get_url_content(url: str, metadata_only: bool, text_only: bool) -> str:
+    """main.go:114-177 getContent for a URL source: fetch, gate on the
+    readerability Check (unreadable pages are an error, not empty output),
+    then emit content / text / the 5-key metadata JSON the reference
+    emits."""
+    from urllib.request import Request, urlopen
+
+    from .dom import parse_html
+    from .readability import Parser, check_document
+
+    req = Request(url, headers={"User-Agent": "go-readability-spark/0.1"})
+    with urlopen(req, timeout=30.0) as resp:  # noqa: S310 — explicit user call
+        data = resp.read()
+        final_url = resp.geturl()
+    doc = parse_html(data)
+    if not check_document(doc):
+        raise ValueError("failed to parse page: the page is not readable")
+    art = Parser().parse_document(doc, final_url)
+    if metadata_only:
+        return json.dumps(
+            {
+                "title": art.title, "byline": art.byline, "excerpt": art.excerpt,
+                "image": art.image, "favicon": art.favicon,
+            },
+            ensure_ascii=False, indent=4, sort_keys=True,
+        )
+    if text_only:
+        return art.text_content
+    return art.content
+
+
 def cmd_parse(args) -> int:
     from .dom import parse_html
     from .readability import Parser, check_document
+
+    if _is_url(args.file):
+        try:
+            print(_get_url_content(args.file, args.metadata_only, args.text_only))
+        except Exception as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
+        return 0
 
     try:
         data = sys.stdin.buffer.read() if args.file == "-" else open(args.file, "rb").read()
@@ -47,6 +120,73 @@ def cmd_parse(args) -> int:
         print(art.text_content)
     else:
         print(art.content)
+    return 0
+
+
+def make_http_server(listen: str):
+    """The reference's HTTP-server mode (main.go:82-112): GET / with no
+    `url` query serves the submission form; with `url=` it returns the
+    extracted content (or text/metadata per the query flags), 400 on any
+    fetch/parse failure."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlsplit
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlsplit(self.path).query)
+
+            def flag(name):
+                v = (q.get(name) or [""])[0].lower()
+                return v in ("true", "1", "t", "yes")
+
+            url = (q.get("url") or [""])[0]
+            if not url:
+                body = _INDEX_HTML.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            metadata_only, text_only = flag("metadata"), flag("text")
+            try:
+                content = _get_url_content(url, metadata_only, text_only)
+            except Exception as exc:
+                msg = f"{exc}".encode("utf-8")
+                self.send_response(400)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
+            ctype = (
+                "application/json" if metadata_only
+                else "text/plain; charset=utf-8" if text_only
+                else "text/html; charset=utf-8"
+            )
+            body = content.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    host, _, port = listen.rpartition(":")
+    return ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
+
+
+def cmd_serve(args) -> int:
+    server = make_http_server(args.listen)
+    print(f"Starting HTTP server at {args.listen}", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
     return 0
 
 
@@ -77,13 +217,18 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("parse", help="extract one document (no Spark)")
-    p.add_argument("file", help="HTML file path, or - for stdin")
+    p.add_argument("file", help="HTML file path, - for stdin, or an http(s) URL")
     p.add_argument("--url", default=None, help="page URL for link resolution")
     p.add_argument("-m", "--metadata-only", action="store_true")
     p.add_argument("-t", "--text-only", action="store_true")
     p.add_argument("-l", "--check-only", action="store_true",
                    help="print readerable check result only")
     p.set_defaults(fn=cmd_parse)
+
+    s = sub.add_parser("serve", help="HTTP extraction server (reference --http mode)")
+    s.add_argument("--listen", "-l", default="127.0.0.1:8123",
+                   help="address:port to listen on")
+    s.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("extract", help="Spark batch extraction job")
     e.add_argument("--input", required=True, help="pages parquet/Iceberg path")

@@ -16,6 +16,7 @@ from .multimodal import (  # noqa: F401
     extract_media_features,
     synth_media_dataframe,
 )
+from .png import decode_png, encode_png, is_png  # noqa: F401
 from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,

@@ -13,9 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 10, checkpoint_every: int = 5
+) -> DataFrame:
     """(id_a, id_b) pairs → (id, cluster_id) where cluster_id is the
-    minimum member id of the connected component. Deterministic."""
+    minimum member id of the connected component. Deterministic.
+
+    Every `checkpoint_every` rounds the label table is localCheckpoint-ed:
+    each iteration otherwise APPENDS a join+agg to the logical plan, and at
+    large graph sizes the growing lineage dominates planning time and
+    risks driver OOM on the plan tree itself (persist alone does not
+    truncate lineage). The per-round `changed` count is a driver action by
+    design — it is O(1) rows and is what terminates the loop early."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -31,7 +40,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         )
     ).persist()
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if checkpoint_every and it > 0 and it % checkpoint_every == 0:
+            ck = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = ck
         # propagate: new_label(v) = min(label(v), min over neighbors of label(n))
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary`
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no imaging/audio libraries in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which case
-a deterministic fake decoder (seeded by the content hash) exercises the
-real Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — end to end.
+Image decode is REAL for PNG (pure-stdlib codec in .png — zlib + struct;
+8-bit gray/RGB/RGBA/palette, all five filters). Other image formats and
+audio/video decode remain STUBBED (this container ships no imaging/audio
+library): `decode_image` raises NotImplementedError for them unless
+`fake=True`, in which case a deterministic fake decoder (seeded by the
+content hash) exercises the real Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — end to end.
 """
 
 from __future__ import annotations
@@ -23,11 +25,17 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes, fake: bool = False):
-    """Decode an image payload to (width, height, pixels). Real decoding
-    requires an imaging library that is not available here."""
+    """Decode an image payload to (width, height, pixels). PNG decodes for
+    real (stdlib codec); other formats need an imaging library this
+    container doesn't ship, so they stay stubbed behind fake=True."""
+    from .png import decode_png, is_png
+
+    if is_png(payload or b""):
+        w, h, px = decode_png(payload)
+        return w, h, px.tobytes()
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/cv2); "
+            "only PNG decodes without an imaging library (PIL/cv2); "
             "run with fake=True for the deterministic stub"
         )
     import hashlib

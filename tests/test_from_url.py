@@ -58,3 +58,64 @@ def test_from_url_content_type_gate(httpd):
 def test_from_url_invalid():
     with pytest.raises(ValueError, match="failed to parse URL"):
         from_url("not-a-url")
+
+
+# ------------------------------------------------ CLI URL source + server mode
+
+def test_cli_parse_url_source(httpd, capsys):
+    """main.go:114-135: the CLI accepts a URL as the source argument."""
+    import json
+
+    from go_readability_spark.cli import main
+
+    rc = main(["parse", f"{httpd}/page.html", "-m"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    meta = json.loads(out)
+    assert set(meta) == {"title", "byline", "excerpt", "image", "favicon"}
+    if fixture_cases():
+        assert meta["title"] == "Get your Frontend JavaScript Code Covered | Code"
+
+
+def test_cli_http_server_mode(httpd):
+    """main.go:82-112: GET / serves the form; ?url= extracts; metadata and
+    text flags switch payload + content type; bad upstream is a 400."""
+    import json
+    import threading
+    from urllib.error import HTTPError
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from go_readability_spark.cli import make_http_server
+
+    server = make_http_server("127.0.0.1:0")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urlopen(base) as r:
+            assert "Get readability content" in r.read().decode()
+
+        page = quote(f"{httpd}/page.html", safe="")
+        with urlopen(f"{base}/?url={page}&metadata=true") as r:
+            assert r.headers.get("Content-Type") == "application/json"
+            meta = json.loads(r.read().decode())
+            assert set(meta) == {"title", "byline", "excerpt", "image", "favicon"}
+
+        with urlopen(f"{base}/?url={page}&text=true") as r:
+            assert r.headers.get("Content-Type", "").startswith("text/plain")
+            assert len(r.read()) > 200
+
+        with urlopen(f"{base}/?url={page}") as r:
+            body = r.read().decode()
+            assert body.lstrip().startswith("<")
+
+        try:
+            urlopen(f"{base}/?url={quote(f'{httpd}/missing.html', safe='')}")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

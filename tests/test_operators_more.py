@@ -410,3 +410,20 @@ def test_minhash_signature_components_are_independent_hashes(spark):
         kw = {} if fn is None else {"hash_fn": fn}
         sig = minhash_signatures(df, num_hashes=16, **kw).collect()[0].signature
         assert len(set(sig)) > 8, f"seeds not independent: {sig}"
+
+
+def test_duplicate_clusters_checkpoint_bounds_plan_depth(spark):
+    """A long chain (diameter 12) forces many propagation rounds; with
+    checkpointing every 2 rounds the result must still be exact and the
+    final plan must not contain the full join lineage."""
+    from go_readability_spark.operators import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    out = duplicate_clusters(df, max_iterations=20, checkpoint_every=2)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(13)}
+    # lineage truncated: the plan bottoms out at the checkpointed RDD
+    # instead of the full 11-round join chain
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan, plan
