@@ -294,13 +294,87 @@ _ISO_RX = re.compile(
 )
 
 
+_DIGITS_RX = re.compile(r"^\d+$")
+# trailing zone NAME after an explicit numeric offset (Go time.String()
+# emits e.g. "2012-08-03 18:31:59 +0000 UTC"); also "(CEST)" comments
+_OFFSET_THEN_NAME_RX = re.compile(r"([+-]\d{2}:?\d{2})\s+[A-Z]{2,5}$")
+_PAREN_ZONE_RX = re.compile(r"\s*\([A-Za-z]{2,5}\)$")
+# "PST-08" / "GMT+05:30": abbreviation glued to an explicit offset — the
+# offset wins (dateparse semantics); normalize to "±HH:MM"
+_ABBR_OFFSET_RX = re.compile(r"\b[A-Z]{2,5}([+-])(\d{1,2})(?::?(\d{2}))?$")
+_CJK_DATE_RX = re.compile(r"^(\d{4})年(\d{1,2})月(\d{1,2})日?(.*)$")
+# two-digit year at the end of a slash/dot/dash numeric date
+_YY_TAIL_RX = re.compile(r"^(\d{1,2}([/.\-])\d{1,2}\2)(\d{2})(\s|$)")
+
+
+def _epoch_to_datetime(s: str):
+    """All-digit strings: calendar forms first (yyyymmdd,
+    yyyymmddhhmmss), then unix epochs by magnitude (sec/ms/us/ns) —
+    araddon/dateparse ParseAny's digit handling."""
+    from datetime import timezone as _tz
+
+    n = len(s)
+    if n == 8:  # yyyymmdd
+        try:
+            return datetime(int(s[:4]), int(s[4:6]), int(s[6:8]))
+        except ValueError:
+            return None
+    if n == 14:  # yyyymmddhhmmss
+        try:
+            return datetime(
+                int(s[:4]), int(s[4:6]), int(s[6:8]),
+                int(s[8:10]), int(s[10:12]), int(s[12:14]),
+            )
+        except ValueError:
+            return None
+    if n in (10, 13, 16, 19):
+        v = int(s)
+        scale = {10: 1, 13: 10**3, 16: 10**6, 19: 10**9}[n]
+        try:
+            return datetime.fromtimestamp(v // scale, tz=_tz.utc).replace(
+                microsecond=int(v % scale * (10**6 // scale)) if scale > 1 else 0
+            )
+        except (ValueError, OSError, OverflowError):
+            return None
+    return None
+
+
+def _normalize_date_string(s: str) -> str:
+    m = _CJK_DATE_RX.match(s)
+    if m:
+        s = f"{m.group(1)}-{m.group(2)}-{m.group(3)}{m.group(4)}".strip()
+    # "September 17, 2012 at 10:09am" -> drop the connective
+    s = re.sub(r"\bat\b", " ", s)
+    s = _PAREN_ZONE_RX.sub("", s.strip())
+    m = _OFFSET_THEN_NAME_RX.search(s)
+    if m:
+        s = s[: m.end(1)]
+    m = _ABBR_OFFSET_RX.search(s)
+    if m:
+        sign, hh, mm = m.group(1), int(m.group(2)), m.group(3) or "00"
+        s = f"{s[:m.start()]}{sign}{hh:02d}:{mm}"
+    # Go's two-digit-year rule (time.Parse): 69-99 -> 19xx, 00-68 -> 20xx.
+    # dateutil instead windows around the current year ('71 -> 2071).
+    m = _YY_TAIL_RX.match(s)
+    if m:
+        yy = int(m.group(3))
+        full = 1900 + yy if yy >= 69 else 2000 + yy
+        s = f"{m.group(1)}{full}{s[m.end(3):]}"
+    return re.sub(r"\s+", " ", s).strip()
+
+
 def parse_date(date_str: str):
-    """Emulation of araddon/dateparse.ParseAny for the formats seen in the
-    fixture corpus (`/root/reference/parser-parse.go:149-156`). Returns a
-    datetime or None."""
+    """Emulation of araddon/dateparse.ParseAny
+    (`/root/reference/parser-parse.go:149-156`): ISO fast-path, calendar/
+    epoch digit strings, then dateutil over a normalized string with Go's
+    conventions (two-digit-year century rule; unknown zone abbreviations
+    mean offset ZERO, exactly like Go time.Parse, so instants compare
+    equal to the reference). Returns a datetime or None."""
     if not date_str:
         return None
     s = date_str.strip()
+    if _DIGITS_RX.match(s):
+        return _epoch_to_datetime(s)
     m = _ISO_RX.match(s)
     if m:
         try:
@@ -323,9 +397,21 @@ def parse_date(date_str: str):
             return datetime(y, mo, d, hh, mm, ss, micro, tzinfo=tz)
         except ValueError:
             return None
+    s = _normalize_date_string(s)
+    m = _ISO_RX.match(s)  # normalization may have produced ISO (CJK dates)
+    if m:
+        return parse_date(s) if s != date_str.strip() else None
     try:
         from dateutil import parser as _du
 
-        return _du.parse(s, fuzzy=False)
+        # unknown zone abbreviations resolve to offset 0 — Go time.Parse
+        # attaches a zero-offset FixedZone for names it can't load, and the
+        # reference compares instants (parser_test.go:101-107)
+        def _tzinfos(name, offset):
+            if offset is not None:
+                return offset
+            return 0 if name else None  # unnamed/absent zone stays naive
+
+        return _du.parse(s, fuzzy=False, tzinfos=_tzinfos)
     except Exception:
         return None
