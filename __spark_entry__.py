@@ -253,6 +253,21 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: spherical k-means index (an explicit
+    build step — the training jobs are the index build, not plan
+    construction) + nprobe-bucket probe. Rows-only check (float scores
+    aren't engine-portable); exactness is pinned by the pytest invariant
+    ivf_topk(nprobe=k) == brute_force_topk."""
+    _ship_package(spark)
+    from go_readability_spark.operators import ivf_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, dim=64, k=8, iterations=2, seed=42)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=3)
+
+
 def _q_resume_antijoin(spark, sf_dir):
     """The checkpoint-resume anti-join pattern on the TPC-H tables."""
     _ship_package(spark)
@@ -347,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "resume_antijoin": _q_resume_antijoin,

@@ -17,6 +17,7 @@ from .multimodal import (  # noqa: F401
     synth_media_dataframe,
 )
 from .png import decode_png, encode_png, is_png  # noqa: F401
+from .ivf import assign_buckets, ivf_topk, train_ivf_centroids  # noqa: F401
 from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,

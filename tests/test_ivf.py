@@ -1,0 +1,72 @@
+"""IVF ANN: deterministic training, the nprobe==k exactness invariant,
+planted near-dup recall, and plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_readability_spark.operators import (
+    assign_buckets,
+    brute_force_topk,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return train_ivf_centroids(emb, dim=64, k=8, iterations=2, seed=42)
+
+
+def test_training_is_deterministic_and_normalized(spark, emb, centroids):
+    again = train_ivf_centroids(emb, dim=64, k=8, iterations=2, seed=42)
+    assert centroids == again
+    norms = np.linalg.norm(np.array(centroids), axis=1)
+    assert np.allclose(norms, 1.0)
+
+
+def test_every_vector_gets_exactly_one_bucket(spark, emb, centroids):
+    assigned = assign_buckets(emb, centroids)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.where((F.col("bucket") < 0) | (F.col("bucket") >= 8)).count() == 0
+    # buckets actually partition the data (not everything in one cell)
+    assert assigned.select("bucket").distinct().count() > 1
+
+
+def test_full_probe_equals_brute_force(spark, emb, centroids):
+    """nprobe == k covers every bucket: IVF must return EXACTLY the
+    brute-force ranking (same tie-breaking)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id, r.rank)
+           for r in ivf_topk(emb, queries, centroids, k=5, nprobe=8).collect()}
+    assert ivf == exact
+
+
+def test_planted_near_dup_recall(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(400, 24)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    rows += [(1000 + i, [float(x) for x in base[i] + 0.02 * rng.randn(24)])
+             for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, dim=24, k=16, iterations=3, seed=7)
+    qs = df.where(F.col("vec_id") >= 1000)
+    hits = {r.query_id: r.neighbor_id
+            for r in ivf_topk(df, qs, cents, k=1, nprobe=3).collect()}
+    found = sum(1 for i in range(25) if hits.get(1000 + i) == i)
+    assert found >= 23, f"planted recall {found}/25"
+
+
+def test_probe_plan_broadcasts_queries_not_base(spark, emb, centroids):
+    queries = emb.where(F.col("vec_id") < 3)
+    df = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
