@@ -342,7 +342,10 @@ def _epoch_to_datetime(s: str):
 def _normalize_date_string(s: str) -> str:
     m = _CJK_DATE_RX.match(s)
     if m:
-        s = f"{m.group(1)}-{m.group(2)}-{m.group(3)}{m.group(4)}".strip()
+        s = (
+            f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
+            f"{m.group(4)}"
+        ).strip()
     # "September 17, 2012 at 10:09am" -> drop the connective
     s = re.sub(r"\bat\b", " ", s)
     s = _PAREN_ZONE_RX.sub("", s.strip())

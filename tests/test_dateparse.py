@@ -60,6 +60,7 @@ TABLE = [
     ("2015-02-18 00:12:00 +0000 GMT", (2015, 2, 18, 0, 12, 0), 0),
     # CJK dates
     ("2014年04月08日", (2014, 4, 8), None),
+    ("2014年4月8日", (2014, 4, 8), None),
     # ANSIC / RFC822 / RFC1123 variants
     ("Mon Jan  2 15:04:05 2006", (2006, 1, 2, 15, 4, 5), None),
     ("Mon Jan 02 15:04:05 -0700 2006", (2006, 1, 2, 15, 4, 5), -420),
