@@ -427,3 +427,39 @@ def test_duplicate_clusters_checkpoint_bounds_plan_depth(spark):
     # instead of the full 11-round join chain
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" in plan, plan
+
+
+def test_streaming_simhash_near_dedup(spark, tmp_path):
+    """Cross-micro-batch NEAR-dup suppression: a lightly mutated copy of a
+    batch-1 document arriving in batch 2 must be dropped, distinct docs
+    must survive, and the exact copy of a near-dup follows its original."""
+    import pandas as pd
+
+    from go_readability_spark.streaming import run_near_dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while birds sing softly in the morning light today")
+    words = base.split()
+    near = " ".join(words[:-1] + ["tonight"])  # 1-word mutation
+    other = ("completely different article text about spark physical plans "
+             "and shuffle boundaries with adaptive execution at scale")
+
+    src = str(tmp_path / "near_stream")
+    b1 = pd.DataFrame({"url": ["u1", "u2"], "text": [base, other]})
+    b2 = pd.DataFrame({"url": ["u3", "u4"], "text": [near, other + " extra"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "near_out")
+    q = run_near_dedup_stream(stream, out, str(tmp_path / "near_ck"), max_hamming=8)
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "u1" in got and "u2" in got
+    assert "u3" not in got, f"near-duplicate u3 not suppressed: {got}"
+    # u4 is 'other' + extra word -> near-dup of u2 across batches
+    assert "u4" not in got, got
