@@ -206,6 +206,7 @@ def cmd_extract(args) -> int:
             num_partitions=args.partitions,
             resume=not args.no_resume,
             verify_output=not args.no_verify_output,
+            partition_by=tuple(args.partition_by.split(",")) if args.partition_by else None,
         )
     finally:
         spark.stop()
@@ -238,6 +239,8 @@ def main(argv=None) -> int:
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--master", default=None, help="override spark master")
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--partition-by", default=None,
+                   help="comma-separated output partition columns (e.g. lang)")
     e.add_argument("--no-verify-output", action="store_true",
                    help="trust checkpoint rows without verifying the output "
                         "(unsafe if a prior run died mid-commit)")

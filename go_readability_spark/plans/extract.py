@@ -252,8 +252,14 @@ def run_extraction_job(
     num_partitions: int | None = None,
     resume: bool = True,
     verify_output: bool = True,
+    partition_by: tuple[str, ...] | None = None,
 ) -> None:
     """Batch job: extract and append to a parquet (or Iceberg) articles table.
+
+    `partition_by` (e.g. ("lang",)) hive-partitions the output — at 100 TB
+    the downstream curation filters (language, crawl slice) then prune
+    whole directories instead of scanning; resume verification reads the
+    partitioned layout transparently.
 
     Resume verifies buckets against the actual output by default: the
     checkpoint lineage rows are written by the task OUTSIDE Spark's
@@ -268,4 +274,7 @@ def run_extraction_job(
         resume=resume,
         verify_output_dir=output_dir if verify_output else None,
     )
-    articles.write.mode("append").parquet(output_dir)
+    writer = articles.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(output_dir)

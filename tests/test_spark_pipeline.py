@@ -212,3 +212,27 @@ def test_extraction_partitioning_invariance(spark):
         for r in extract_pages(pages, n_buckets=512, num_partitions=16).collect()
     }
     assert a == b
+
+
+def test_partitioned_output_and_resume(spark, tmp_path):
+    """partition_by hive-partitions the articles table; resume verification
+    reads the partitioned layout and a rerun stays idempotent."""
+    import os
+
+    from go_readability_spark.plans import run_extraction_job
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    pages = spark.createDataFrame(synth_corpus_rows(12, seed=31, skew=False),
+                                  schema=PAGES_SCHEMA)
+    out = str(tmp_path / "articles_part")
+    ck = str(tmp_path / "ck_part")
+    run_extraction_job(pages, out, checkpoint_dir=ck, n_buckets=8,
+                       num_partitions=4, partition_by=("lang",))
+    assert any(d.startswith("lang=") for d in os.listdir(out)), os.listdir(out)
+    first = spark.read.parquet(out)
+    assert first.count() == 12 and "lang" in first.columns
+    # idempotent resume against the partitioned layout
+    run_extraction_job(pages, out, checkpoint_dir=ck, n_buckets=8,
+                       num_partitions=4, partition_by=("lang",))
+    assert spark.read.parquet(out).count() == 12
