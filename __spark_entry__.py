@@ -253,6 +253,29 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_near_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (ids only — membership
+    at a threshold is engine-portable, float scores are not)."""
+    _ship_package(spark)
+    from go_readability_spark.operators import cosine_near_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_pairs_exact(emb, threshold=0.35)
+
+
+def _q_embedding_near_pairs_lsh(spark, sf_dir):
+    """Scale path for the same question: multi-band hyperplane LSH
+    bucketing, rows-only (recall < 1 by design; the exact twin above is
+    the hash-verified baseline)."""
+    _ship_package(spark)
+    from go_readability_spark.operators import cosine_near_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(
+        emb, threshold=0.35, dim=64, n_planes=16, n_bands=4
+    ).select("id_a", "id_b")
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: spherical k-means index (an explicit
     build step — the training jobs are the index build, not plan
@@ -363,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_near_pairs": _q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "resume_antijoin": _q_resume_antijoin,
@@ -650,6 +675,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

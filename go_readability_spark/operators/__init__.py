@@ -22,6 +22,7 @@ from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: 
 from .similarity import (  # noqa: F401
     brute_force_topk,
     cosine_near_pairs,
+    cosine_near_pairs_exact,
     lsh_bucketed_topk,
     with_unit_vectors,
 )

@@ -173,6 +173,27 @@ def lsh_bucketed_topk(
     )
 
 
+def cosine_near_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: all-pairs scoring,
+    ids-only output (float scores are not engine-portable; membership at a
+    threshold is). O(n²) — the correctness baseline the LSH variant is
+    judged against, and the right tool for bounded candidate corpora
+    (e.g. within-cluster verification)."""
+    base = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("score", _dot(F.col("a.unit_vec"), F.col("b.unit_vec")))
+        .where(F.col("score") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.9,
