@@ -182,6 +182,19 @@ def _q_text_features(spark, sf_dir):
     )
 
 
+def _q_repetition_filters(spark, sf_dir):
+    """Gopher/C4-style repetition + quality gate metrics per document."""
+    _ship_package(spark)
+    from go_readability_spark.functions.quality_filters import gopher_quality_gate
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_gate(docs, "text").select(
+        "doc_id", "dup_line_frac", "dup_para_frac", "top_bigram_frac",
+        "symbol_word_ratio", "mean_word_len", "bullet_line_frac",
+        "ellipsis_line_frac", "gopher_pass",
+    )
+
+
 def _q_exact_dup_groups(spark, sf_dir):
     _ship_package(spark)
     docs = _read(spark, sf_dir, "documents")
@@ -377,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": _q_tpch_q3_like,
         "text_features": _q_text_features,
         "exact_dup_groups": _q_exact_dup_groups,
+        "repetition_filters": _q_repetition_filters,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -573,6 +587,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
             HAVING count(*) > 1
+        """,
+        "repetition_filters": f"""
+            WITH staged AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS l,
+                       list_filter(string_split_regex(text, '\\n{{2,}}'), x -> trim(x) != '') AS p
+                FROM documents
+            ),
+            bg AS (
+                SELECT *, CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                               ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgrams
+                FROM staged
+            )
+            SELECT doc_id,
+                   CASE WHEN len(l) = 0 THEN 0.0
+                        ELSE round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6) END AS dup_line_frac,
+                   CASE WHEN len(p) = 0 THEN 0.0
+                        ELSE round((len(p) - len(list_distinct(p))) / CAST(len(p) AS DOUBLE), 6) END AS dup_para_frac,
+                   round(CASE WHEN len(bgrams) = 0 THEN 0.0
+                        ELSE list_max(list_transform(list_distinct(bgrams),
+                                 g -> len(list_filter(bgrams, x -> x = g))))
+                             / CAST(len(bgrams) AS DOUBLE) END, 6) AS top_bigram_frac,
+                   CASE WHEN len(w) = 0 THEN 0.0
+                        ELSE round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                             / CAST(len(w) AS DOUBLE), 6) END AS symbol_word_ratio,
+                   CASE WHEN len(w) = 0 THEN 0.0
+                        ELSE round(list_sum(list_transform(w, x -> length(x)))
+                             / CAST(len(w) AS DOUBLE), 6) END AS mean_word_len,
+                   CASE WHEN len(l) = 0 THEN 0.0
+                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '^\\s*([-*•‣▪])')))
+                             / CAST(len(l) AS DOUBLE), 6) END AS bullet_line_frac,
+                   CASE WHEN len(l) = 0 THEN 0.0
+                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                             / CAST(len(l) AS DOUBLE), 6) END AS ellipsis_line_frac,
+                   (
+                     {_WS_TOKENS} BETWEEN 50 AND 100000
+                     AND (CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 6) END)
+                         BETWEEN 3.0 AND 10.0
+                     AND (CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / CAST(len(w) AS DOUBLE), 6) END) < 0.1
+                     AND (CASE WHEN len(l) = 0 THEN 0.0
+                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '^\\s*([-*•‣▪])'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.9
+                     AND (CASE WHEN len(l) = 0 THEN 0.0
+                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.3
+                     AND (CASE WHEN len(l) = 0 THEN 0.0
+                          ELSE round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6) END) < 0.3
+                     AND (CASE WHEN len(p) = 0 THEN 0.0
+                          ELSE round((len(p) - len(list_distinct(p))) / CAST(len(p) AS DOUBLE), 6) END) < 0.3
+                     AND (round(CASE WHEN len(bgrams) = 0 THEN 0.0
+                          ELSE list_max(list_transform(list_distinct(bgrams),
+                                   g -> len(list_filter(bgrams, x -> x = g))))
+                               / CAST(len(bgrams) AS DOUBLE) END, 6)) < 0.2
+                   ) AS gopher_pass
+            FROM bg
         """,
         "ngram_jaccard": f"""
             WITH {_JACCARD_CTES}

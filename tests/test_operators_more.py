@@ -463,3 +463,33 @@ def test_streaming_simhash_near_dedup(spark, tmp_path):
     assert "u3" not in got, f"near-duplicate u3 not suppressed: {got}"
     # u4 is 'other' + extra word -> near-dup of u2 across batches
     assert "u4" not in got, got
+
+
+def test_gopher_quality_gate_behavior(spark):
+    """Crafted docs: clean prose passes; line-repetition, bigram loops,
+    bullet walls, and symbol spam each trip their specific filter."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.functions.quality_filters import gopher_quality_gate
+
+    prose = " ".join(
+        f"sentence {i} about spark pipelines and their shuffle behaviour today"
+        for i in range(10)
+    )
+    repeated_lines = "\n".join(["the same navigation line appears here"] * 20)
+    bigram_loop = " ".join(["click here"] * 60)
+    bullets = "\n".join([f"- item {i} in the menu" for i in range(30)])
+    symbols = " ".join(["word ### ..."] * 40)
+
+    rows = [
+        (1, prose), (2, repeated_lines), (3, bigram_loop),
+        (4, bullets), (5, symbols),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_gate(df, "text").collect()}
+
+    assert out[1].gopher_pass, out[1]
+    assert not out[2].gopher_pass and out[2].dup_line_frac > 0.9
+    assert not out[3].gopher_pass and out[3].top_bigram_frac > 0.4
+    assert not out[4].gopher_pass and out[4].bullet_line_frac == 1.0
+    assert not out[5].gopher_pass and out[5].symbol_word_ratio >= 0.5
