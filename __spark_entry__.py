@@ -182,6 +182,27 @@ def _q_text_features(spark, sf_dir):
     )
 
 
+_MESSY_URL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'HTTPS://Docs.Example.org:443/' || CAST(doc_id AS STRING) || '.html?utm_source=x&b=2&a=1#s' "
+    "WHEN 1 THEN 'https://docs.example.org/' || CAST(doc_id AS STRING) || '.html?a=1&b=2' "
+    "WHEN 2 THEN 'http://Mirror.example.NET:80/m/' || CAST(doc_id AS STRING) || '?gclid=z' "
+    "ELSE 'http://mirror.example.net/m/' || CAST(doc_id AS STRING) || '/' END"
+)
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization over deterministically-messy urls (case,
+    default ports, fragments, tracking params, shuffled query order)."""
+    _ship_package(spark)
+    from go_readability_spark.functions.urls import with_canonical_url
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_URL).alias("url")
+    )
+    return with_canonical_url(docs, "url").select("doc_id", "url", "canonical_url")
+
+
 def _q_repetition_filters(spark, sf_dir):
     """Gopher/C4-style repetition + quality gate metrics per document."""
     _ship_package(spark)
@@ -391,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "exact_dup_groups": _q_exact_dup_groups,
         "repetition_filters": _q_repetition_filters,
+        "url_canonical": _q_url_canonical,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -643,6 +665,44 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(len(bgrams) AS DOUBLE) END, 6)) < 0.2
                    ) AS gopher_pass
             FROM bg
+        """,
+        "url_canonical": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN 'HTTPS://Docs.Example.org:443/' || CAST(doc_id AS VARCHAR) || '.html?utm_source=x&b=2&a=1#s'
+                            WHEN 1 THEN 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html?a=1&b=2'
+                            WHEN 2 THEN 'http://Mirror.example.NET:80/m/' || CAST(doc_id AS VARCHAR) || '?gclid=z'
+                            ELSE 'http://mirror.example.net/m/' || CAST(doc_id AS VARCHAR) || '/' END AS url
+                FROM documents
+            ),
+            nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS _nf FROM u),
+            au AS (SELECT *, regexp_extract(_nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS _auth FROM nf),
+            a2 AS (
+                SELECT *,
+                       CASE WHEN lower(_auth) LIKE 'http://%' AND lower(_auth) LIKE '%:80'
+                                 THEN substring(lower(_auth), 1, length(_auth) - 3)
+                            WHEN lower(_auth) LIKE 'https://%' AND lower(_auth) LIKE '%:443'
+                                 THEN substring(lower(_auth), 1, length(_auth) - 4)
+                            ELSE lower(_auth) END AS _a,
+                       substring(_nf, length(_auth) + 1) AS _t
+                FROM au
+            ),
+            pq AS (
+                SELECT *,
+                       CASE WHEN instr(_t, '?') = 0 THEN _t ELSE substring(_t, 1, instr(_t, '?') - 1) END AS _p,
+                       CASE WHEN instr(_t, '?') = 0 THEN '' ELSE substring(_t, instr(_t, '?') + 1) END AS _q0
+                FROM a2
+            ),
+            kq AS (
+                SELECT *,
+                       coalesce(array_to_string(list_sort(list_filter(string_split(_q0, '&'),
+                           x -> x != '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid)(=|$)'))), '&'), '') AS _q
+                FROM pq
+            )
+            SELECT doc_id, url,
+                   CASE WHEN _q = '' THEN _a || _p ELSE _a || _p || '?' || _q END AS canonical_url
+            FROM kq
         """,
         "ngram_jaccard": f"""
             WITH {_JACCARD_CTES}

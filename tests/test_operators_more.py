@@ -493,3 +493,22 @@ def test_gopher_quality_gate_behavior(spark):
     assert not out[3].gopher_pass and out[3].top_bigram_frac > 0.4
     assert not out[4].gopher_pass and out[4].bullet_line_frac == 1.0
     assert not out[5].gopher_pass and out[5].symbol_word_ratio >= 0.5
+
+
+def test_canonical_url_normalization(spark):
+    from go_readability_spark.functions.urls import with_canonical_url
+
+    rows = [
+        (1, "HTTPS://Docs.Example.org:443/a/b.html?utm_source=x&b=2&a=1#frag"),
+        (2, "https://docs.example.org/a/b.html?a=1&b=2"),
+        (3, "http://Host.com:80/path?fbclid=abc"),
+        (4, "http://host.com/path"),
+        (5, "https://x.org:8443/p?a=1"),   # non-default port survives
+        (6, "ftp://Weird.org:21/file"),    # other schemes: case-only change
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r.canonical_url for r in with_canonical_url(df).collect()}
+    assert out[1] == out[2] == "https://docs.example.org/a/b.html?a=1&b=2"
+    assert out[3] == out[4] == "http://host.com/path"
+    assert out[5] == "https://x.org:8443/p?a=1"
+    assert out[6] == "ftp://weird.org:21/file"
