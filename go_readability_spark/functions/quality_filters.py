@@ -4,24 +4,95 @@ extraction and tokenization — public heuristics from the Gopher (Rae et
 al. 2021, arXiv:2112.11446 Appendix A) and C4 (Raffel et al. 2020) data
 pipelines).
 
-Everything is JVM-side column expressions over STAGED array columns
-(lines/words staged once; Catalyst does not CSE into HOF lambdas), with
-exact DuckDB twins in __spark_entry__ — keep the two in sync. All metrics
-are deterministic and guard the empty-document cases the oracle sees.
+Every metric is ONE self-contained JVM expression whose intermediate
+arrays (words / lines / paragraphs / bigrams) are bound as higher-order-
+function lambda variables. The binding matters: a staged column referenced
+several times gets re-substituted by CollapseProject/predicate-pushdown,
+and an array rebuilt INSIDE a per-element lambda turns the top-bigram
+metric into an O(grams x words) re-tokenization per row — measured as a
+multi-minute hang on 60 synthetic documents when the gate predicate was
+pushed through the staging projection. A lambda-bound value is materialized
+exactly once per row no matter where the optimizer moves the expression.
+
+DuckDB twins live in __spark_entry__ — keep the formulas in sync.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Gopher-style symbols: hash marks and ellipses stand in for boilerplate
-SYMBOL_PATTERN = r"#|\.\.\.|…"
-BULLET_PREFIX_PATTERN = r"^\s*([-*•‣▪])"
-ELLIPSIS_SUFFIX_PATTERN = r"(\.\.\.|…)\s*$"
+SYMBOL_PATTERN = "#|\\\\.\\\\.\\\\.|…"
+BULLET_PREFIX_PATTERN = "^\\\\s*([-*•‣▪])"
+ELLIPSIS_SUFFIX_PATTERN = "(\\\\.\\\\.\\\\.|…)\\\\s*$"
+
+_ZERO = "cast(0.0 as double)"
 
 
-def _nonempty(arr: Column) -> Column:
-    return F.filter(arr, lambda x: F.trim(x) != "")
+def _arrays_sql(text_col: str) -> str:
+    """named_struct('w', words, 'l', lines, 'p', paragraphs)."""
+    return (
+        f"named_struct("
+        f"'w', filter(split(trim({text_col}), '\\\\s+'), x -> x != ''), "
+        f"'l', filter(split({text_col}, '\\\\n'), x -> trim(x) != ''), "
+        f"'p', filter(split({text_col}, '\\\\n{{2,}}'), x -> trim(x) != ''))"
+    )
+
+
+_BIGRAMS = (
+    "CASE WHEN size(s.w) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(s.w) - 1), "
+    "     i -> concat(element_at(s.w, i), ' ', element_at(s.w, i + 1))) END"
+)
+
+
+def _bound(text_col: str, inner: str) -> Column:
+    """Evaluate `inner` with s = the arrays struct and bg = the bigram
+    array, each bound ONCE per row via single-element-array transforms."""
+    return F.expr(
+        f"element_at(transform(array({_arrays_sql(text_col)}), "
+        f"s -> element_at(transform(array({_BIGRAMS}), bg -> {inner}), 1)), 1)"
+    )
+
+
+def _dup_frac(arr: str) -> str:
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN {_ZERO} "
+        f"ELSE round((size({arr}) - size(array_distinct({arr}))) "
+        f"     / cast(size({arr}) as double), 6) END"
+    )
+
+
+def _line_frac(pattern: str) -> str:
+    return (
+        f"CASE WHEN size(s.l) = 0 THEN {_ZERO} "
+        f"ELSE round(size(filter(s.l, x -> x rlike '{pattern}')) "
+        f"     / cast(size(s.l) as double), 6) END"
+    )
+
+
+def _metric_sqls(text_col: str) -> dict[str, str]:
+    return {
+        "dup_line_frac": _dup_frac("s.l"),
+        "dup_para_frac": _dup_frac("s.p"),
+        "top_bigram_frac": (
+            f"round(CASE WHEN size(bg) = 0 THEN {_ZERO} "
+            f"ELSE array_max(transform(array_distinct(bg), "
+            f"     g -> size(filter(bg, x -> x = g)))) "
+            f"     / cast(size(bg) as double) END, 6)"
+        ),
+        "symbol_word_ratio": (
+            f"CASE WHEN size(s.w) = 0 THEN {_ZERO} "
+            f"ELSE round(size(regexp_extract_all({text_col}, '{SYMBOL_PATTERN}', 0)) "
+            f"     / cast(size(s.w) as double), 6) END"
+        ),
+        "mean_word_len": (
+            f"CASE WHEN size(s.w) = 0 THEN {_ZERO} "
+            f"ELSE round(aggregate(s.w, cast(0 as bigint), (a, x) -> a + length(x)) "
+            f"     / cast(size(s.w) as double), 6) END"
+        ),
+        "bullet_line_frac": _line_frac(BULLET_PREFIX_PATTERN),
+        "ellipsis_line_frac": _line_frac(ELLIPSIS_SUFFIX_PATTERN),
+    }
 
 
 def with_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -38,91 +109,34 @@ def with_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     * bullet_line_frac    — lines starting with a bullet glyph
     * ellipsis_line_frac  — lines ending with an ellipsis
     """
-    txt = F.col(text_col)
-    words = F.expr(
-        f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
-    )
-    lines = _nonempty(F.split(txt, "\n"))
-    paras = _nonempty(F.split(txt, r"\n{2,}"))
+    out = df
+    for name, sql in _metric_sqls(text_col).items():
+        out = out.withColumn(name, _bound(text_col, sql))
+    return out
 
-    staged = df.withColumn("_w", words).withColumn("_l", lines).withColumn("_p", paras)
 
-    def dup_frac(arr_name: str) -> Column:
-        n = F.size(F.col(arr_name))
-        nd = F.size(F.array_distinct(F.col(arr_name)))
-        return F.when(n == 0, F.lit(0.0)).otherwise(
-            F.round((n - nd) / n.cast("double"), 6)
-        )
-
-    # word bigrams WITH multiplicity (repetition is the signal)
-    bigrams = F.expr(
-        "CASE WHEN size(_w) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(_w) - 1), "
-        "     i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) END"
+def gopher_pass_expr(text_col: str = "text") -> Column:
+    """The combined Gopher Appendix-A style keep rule as ONE self-contained
+    boolean expression (safe to use directly in a filter): word count
+    50-100k, mean word length 3-10, symbol ratio < 0.1, bullet lines < 90%,
+    ellipsis lines < 30%, duplicate lines < 30%, duplicate paragraphs
+    < 30%, top bigram < 20%."""
+    m = _metric_sqls(text_col)
+    rule = (
+        f"size(s.w) BETWEEN 50 AND 100000"
+        f" AND ({m['mean_word_len']}) BETWEEN 3.0 AND 10.0"
+        f" AND ({m['symbol_word_ratio']}) < 0.1"
+        f" AND ({m['bullet_line_frac']}) < 0.9"
+        f" AND ({m['ellipsis_line_frac']}) < 0.3"
+        f" AND ({m['dup_line_frac']}) < 0.3"
+        f" AND ({m['dup_para_frac']}) < 0.3"
+        f" AND ({m['top_bigram_frac']}) < 0.2"
     )
-    staged = staged.withColumn("_bg", bigrams)
-    top_bigram = F.expr(
-        "CASE WHEN size(_bg) = 0 THEN cast(0.0 as double) ELSE "
-        "array_max(transform(array_distinct(_bg), "
-        "  g -> size(filter(_bg, x -> x = g)))) / cast(size(_bg) as double) END"
-    )
-
-    n_words = F.size(F.col("_w"))
-    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.size(F.regexp_extract_all(txt, F.lit(SYMBOL_PATTERN), F.lit(0)))
-            / n_words.cast("double"),
-            6,
-        )
-    )
-    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.aggregate(
-                F.col("_w"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-            )
-            / n_words.cast("double"),
-            6,
-        )
-    )
-    n_lines = F.size(F.col("_l"))
-
-    def line_frac(pattern: str) -> Column:
-        hits = F.size(
-            F.filter(F.col("_l"), lambda l: l.rlike(pattern))
-        )
-        return F.when(n_lines == 0, F.lit(0.0)).otherwise(
-            F.round(hits / n_lines.cast("double"), 6)
-        )
-
-    return (
-        staged.withColumn("dup_line_frac", dup_frac("_l"))
-        .withColumn("dup_para_frac", dup_frac("_p"))
-        .withColumn("top_bigram_frac", F.round(top_bigram, 6))
-        .withColumn("symbol_word_ratio", symbol_ratio)
-        .withColumn("mean_word_len", mean_word_len)
-        .withColumn("bullet_line_frac", line_frac(BULLET_PREFIX_PATTERN))
-        .withColumn("ellipsis_line_frac", line_frac(ELLIPSIS_SUFFIX_PATTERN))
-        .drop("_w", "_l", "_p", "_bg")
-    )
+    return _bound(text_col, rule)
 
 
 def gopher_quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Boolean `gopher_pass` column: the Gopher Appendix-A style keep rule
-    (word count 50-100k, mean word length 3-10, symbol ratio < 0.1,
-    bullet lines < 90%, ellipsis lines < 30%, duplicate lines < 30%,
-    duplicate paragraphs < 30%, top bigram < 20%)."""
-    from .text import ws_token_count
-
-    m = with_repetition_metrics(df, text_col)
-    n_words = ws_token_count(F.col(text_col))
-    rule = (
-        n_words.between(50, 100_000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("symbol_word_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") < 0.3)
-        & (F.col("dup_line_frac") < 0.3)
-        & (F.col("dup_para_frac") < 0.3)
-        & (F.col("top_bigram_frac") < 0.2)
+    """Metrics + boolean `gopher_pass` column (see gopher_pass_expr)."""
+    return with_repetition_metrics(df, text_col).withColumn(
+        "gopher_pass", gopher_pass_expr(text_col)
     )
-    return m.withColumn("gopher_pass", rule)

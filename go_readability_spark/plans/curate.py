@@ -28,6 +28,7 @@ def curate_corpus(
     n_buckets: int = 256,
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -53,6 +54,22 @@ def curate_corpus(
     )
     if languages:
         enriched = enriched.where(F.col("lang_id").isin(*languages))
+    if gopher_gate:
+        # Gopher/C4-style repetition + structure gates (quality_filters)
+        from ..functions.quality_filters import gopher_quality_gate
+
+        enriched = gopher_quality_gate(enriched, "text_content").where(
+            F.col("gopher_pass")
+        )
+
+    # stage boundary: `enriched` feeds four downstream branches (exact-dedup
+    # keep-set, its semi-join, and both minhash shingle sides). Without a
+    # persist every branch re-runs the extraction UDF AND carries a copy of
+    # the full enrichment expression tree through the optimizer — with the
+    # gopher gate's large HOF lambdas that made Catalyst optimization time
+    # explode (minutes of driver spin at 60 docs). At 100 TB this boundary
+    # is an Iceberg table write, which truncates the plan the same way.
+    enriched = enriched.persist()
 
     # exact dedup: keep min-url representative per fingerprint
     keep = enriched.groupBy("fingerprint").agg(F.min("url").alias("url"))

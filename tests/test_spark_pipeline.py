@@ -236,3 +236,19 @@ def test_partitioned_output_and_resume(spark, tmp_path):
     run_extraction_job(pages, out, checkpoint_dir=ck, n_buckets=8,
                        num_partitions=4, partition_by=("lang",))
     assert spark.read.parquet(out).count() == 12
+
+
+def test_curate_with_gopher_gate(spark):
+    """The gate composes with the full curation pipeline (this hung for
+    minutes before the lambda-bound metric expressions: predicate pushdown
+    re-inlined staged arrays into the filter, re-tokenizing per bigram)."""
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.sources import synth_pages_distributed
+
+    pages = synth_pages_distributed(spark, 40, seed=9, skew=False, num_partitions=4)
+    base = curate_corpus(pages, min_length=150, min_quality=0.2,
+                         languages=("en",), num_partitions=4)
+    gated = curate_corpus(pages, min_length=150, min_quality=0.2,
+                          languages=("en",), num_partitions=4, gopher_gate=True)
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng <= nb
