@@ -120,3 +120,20 @@ def test_entry_from_foreign_cwd():
     out = subprocess.run([sys.executable, "-c", script], cwd="/tmp",
                          capture_output=True, text=True, timeout=300)
     assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-1000:]
+
+
+def test_every_oracle_entry_is_gated(entry_mod):
+    """Every oracle_sql() key must be in the parametrized oracle-match
+    list above, and every oracle key must have a queries() twin — a new
+    oracle entry that skips the gate would claim verification it never
+    had."""
+    import re
+
+    gated = set()
+    src = open(__file__).read()
+    m = re.search(r"@pytest\.mark\.parametrize\(\"name\", \[(.*?)\]\)", src, re.S)
+    gated = set(re.findall(r'"([a-z0-9_]+)"', m.group(1)))
+    oracle_keys = set(entry_mod.oracle_sql().keys())
+    assert oracle_keys <= set(entry_mod.queries().keys())
+    missing = oracle_keys - gated
+    assert not missing, f"oracle entries not exercised by test_oracle_match: {missing}"
