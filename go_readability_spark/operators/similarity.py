@@ -24,14 +24,28 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) when either vector is 0."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so the join-side math is a plain dot product."""
-    v = F.col(vec_col).cast("array<double>")
-    n = _norm(v)
-    return df.withColumn("unit_vec", F.transform(v, lambda x: x / n))
+    """Pre-normalize once so the join-side math is a plain dot product.
+
+    The vector and its norm are bound as lambda variables: (a) a zero
+    vector maps to the zero unit vector instead of throwing Spark 4's
+    ANSI DIVIDE_BY_ZERO and killing the job on the first degenerate
+    embedding in the corpus, and (b) the norm is computed once per row —
+    the naive `transform(v, x -> x / norm_expr)` re-evaluates the norm
+    aggregate per ELEMENT (O(dim^2) per row; ruinous at dim 768)."""
+    staged = df.withColumn("_uv_src", F.col(vec_col).cast("array<double>"))
+    unit = F.expr(
+        "element_at(transform(array(_uv_src), v -> "
+        "  element_at(transform(array(sqrt(aggregate(v, cast(0.0 as double), "
+        "                                  (acc, x) -> acc + x * x))), n -> "
+        "    transform(v, x -> CASE WHEN n = 0.0 THEN cast(0.0 as double) "
+        "                           ELSE x / n END)), 1)), 1)"
+    )
+    return staged.withColumn("unit_vec", unit).drop("_uv_src")
 
 
 def brute_force_topk(

@@ -70,3 +70,27 @@ def test_probe_plan_broadcasts_queries_not_base(spark, emb, centroids):
     df = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zero_vectors_do_not_kill_ann_jobs(spark):
+    """Spark 4 runs ANSI mode: an unguarded x/norm threw DIVIDE_BY_ZERO and
+    aborted the whole job on the first all-zero embedding. Zero vectors now
+    normalize to the zero vector (dot 0 -> ranked last, never a crash)
+    across brute force, LSH, and IVF."""
+    from go_readability_spark.operators import (
+        brute_force_topk,
+        cosine_near_pairs_exact,
+        lsh_bucketed_topk,
+    )
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float(i), 1.0, 0.5, 0.25, 0.0, 1.0, 2.0, 3.0]) for i in range(1, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id in (0, 1)")
+    bf = brute_force_topk(df, queries, k=3).collect()
+    assert len(bf) == 6
+    assert lsh_bucketed_topk(df, queries, k=3, dim=8, n_planes=4).count() >= 3
+    assert cosine_near_pairs_exact(df, threshold=0.99).count() >= 1
+    cents = train_ivf_centroids(df, dim=8, k=3, iterations=2, seed=1)
+    assert ivf_topk(df, queries, cents, k=3, nprobe=3).count() == 6
