@@ -62,9 +62,17 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 kind = pdf["kind"].iat[i]
                 digest = hashlib.sha256(payload).digest()
                 if kind == "image":
-                    w, h, px = decode_image(payload, fake=fake)
-                    feat = (np.frombuffer(px, dtype=np.uint8)[:8] / 255.0).astype("float32")
-                    frames = 1
+                    try:
+                        w, h, px = decode_image(payload, fake=fake)
+                        feat = (np.frombuffer(px, dtype=np.uint8)[:8] / 255.0).astype("float32")
+                        frames = 1
+                    except NotImplementedError:
+                        raise  # caller asked for real decode of a stubbed format
+                    except Exception:
+                        # corrupt/truncated image: a crawl corpus is full of
+                        # them — never fail the task for one bad payload
+                        feat = np.zeros(8, dtype="float32")
+                        frames = 0
                 elif kind in ("audio", "video"):
                     # frame-sample stub: 1 frame per 1 KiB, capped
                     frames = min(32, max(1, len(payload) // 1024))

@@ -115,7 +115,10 @@ def decode_png(data: bytes):
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     bpp = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt stream -> consistent error type
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
     flat = _unfilter(raw, width, height, bpp)
     px = flat.reshape(height, width, bpp)
     if color_type == 3:

@@ -102,3 +102,29 @@ def test_media_features_real_png_through_spark(spark):
     for i in range(6):
         expect = round((i * 30 + 5) / 255.0, 5)
         assert all(round(v, 5) == expect for v in feats[i]["feat"]), feats[i]
+
+
+def test_corrupt_png_does_not_kill_the_task(spark):
+    """Truncated/garbled IDAT payloads (a certainty in crawl data) yield
+    zero features, never a task failure."""
+    import numpy as np
+
+    from go_readability_spark.operators.multimodal import extract_media_features
+    from go_readability_spark.operators.png import encode_png
+
+    good = encode_png(np.full((4, 4, 3), 99, dtype=np.uint8))
+    corrupt = good[:40] + b"\x00\x00\x00\x00" + good[44:]  # garble IDAT
+    truncated = good[: len(good) // 2]
+    rows = [
+        (1, "image", bytearray(good), "image/png", None, None),
+        (2, "image", bytearray(corrupt), "image/png", None, None),
+        (3, "image", bytearray(truncated), "image/png", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, width int, height int"
+    )
+    out = {r.media_id: r for r in extract_media_features(media, fake=False).collect()}
+    assert len(out) == 3
+    assert out[1].frames == 1 and any(v > 0 for v in out[1].feat)
+    assert out[2].frames == 0 or out[2].frames == 1  # decodes or degrades, never dies
+    assert out[3].frames == 0 and all(v == 0 for v in out[3].feat)
