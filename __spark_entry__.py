@@ -191,6 +191,21 @@ _MESSY_URL = (
 )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style): training docs
+    sharing any word n-gram with the held-out 'benchmark' slice
+    (doc_id % 20 == 0). n=5 here so the small synthetic corpus produces
+    hits; production uses n=13 — same plan, the benchmark n-gram set is
+    broadcast and the corpus side never shuffles."""
+    _ship_package(spark)
+    from go_readability_spark.operators.decontamination import contaminated_doc_ids
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return contaminated_doc_ids(train, bench, n=5)
+
+
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization over deterministically-messy urls (case,
     default ports, fragments, tracking params, shuffled query order)."""
@@ -413,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "repetition_filters": _q_repetition_filters,
         "url_canonical": _q_url_canonical,
+        "decontamination": _q_decontamination,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -665,6 +681,25 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(len(bgrams) AS DOUBLE) END, 6)) < 0.2
                    ) AS gopher_pass
             FROM bg
+        """,
+        "decontamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                       ))) AS gram
+                FROM toks WHERE len(t) >= 5
+            )
+            SELECT DISTINCT tr.doc_id
+            FROM grams tr
+            WHERE tr.doc_id % 20 != 0
+              AND EXISTS (SELECT 1 FROM grams b
+                          WHERE b.doc_id % 20 = 0 AND b.gram = tr.gram)
         """,
         "url_canonical": """
             WITH u AS (

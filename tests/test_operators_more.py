@@ -512,3 +512,30 @@ def test_canonical_url_normalization(spark):
     assert out[3] == out[4] == "http://host.com/path"
     assert out[5] == "https://x.org:8443/p?a=1"
     assert out[6] == "ftp://weird.org:21/file"
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    from go_readability_spark.operators.decontamination import (
+        contaminated_doc_ids,
+        decontaminate,
+    )
+
+    bench_phrase = "the quick brown fox jumps over the lazy dog again today"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words then {bench_phrase} and a conclusion"),
+            (2, "totally unrelated text about spark shuffle partitions here"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question: {bench_phrase}?")],
+        "doc_id long, text string",
+    )
+    bad = {r.doc_id for r in contaminated_doc_ids(train, bench, n=8).collect()}
+    assert bad == {1}
+    clean = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
+    assert clean == {2, 3}
+    plan = contaminated_doc_ids(train, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
