@@ -191,6 +191,22 @@ _MESSY_URL = (
 )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (iterative Spark job: pair-count
+    argmax per round over the distributed word-frequency table). Not
+    SQL-expressible (iterative) → rows-only; exactness vs a pure-Python
+    reference with identical tie-breaking is pinned in tests/test_bpe.py."""
+    _ship_package(spark)
+    from go_readability_spark.operators.bpe import train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=16, checkpoint_every=8)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 def _q_decontamination(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C style): training docs
     sharing any word n-gram with the held-out 'benchmark' slice
@@ -429,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _q_repetition_filters,
         "url_canonical": _q_url_canonical,
         "decontamination": _q_decontamination,
+        "bpe_merges": _q_bpe_merges,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
