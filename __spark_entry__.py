@@ -191,6 +191,21 @@ _MESSY_URL = (
 )
 
 
+def _q_corpus_mixture(spark, sf_dir):
+    """Deterministic per-source corpus mixing: src0 kept at 80%, src1 at
+    30%, everything else dropped — membership is a pure md5 function of
+    the key, so retries/resumes see the identical sample."""
+    _ship_package(spark)
+    from go_readability_spark.operators.sampling import mix_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = mix_corpus(docs, {"src0": 0.8, "src1": 0.3}, salt="mix1")
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id")).alias("id_sum"),  # pins exact membership
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (iterative Spark job: pair-count
     argmax per round over the distributed word-frequency table). Not
@@ -446,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
+        "corpus_mixture": _q_corpus_mixture,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -698,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(len(bgrams) AS DOUBLE) END, 6)) < 0.2
                    ) AS gopher_pass
             FROM bg
+        """,
+        "corpus_mixture": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                  < CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 300000 ELSE 0 END
+            GROUP BY source
         """,
         "decontamination": """
             WITH toks AS (

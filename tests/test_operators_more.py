@@ -539,3 +539,32 @@ def test_decontamination_flags_planted_overlap(spark):
     assert clean == {2, 3}
     plan = contaminated_doc_ids(train, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_hash_sampling_deterministic_and_decorrelated(spark):
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators.sampling import hash_sample, mix_corpus
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s1 = {r.doc_id for r in hash_sample(df, 0.25, salt="x").collect()}
+    s2 = {r.doc_id for r in hash_sample(df, 0.25, salt="x").collect()}
+    assert s1 == s2  # reproducible
+    assert 0.2 < len(s1) / 4000 < 0.3  # close to the rate
+    s_other = {r.doc_id for r in hash_sample(df, 0.25, salt="y").collect()}
+    overlap = len(s1 & s_other) / len(s1)
+    assert 0.1 < overlap < 0.45, overlap  # salts decorrelate (~25% expected)
+    # nested property: a higher-rate sample with the same salt contains s1
+    s_half = {r.doc_id for r in hash_sample(df, 0.5, salt="x").collect()}
+    assert s1 <= s_half
+
+    mixed = mix_corpus(df, {"a": 1.0}, salt="x")
+    got = {r.source for r in mixed.select("source").distinct().collect()}
+    assert got == {"a"}  # unlisted sources drop
+    assert mixed.count() == 2000
+
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(df, 1.5)
