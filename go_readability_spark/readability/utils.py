@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit, urlunsplit
+from urllib.parse import urlsplit, urlunsplit
 
 from .regexps import RX_TOKENIZE
 
@@ -72,6 +72,66 @@ def _go_reencode_path(path: str) -> str:
     return quote(decoded, safe=_GO_PATH_SAFE)
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4, literally — unlike urllib's urljoin, EMPTY segments
+    are kept ('a//b' stays 'a//b', as Go's net/url ResolveReference does)."""
+    inp = path
+    out: list[str] = []  # completed path segments, each starting with '/'
+    while inp:
+        if inp.startswith("../"):  # A
+            inp = inp[3:]
+        elif inp.startswith("./"):  # A
+            inp = inp[2:]
+        elif inp.startswith("/./"):  # B
+            inp = "/" + inp[3:]
+        elif inp == "/.":  # B
+            inp = "/"
+        elif inp.startswith("/../"):  # C
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":  # C
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):  # D
+            inp = ""
+        else:  # E: move the first segment (incl. any leading '/') to output
+            start = 1 if inp.startswith("/") else 0
+            j = inp.find("/", start)
+            seg, inp = (inp[:j], inp[j:]) if j != -1 else (inp, "")
+            out.append(seg)
+    return "".join(out)
+
+
+def _rfc3986_join(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution — Go net/url ResolveReference
+    parity. Python's urljoin deviates by COLLAPSING empty path segments
+    ('http//x' resolved against '/a/' becomes '/a/http/x'), which breaks
+    byte parity on pathological hrefs (utils_test.go:50-73)."""
+    b = urlsplit(base)
+    r = urlsplit(ref)
+    if r.scheme:
+        return urlunsplit(
+            (r.scheme, r.netloc, _remove_dot_segments(r.path), r.query, r.fragment)
+        )
+    if r.netloc:
+        return urlunsplit(
+            (b.scheme, r.netloc, _remove_dot_segments(r.path), r.query, r.fragment)
+        )
+    if not r.path:
+        return urlunsplit(
+            (b.scheme, b.netloc, b.path, r.query if ("?" in ref) else b.query, r.fragment)
+        )
+    if r.path.startswith("/"):
+        path = _remove_dot_segments(r.path)
+    else:
+        # merge: base path up to (and including) its last '/'
+        prefix = b.path[: b.path.rfind("/") + 1] if "/" in b.path else ("/" if b.netloc else "")
+        path = _remove_dot_segments(prefix + r.path)
+    return urlunsplit((b.scheme, b.netloc, path, r.query, r.fragment))
+
+
 def to_absolute_uri(uri: str, base: str | None) -> str:
     """utils.go:39-67: resolve uri against base, passing through fragments,
     data: URIs and already-absolute URLs *unchanged*. Resolution output is
@@ -96,7 +156,7 @@ def to_absolute_uri(uri: str, base: str | None) -> str:
     except ValueError:
         return uri
     try:
-        resolved = urljoin(base, uri)
+        resolved = _rfc3986_join(base, uri)
     except ValueError:
         return uri
     try:
@@ -107,6 +167,14 @@ def to_absolute_uri(uri: str, base: str | None) -> str:
     if path == r.path:
         return resolved
     return urlunsplit((r.scheme, r.netloc, path, r.query, r.fragment))
+
+
+def index_of(items, item) -> int:
+    """utils.go:9-16: first index of item, -1 when absent."""
+    try:
+        return list(items).index(item)
+    except ValueError:
+        return -1
 
 
 def str_or(*args: str) -> str:

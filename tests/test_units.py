@@ -183,3 +183,44 @@ def test_builder_crlf_normalized():
     doc = parse_html(b"<body><pre>\r\na\r\nb</pre>")
     pre = get_elements_by_tag_name(doc, "pre")[0]
     assert text_content(pre) == "a\nb"
+
+
+def test_to_absolute_uri_reference_table():
+    """utils_test.go:50-73 verbatim (Go net/url ResolveReference parity)."""
+    from go_readability_spark.readability.utils import to_absolute_uri
+
+    base = "http://localhost:8080/absolute/"
+    table = {
+        "#here": "#here",
+        "/test/123": "http://localhost:8080/test/123",
+        "test/123": "http://localhost:8080/absolute/test/123",
+        "//www.google.com": "http://www.google.com",
+        "https://www.google.com": "https://www.google.com",
+        "ftp://ftp.server.com": "ftp://ftp.server.com",
+        "www.google.com": "http://localhost:8080/absolute/www.google.com",
+        "http//www.google.com": "http://localhost:8080/absolute/http//www.google.com",
+        "../hello/relative": "http://localhost:8080/hello/relative",
+    }
+    for url, expected in table.items():
+        assert to_absolute_uri(url, base) == expected, url
+
+
+def test_word_count_and_index_of_reference_table():
+    """utils_test.go:9-47 verbatim."""
+    from go_readability_spark.readability.utils import index_of, word_count
+
+    sample = ("hello this is a simple sentence and we try "
+              "to repeat some simple word like this").split()
+    for word, expected in {"hello": 0, "this": 1, "simple": 4, "we": 7, "repeat": 10}.items():
+        assert index_of(sample, word) == expected, word
+
+    counts = {
+        "German fashion designer Karl Lagerfeld, best known for his creative "
+        "work at Chanel, dies at the age of 85.": 19,
+        "A suicide bombing attack near Pulwama, in Indian administered "
+        "Kashmir, kills 40 security personnel.": 14,
+        "NASA concludes the 15 year Opportunity Mars rover mission after "
+        "being unable to wake the rover from hibernation.": 18,
+    }
+    for sentence, expected in counts.items():
+        assert word_count(sentence) == expected, sentence
