@@ -568,3 +568,30 @@ def test_hash_sampling_deterministic_and_decorrelated(spark):
 
     with pytest.raises(ValueError, match="rate"):
         hash_sample(df, 1.5)
+
+
+def test_mojibake_repair(spark):
+    from go_readability_spark.functions.mojibake import (
+        fix_mojibake_text,
+        with_fixed_text,
+    )
+
+    cases = {
+        # classic double-encoded UTF-8
+        "CafÃ© rÃ©sumÃ© naÃ¯ve": "Café résumé naïve",
+        "donâ€™t â€œquoteâ€\x9d me â€” ever": "don’t “quote” me — ever",
+        # clean text must be untouched
+        "plain ascii text": "plain ascii text",
+        "déjà vu — clean unicode’s fine": "déjà vu — clean unicode’s fine",
+        "math: Â± 3 Âµm": "math: ± 3 µm",
+        "": "",
+    }
+    for src, want in cases.items():
+        assert fix_mojibake_text(src) == want, repr(src)
+        # idempotent
+        assert fix_mojibake_text(fix_mojibake_text(src)) == want
+
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in with_fixed_text(df).collect()}
+    assert [out[i] for i in range(len(cases))] == list(cases.values())
