@@ -54,22 +54,30 @@ def _is_url(path: str) -> bool:
     return bool(parts.scheme in ("http", "https") and parts.netloc)
 
 
-def _get_url_content(url: str, metadata_only: bool, text_only: bool) -> str:
+def _get_url_content(url: str, metadata_only: bool, text_only: bool,
+                     check_only: bool = False) -> str:
     """main.go:114-177 getContent for a URL source: fetch, gate on the
     readerability Check (unreadable pages are an error, not empty output),
     then emit content / text / the 5-key metadata JSON the reference
-    emits."""
+    emits. Only http(s) URLs are fetched — the server mode exposes this to
+    untrusted query strings, and urlopen would otherwise happily open
+    file:// (local-file disclosure) or ftp:// references."""
     from urllib.request import Request, urlopen
 
     from .dom import parse_html
     from .readability import Parser, check_document
 
+    if not _is_url(url):
+        raise ValueError(f"not a valid http(s) URL: {url}")
     req = Request(url, headers={"User-Agent": "go-readability-spark/0.1"})
-    with urlopen(req, timeout=30.0) as resp:  # noqa: S310 — explicit user call
+    with urlopen(req, timeout=30.0) as resp:  # noqa: S310 — scheme-gated above
         data = resp.read()
         final_url = resp.geturl()
     doc = parse_html(data)
-    if not check_document(doc):
+    readerable = check_document(doc)
+    if check_only:
+        return "true" if readerable else "false"
+    if not readerable:
         raise ValueError("failed to parse page: the page is not readable")
     art = Parser().parse_document(doc, final_url)
     if metadata_only:
@@ -91,11 +99,15 @@ def cmd_parse(args) -> int:
 
     if _is_url(args.file):
         try:
-            print(_get_url_content(args.file, args.metadata_only, args.text_only))
+            out = _get_url_content(
+                args.file, args.metadata_only, args.text_only,
+                check_only=args.check_only,
+            )
         except Exception as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
-        return 0
+        print(out)
+        return 1 if (args.check_only and out == "false") else 0
 
     try:
         data = sys.stdin.buffer.read() if args.file == "-" else open(args.file, "rb").read()

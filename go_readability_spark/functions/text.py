@@ -25,6 +25,15 @@ LANG_STOPWORDS = {
 LANG_ORDER = ("en", "de", "fr", "es")
 
 
+def md5_prefix_long(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint — THE engine-portable 32-bit
+    hash (DuckDB twin: CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)).
+    Every portable hash in the repo (sampling buckets, the minhash md5
+    oracle twin, winnowing k-gram hashes, salted-bucket twins) must use
+    this exact formula or bit-parity with the oracles breaks."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def ws_token_count(col: Column) -> Column:
     """Whitespace token count; 0 for empty/blank strings."""
     trimmed = F.trim(col)

@@ -123,6 +123,8 @@ def train_bpe(
             nxt = nxt.persist()
             prev = words
         words = nxt
+    if prev is not None:
+        prev.unpersist()
     words.unpersist()
     return merges
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint
+from ..functions.text import fingerprint, md5_prefix_long
 
 
 def normalized_text(col):
@@ -144,9 +144,7 @@ def _minhash_fn_xxhash64(s, k: int):
 def _minhash_fn_md5(s, k: int):
     """Engine-portable per-(seed, shingle) hash: 32-bit md5 prefix. Slower
     than xxhash64 but reproducible in DuckDB for the oracle twin."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 8), 16, 10
-    ).cast("long")
+    return md5_prefix_long(F.concat(F.lit(f"{k}:"), s))
 
 
 def _seeded_min(sh, hash_fn, k: int):
@@ -312,6 +310,18 @@ def _minhash_pairs_impl(
 SIMHASH_SCHEMA = "id long, simhash long"
 
 
+def simhash_chunks(col, n_chunks: int):
+    """Array of the signature's n_chunks band values — THE banding both the
+    batch pair join and the streaming state keys use; pigeonhole recall
+    depends on every consumer banding identically."""
+    return F.array(
+        *[
+            F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1)).cast("int")
+            for off, width in simhash_chunk_layout(n_chunks)
+        ]
+    )
+
+
 def simhash_chunk_layout(n_chunks: int, bits: int = 64) -> list[tuple[int, int]]:
     """(offset, width) per chunk, splitting `bits` as evenly as possible.
     Shared by the Spark plan and the DuckDB oracle twin so both band the
@@ -386,14 +396,7 @@ def simhash_near_pairs(
             f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: "
             "pigeonhole recall guarantee would be violated"
         )
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("int")
-            for off, width in simhash_chunk_layout(n_chunks)
-        ]
-    )
+    chunks = simhash_chunks(F.col("simhash"), n_chunks)
     banded = simhashes.select("id", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.text import md5_prefix_long
+
 _BUCKETS = 1_000_000
 
 
@@ -21,10 +23,7 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform bucket in [0, 1e6) from md5(salt:key) — deterministic and
     engine-portable (32-bit prefix, same formula as the oracle twins)."""
     keyed = F.concat(F.lit(f"{salt}:"), key.cast("string"))
-    return F.pmod(
-        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long"),
-        F.lit(_BUCKETS),
-    )
+    return F.pmod(md5_prefix_long(keyed), F.lit(_BUCKETS))
 
 
 def hash_sample(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import md5_prefix_long
 from .dedup import normalized_text
 
 
@@ -21,7 +22,7 @@ def _kgram_hashes(text_col, k: int):
     n_grams = F.length(text_col) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(F.substring(text_col, i, k)), 1, 8), 16, 10).cast("long"),
+        lambda i: md5_prefix_long(F.substring(text_col, i, k)),
     )
     # guard: text shorter than k makes sequence(1, n<=0) DESCENDING ([1,0]),
     # which would emit two phantom k-gram hashes (substring tolerates start

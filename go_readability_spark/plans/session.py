@@ -66,5 +66,10 @@ def ship_package(spark) -> None:
                         "go_readability_spark", os.path.relpath(full, pkg_dir)
                     )
                     zf.write(full, rel)
-    sc.addPyFile(zip_path)
+    sc.addPyFile(zip_path)  # Spark copies it into its own file-server dir
     sc._grs_pkg_shipped = True
+    # don't leak one zip per driver into the temp dir (the pre-round-2
+    # fixed path self-overwrote; the unique path needs explicit cleanup)
+    import atexit
+
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.unlink(p))

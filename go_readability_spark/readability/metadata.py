@@ -331,8 +331,13 @@ def _epoch_to_datetime(s: str):
         v = int(s)
         scale = {10: 1, 13: 10**3, 16: 10**6, 19: 10**9}[n]
         try:
+            # (v % scale) scaled to MICROseconds — note ns (scale 10^9)
+            # must divide DOWN by 1000, so the multiplier form
+            # `* (10**6 // scale)` would floor to 0 and drop the
+            # fractional part entirely
+            micro = (v % scale) * 10**6 // scale if scale > 1 else 0
             return datetime.fromtimestamp(v // scale, tz=_tz.utc).replace(
-                microsecond=int(v % scale * (10**6 // scale)) if scale > 1 else 0
+                microsecond=micro
             )
         except (ValueError, OSError, OverflowError):
             return None

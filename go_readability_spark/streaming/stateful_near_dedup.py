@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.dedup import simhash_chunk_layout, simhash_table
+from ..operators.dedup import simhash_chunks, simhash_table
 
 VOTE_SCHEMA = "url string, simhash long, matched int"
 STATE_SCHEMA = "seen array<long>"
@@ -32,19 +32,29 @@ def _make_group_fn(max_hamming: int, max_state: int):
         import pandas as pd
 
         seen = list(state.get[0]) if state.exists else []
+        # CRITICAL: process the batch's rows in a GLOBAL deterministic
+        # order (url). A near-dup pair arriving in the same micro-batch
+        # shares several chunk groups; if group 0 processed A first while
+        # group 1 processed B first, BOTH would get a matched vote and the
+        # batch-side AND would suppress both copies — silent loss of every
+        # copy of the article. With a consistent order, the first-by-url
+        # doc is never matched by the other in ANY group.
+        rows = sorted(
+            (str(url), int(sh))
+            for pdf in pdfs
+            for url, sh in zip(pdf["url"], pdf["simhash"])
+        )
         urls, hashes, matched = [], [], []
-        for pdf in pdfs:
-            for url, sh in zip(pdf["url"], pdf["simhash"]):
-                sh = int(sh)
-                hit = any(
-                    bin((sh ^ int(old)) & ((1 << 64) - 1)).count("1") <= max_hamming
-                    for old in seen
-                )
-                urls.append(url)
-                hashes.append(sh)
-                matched.append(1 if hit else 0)
-                if not hit:
-                    seen.append(sh)
+        for url, sh in rows:
+            hit = any(
+                bin((sh ^ int(old)) & ((1 << 64) - 1)).count("1") <= max_hamming
+                for old in seen
+            )
+            urls.append(url)
+            hashes.append(sh)
+            matched.append(1 if hit else 0)
+            if not hit:
+                seen.append(sh)
         if len(seen) > max_state:
             seen = seen[-max_state:]
         state.update((seen,))
@@ -65,14 +75,7 @@ def streaming_simhash_votes(
     is 1 (see finalize_near_dedup_batch)."""
     n_chunks = max_hamming + 1
     sims = simhash_table(pages_stream, url_col, text_col).withColumnRenamed("id", "url")
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("int")
-            for off, width in simhash_chunk_layout(n_chunks)
-        ]
-    )
+    chunks = simhash_chunks(F.col("simhash"), n_chunks)
     keyed = sims.select(
         "url", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk")
     )

@@ -103,3 +103,13 @@ def test_garbage_returns_none():
     assert parse_date(None) is None
     assert parse_date("not a date at all") is None
     assert parse_date("99999999") is None  # invalid yyyymmdd
+
+
+def test_nanosecond_epoch_keeps_fraction():
+    """Review finding (round 2): the us/ns epoch microsecond conversion
+    multiplied by a floored 10**6//scale (0 for ns), silently dropping the
+    fractional second."""
+    got = parse_date("1384216367189000000")  # ns
+    assert got.replace(tzinfo=None) == datetime(2013, 11, 12, 0, 32, 47, 189000)
+    got = parse_date("1384216367189123")  # us
+    assert got.replace(tzinfo=None) == datetime(2013, 11, 12, 0, 32, 47, 189123)

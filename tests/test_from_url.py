@@ -119,3 +119,35 @@ def test_cli_http_server_mode(httpd):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_cli_parse_url_check_only(httpd, capsys):
+    from go_readability_spark.cli import main
+
+    rc = main(["parse", f"{httpd}/page.html", "-l"])
+    out = capsys.readouterr().out.strip()
+    assert out in ("true", "false")
+    assert rc == (0 if out == "true" else 1)
+
+
+def test_server_rejects_file_scheme(httpd):
+    import threading
+    from urllib.error import HTTPError
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from go_readability_spark.cli import make_http_server
+
+    server = make_http_server("127.0.0.1:0")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        try:
+            urlopen(f"http://127.0.0.1:{port}/?url={quote('file:///etc/passwd', safe='')}")
+            raise AssertionError("expected HTTP 400 for file:// url")
+        except HTTPError as e:
+            assert e.code == 400
+            assert b"http" in e.read()
+    finally:
+        server.shutdown()
+        server.server_close()

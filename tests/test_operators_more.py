@@ -595,3 +595,46 @@ def test_mojibake_repair(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.text for r in with_fixed_text(df).collect()}
     assert [out[i] for i in range(len(cases))] == list(cases.values())
+
+
+def test_streaming_near_dedup_same_batch_pair_keeps_one(spark, tmp_path):
+    """Review finding (round 2): a near-dup pair arriving in the SAME
+    micro-batch could be mutually suppressed (chunk groups processed the
+    two docs in different orders, so both collected a matched vote and the
+    batch AND dropped both). With global url-ordered processing, exactly
+    one survivor remains."""
+    import pandas as pd
+
+    from go_readability_spark.streaming import run_near_dedup_stream
+
+    base = ("a long enough article body about spark stateful streaming "
+            "operators and their micro batch semantics in production today")
+    # identical copies: hamming 0 — they share EVERY chunk group, the
+    # maximal mutual-suppression exposure
+    b1 = pd.DataFrame({
+        "url": ["u_a", "u_b", "u_c"],
+        "text": [base, base, "entirely different words about png codecs and zlib streams"],
+    })
+    src = str(tmp_path / "same_batch")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "same_batch_out")
+    q = run_near_dedup_stream(stream, out, str(tmp_path / "sb_ck"), max_hamming=8)
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "u_c" in got
+    assert len({"u_a", "u_b"} & got) == 1, f"same-batch pair mishandled: {got}"
+
+
+def test_serve_rejects_non_http_schemes(httpd_unused=None):
+    from go_readability_spark.cli import _get_url_content
+
+    import pytest as _pytest
+
+    for bad in ("file:///etc/passwd", "ftp://x/y", "gopher://z", "not-a-url"):
+        with _pytest.raises(ValueError, match="http"):
+            _get_url_content(bad, False, False)
