@@ -191,6 +191,33 @@ _MESSY_URL = (
 )
 
 
+_BOILER_TOP = "COOKIE NOTICE: accept our cookies"
+_BOILER_BOT = "copyright footer 2025"
+
+
+def _q_line_dedup(spark, sf_dir):
+    """CCNet/C4-style corpus-level boilerplate line removal: every doc is
+    wrapped with two synthetic boilerplate lines (making them hot across
+    the corpus), which the operator must strip while preserving content
+    order. Output pins the exact cleaned text via md5."""
+    _ship_package(spark)
+    from go_readability_spark.operators.line_dedup import remove_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_TOP + "\n"), F.col("text"), F.lit("\n" + _BOILER_BOT)
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(docs, max_df=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
 def _q_corpus_mixture(spark, sf_dir):
     """Deterministic per-source corpus mixing: src0 kept at 80%, src1 at
     30%, everything else dropped — membership is a pure md5 function of
@@ -462,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "corpus_mixture": _q_corpus_mixture,
+        "line_dedup": _q_line_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -714,6 +742,46 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(len(bgrams) AS DOUBLE) END, 6)) < 0.2
                    ) AS gopher_pass
             FROM bg
+        """,
+        "line_dedup": f"""
+            WITH docs2 AS (
+                SELECT doc_id,
+                       '{_BOILER_TOP}' || chr(10) || text || chr(10) || '{_BOILER_BOT}' AS text
+                FROM documents
+            ),
+            ld AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+            ex0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) + 1),
+                           i -> struct_pack(pos := i, line := l[i]))) AS u
+                FROM ld
+            ),
+            ex AS (
+                SELECT doc_id, u.pos AS pos, u.line AS line,
+                       md5(trim(u.line)) AS fingerprint
+                FROM ex0 WHERE trim(u.line) != ''
+            ),
+            freq AS (
+                SELECT fingerprint, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, fingerprint FROM ex)
+                GROUP BY fingerprint
+            ),
+            hot AS (SELECT fingerprint FROM freq WHERE df > 10),
+            kept AS (
+                SELECT e.* FROM ex e
+                WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fingerprint = e.fingerprint)
+            ),
+            dropped AS (
+                SELECT e.doc_id, count(*) AS n_lines_dropped FROM ex e
+                WHERE EXISTS (SELECT 1 FROM hot h WHERE h.fingerprint = e.fingerprint)
+                GROUP BY e.doc_id
+            )
+            SELECT k.doc_id,
+                   md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_md5,
+                   count(*) AS n_lines_kept,
+                   coalesce(any_value(d.n_lines_dropped), 0) AS n_lines_dropped
+            FROM kept k LEFT JOIN dropped d ON d.doc_id = k.doc_id
+            GROUP BY k.doc_id
         """,
         "corpus_mixture": """
             SELECT source, count(*) AS n_docs,

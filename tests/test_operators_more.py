@@ -638,3 +638,21 @@ def test_serve_rejects_non_http_schemes(httpd_unused=None):
     for bad in ("file:///etc/passwd", "ftp://x/y", "gopher://z", "not-a-url"):
         with _pytest.raises(ValueError, match="http"):
             _get_url_content(bad, False, False)
+
+
+def test_boilerplate_line_removal(spark):
+    from go_readability_spark.operators.line_dedup import remove_boilerplate_lines
+
+    boiler = "ACCEPT COOKIES"
+    docs = [
+        (i, f"{boiler}\nunique content line {i}\nsecond line {i}")
+        for i in range(12)
+    ]
+    docs.append((100, boiler))  # all-boilerplate doc: vanishes entirely
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in remove_boilerplate_lines(df, max_df=10).collect()}
+    assert 100 not in out
+    assert len(out) == 12
+    for i in range(12):
+        assert out[i].clean_text == f"unique content line {i}\nsecond line {i}"
+        assert out[i].n_lines_kept == 2 and out[i].n_lines_dropped == 1
