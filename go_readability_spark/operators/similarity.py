@@ -89,13 +89,19 @@ def _band_bucket_expr(vec_name: str, band: int, per_band: int) -> "F.Column":
     column, packed into a long. All data lives in the (single-row,
     broadcast) planes relation — the expression tree stays O(n_bands),
     not O(n_planes x dim) literal nodes (at dim=768 the literal form is
-    thousands of nodes per signature; plan-bloat flagged in round 1)."""
+    thousands of nodes per signature; plan-bloat flagged in round 1).
+
+    The vector is BOUND as a lambda variable: as a staged single-reference
+    column, CollapseProject would re-inline its cast into the per-plane
+    lambda (one O(dim) array rebuild per plane per row)."""
     return F.expr(
+        f"element_at(transform(array({vec_name}), vv -> "
         f"aggregate(sequence(0, {per_band - 1}), cast(0 as bigint), (acc, r) -> "
         f"  acc + CASE WHEN aggregate("
-        f"      zip_with({vec_name}, element_at(hp_planes, {band * per_band} + r + 1), (x, y) -> x * y),"
+        f"      zip_with(vv, element_at(hp_planes, {band * per_band} + r + 1), (x, y) -> x * y),"
         f"      cast(0.0 as double), (a, v) -> a + v) >= 0 "
         f"    THEN shiftleft(cast(1 as bigint), r) ELSE cast(0 as bigint) END)"
+        f"), 1)"
     )
 
 
