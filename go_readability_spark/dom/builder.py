@@ -179,6 +179,17 @@ class _TreeBuilder(HTMLParser):
 
     # ------------------------------------------------------------ scope utils
 
+    # Blink caps element-tree depth at 512; beyond it, new elements attach
+    # to the deepest allowed node WITHOUT opening (content preserved, stack
+    # bounded). Without the cap, scope scans (_find_in_scope walks the open
+    # stack per start tag) turn pathological markup like "<div><p>" x 10^4
+    # quadratic — measured minutes on hostile crawl input.
+    MAX_TREE_DEPTH = 512
+
+    def _push(self, el) -> None:
+        if len(self.stack) < self.MAX_TREE_DEPTH:
+            self.stack.append(el)
+
     def _find_in_scope(self, tag, boundary) -> int:
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
@@ -237,7 +248,7 @@ class _TreeBuilder(HTMLParser):
                 self.foreign_depth += 1
                 self.stack.append(el)
             elif not explicit_self_closing:
-                self.stack.append(el)
+                self._push(el)
             return
 
         if tag == "image":
@@ -364,7 +375,7 @@ class _TreeBuilder(HTMLParser):
             self.foreign_depth += 1
             self.stack.append(el)
             return
-        self.stack.append(el)
+        self._push(el)
         if tag in ("pre", "listing", "textarea"):
             self.strip_leading_newline = True
 

@@ -135,3 +135,26 @@ def test_cross_process_determinism():
         assert out.returncode == 0, out.stderr[-500:]
         digests.add(out.stdout.strip())
     assert len(digests) == 1, digests
+
+
+def test_nesting_bomb_is_linear_and_lossless():
+    """Unclosed '<div><p>' bombs made the per-start-tag scope scan walk an
+    unbounded open stack — O(n^2), minutes of CPU for one hostile page.
+    The Blink-style 512 element-depth cap bounds the stack (content still
+    attaches, flat) and parsing stays linear."""
+    import time
+
+    from go_readability_spark.dom import parse_html, text_content
+    from go_readability_spark.plans.extract import extract_record
+
+    t0 = time.time()
+    doc = parse_html(("<div><p>" * 30000 + "payload text").encode())
+    assert time.time() - t0 < 30, "nesting bomb not linear"
+    assert "payload text" in text_content(doc)
+
+    # legitimate deep-but-closed documents keep their content too
+    rec = extract_record(
+        "https://x.example/deep",
+        ("<div>" * 5000 + "deep text content here" + "</div>" * 5000).encode(),
+    )
+    assert rec["error"] is None
