@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_readability_spark.functions.text import (  # noqa: E402
     BPE_TOKEN_PATTERN,
+    LANG_ORDER,
     LANG_STOPWORDS,
     PUNCT_PATTERN,
     with_text_features,
@@ -527,12 +528,17 @@ _STOP_RAW = (
     f"CASE WHEN {_WS_TOKENS} = 0 THEN 0.0 "
     f"ELSE {_STOP_HITS['en']} / {_WS_TOKENS} END"
 )
-_LANG_BEST = "greatest(" + ", ".join(_STOP_HITS[lang] for lang in ("en", "de", "fr", "es")) + ")"
+_LANG_BEST = "greatest(" + ", ".join(_STOP_HITS[lang] for lang in LANG_ORDER) + ")"
+# derived from LANG_ORDER so the Spark argmax and this CASE chain can never
+# drift when languages are added (first match in order wins ties, like the
+# Spark side's reversed-fold)
 _LANG_ID = (
     f"CASE WHEN {_LANG_BEST} = 0 THEN 'und' "
-    f"WHEN {_STOP_HITS['en']} = {_LANG_BEST} THEN 'en' "
-    f"WHEN {_STOP_HITS['de']} = {_LANG_BEST} THEN 'de' "
-    f"WHEN {_STOP_HITS['fr']} = {_LANG_BEST} THEN 'fr' ELSE 'es' END"
+    + " ".join(
+        f"WHEN {_STOP_HITS[lang]} = {_LANG_BEST} THEN '{lang}'"
+        for lang in LANG_ORDER[:-1]
+    )
+    + f" ELSE '{LANG_ORDER[-1]}' END"
 )
 _FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 _SHINGLES = (

@@ -21,8 +21,13 @@ LANG_STOPWORDS = {
     "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|für|auf|ich)\b",
     "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que|qui|pas)\b",
     "es": r"\b(el|la|los|las|es|una|con|para|del|por|que|como)\b",
+    # r2 additions use words UNIQUE to each language so they never bleed
+    # hits into the original four (fr/es share 'de'-class tokens heavily)
+    "it": r"\b(che|della|sono|anche|perché|più|gli|nel|questo)\b",
+    "pt": r"\b(não|uma|são|mais|já|também|isso|até|você)\b",
+    "nl": r"\b(het|een|niet|ook|voor|maar|deze|wordt|hebben)\b",
 }
-LANG_ORDER = ("en", "de", "fr", "es")
+LANG_ORDER = ("en", "de", "fr", "es", "it", "pt", "nl")
 
 
 def md5_prefix_long(col: Column) -> Column:

@@ -656,3 +656,23 @@ def test_boilerplate_line_removal(spark):
     for i in range(12):
         assert out[i].clean_text == f"unique content line {i}\nsecond line {i}"
         assert out[i].n_lines_kept == 2 and out[i].n_lines_dropped == 1
+
+
+def test_lang_id_new_languages(spark):
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.functions.text import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy with that"),
+        (2, "der Hund ist nicht mit der Katze auf das Sofa"),
+        (3, "le chat est dans la maison et il ne dort pas"),
+        (4, "el perro es una mascota con los niños del barrio"),
+        (5, "questo è anche perché gli amici sono della città più bella"),
+        (6, "não é uma coisa, são mais coisas, você também já sabe isso"),
+        (7, "het is een huis, niet ook maar deze wordt voor hebben"),
+        (8, "xyzzy plugh 42"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "it", 6: "pt", 7: "nl", 8: "und"}, got
