@@ -209,7 +209,12 @@ def cmd_extract(args) -> int:
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
-        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+        if args.input_format == "warc":
+            from .sources.warc import pages_from_warc
+
+            pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
+        else:
+            pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
         run_extraction_job(
             pages,
             output_dir=args.output,
@@ -245,6 +250,9 @@ def main(argv=None) -> int:
 
     e = sub.add_parser("extract", help="Spark batch extraction job")
     e.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    e.add_argument("--input-format", choices=("parquet", "warc"), default="parquet",
+                   help="input source: pages parquet (default) or raw "
+                        ".warc/.warc.gz archives (Common Crawl layout)")
     e.add_argument("--output", required=True, help="articles output path")
     e.add_argument("--checkpoint", default=None, help="checkpoint table dir")
     e.add_argument("--buckets", type=int, default=256, help="salt buckets")

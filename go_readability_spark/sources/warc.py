@@ -1,0 +1,168 @@
+"""WARC source: read Common-Crawl-style WARC archives into the `pages`
+table shape (url, warc_ts, html, ...). Stdlib-only parser for the ISO
+28500 record format (public spec; Common Crawl publishes its corpus this
+way): records are `WARC/1.x` header blocks + Content-Length payloads,
+archives are concatenations of per-record gzip members (which Python's
+gzip reads transparently as one stream).
+
+Spark integration reads whole archive files via the binaryFile source and
+parses per file inside mapInPandas — WARC's framing has no record-aligned
+split points a generic splitter could use, and Common Crawl's ~1 GB
+archive granularity IS the parallelism unit (one task per archive, tens of
+thousands of archives per crawl). At 10^12 scale you run exactly this plan
+with `spark.sql.files.maxPartitionBytes` >= the archive size so each file
+stays one partition.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def _read_headers(stream) -> dict | None:
+    """Read a CRLF-terminated header block; None at EOF. Keys lowercased."""
+    line = stream.readline()
+    # tolerate record separators (blank lines) before the version line
+    while line in (b"\r\n", b"\n"):
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record header: {line[:40]!r}")
+    headers = {}
+    while True:
+        line = stream.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(warc_headers, payload) per record from a .warc or .warc.gz blob."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)  # multi-member: stdlib reads all members
+    stream = io.BytesIO(raw)
+    while True:
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        length = max(0, int(headers.get("content-length", "0")))
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated tail record: provably incomplete, drop it
+        yield headers, payload
+
+
+def _split_http_response(payload: bytes) -> tuple[dict, bytes] | None:
+    """HTTP response payload -> (http_headers, body); None if malformed."""
+    sep = payload.find(b"\r\n\r\n")
+    nl = b"\r\n"
+    if sep == -1:
+        sep = payload.find(b"\n\n")
+        nl = b"\n"
+        if sep == -1:
+            return None
+    head = payload[:sep].split(nl)
+    if not head or not head[0].startswith(b"HTTP/"):
+        return None
+    headers = {}
+    for line in head[1:]:
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers, payload[sep + 2 * len(nl):]
+
+
+def warc_bytes_to_page_rows(raw: bytes) -> Iterator[dict]:
+    """HTML response records of one archive as pages-shaped dicts."""
+    for headers, payload in iter_warc_records(raw):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        parsed = _split_http_response(payload)
+        if parsed is None:
+            continue
+        http_headers, body = parsed
+        ctype = http_headers.get("content-type", "")
+        if "html" not in ctype.lower():
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+            except ValueError:
+                ts = None
+        yield {"url": url, "warc_ts": ts, "html": body, "text": None, "lang": None}
+
+
+def pages_from_warc(
+    spark, path: str, num_partitions: int | None = None, strict: bool = False
+) -> DataFrame:
+    """Read .warc/.warc.gz archives under `path` into the pages shape.
+    One archive file = one parse unit; records stream out as Arrow
+    batches.
+
+    A truncated gzip member or garbled record framing aborts only that
+    archive (strict=False, the default): at crawl scale a handful of
+    corrupt archives among tens of thousands must not kill the job — they
+    are skipped and the job proceeds. strict=True re-raises for debugging.
+    """
+    import pandas as pd
+
+    from ..plans.schema import PAGES_SCHEMA
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    if num_partitions:
+        files = files.repartition(num_partitions)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    rows = list(warc_bytes_to_page_rows(bytes(content)))
+                except Exception:
+                    if strict:
+                        raise
+                    continue  # corrupt archive: skip, don't kill the job
+                if rows:
+                    out = pd.DataFrame(rows)
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
+                    yield out
+
+    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True) -> bytes:
+    """Build a spec-shaped WARC blob from (url, ts, html_body) triples —
+    for tests and examples (each record its own gzip member, like Common
+    Crawl's archives)."""
+    out = b""
+    for url, ts, body in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        )
+        rec = headers + http + b"\r\n\r\n"
+        out += gzip.compress(rec) if gz else rec
+    return out

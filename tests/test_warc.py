@@ -1,0 +1,164 @@
+"""WARC source: ISO 28500 record parsing, Common-Crawl-style multi-member
+gzip archives, robustness to corrupt archives, and the Spark read path
+into the `pages` shape (feeding the same extraction plan as parquet
+input; reference surface: go-readability consumes fetched HTML —
+parser.go FromReader — this source is the crawl-scale on-ramp to it)."""
+
+from __future__ import annotations
+
+import gzip
+import subprocess
+import sys
+from datetime import datetime
+
+import pytest
+
+from go_readability_spark.sources.warc import (
+    iter_warc_records,
+    pages_from_warc,
+    warc_bytes_to_page_rows,
+    write_warc,
+)
+
+DOC = (
+    b"<html><head><title>T%d</title></head><body>"
+    b"<article><p>" + b"Readable sentence, with commas, and length. " * 8
+    + b"</p></article></body></html>"
+)
+
+
+def _records(n=3):
+    return [
+        (
+            f"http://example.org/a{i}",
+            datetime(2024, 5, 1, 12, 0, i),
+            DOC.replace(b"%d", str(i).encode()),
+        )
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_gz_and_plain():
+    for gz in (True, False):
+        blob = write_warc(_records(3), gz=gz)
+        rows = list(warc_bytes_to_page_rows(blob))
+        assert [r["url"] for r in rows] == [u for u, _, _ in _records(3)]
+        assert rows[0]["warc_ts"] == datetime(2024, 5, 1, 12, 0, 0)
+        assert rows[2]["html"] == DOC.replace(b"%d", b"2")
+
+
+def test_multi_member_gzip_concatenation():
+    # Common Crawl archives are concatenations of per-record gzip members
+    a = write_warc(_records(2), gz=True)
+    b = write_warc([("http://example.org/z", datetime(2024, 1, 1), b"<html><body>z</body></html>")], gz=True)
+    rows = list(warc_bytes_to_page_rows(a + b))
+    assert len(rows) == 3
+    assert rows[-1]["url"] == "http://example.org/z"
+
+
+def test_non_response_and_non_html_records_skipped():
+    body = b"<html><body>x</body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://example.org/req\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    png = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\nContent-Length: 3\r\n\r\nabc"
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.org/img.png\r\n"
+        b"Content-Length: " + str(len(png)).encode() + b"\r\n\r\n" + png + b"\r\n\r\n"
+    )
+    good = write_warc([("http://example.org/ok", datetime(2024, 1, 1), body)], gz=False)
+    rows = list(warc_bytes_to_page_rows(rec + rec2 + good))
+    assert [r["url"] for r in rows] == ["http://example.org/ok"]
+
+
+def test_malformed_http_payload_skipped_bad_date_tolerated():
+    raw = write_warc([("http://example.org/bad", datetime(2024, 1, 1), b"x")], gz=False)
+    # corrupt the HTTP status line so _split_http_response rejects it
+    raw = raw.replace(b"HTTP/1.1 200 OK", b"NOTHTTP 200 OKx")
+    assert list(warc_bytes_to_page_rows(raw)) == []
+    raw2 = write_warc([("http://example.org/d", datetime(2024, 1, 1), b"<html>d</html>")], gz=False)
+    raw2 = raw2.replace(b"2024-01-01T00:00:00Z", b"not-a-date-at-allZ")
+    rows = list(warc_bytes_to_page_rows(raw2))
+    assert len(rows) == 1 and rows[0]["warc_ts"] is None
+
+
+def test_garbage_blob_raises_in_iter():
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"GARBAGE NOT A WARC\r\n\r\n"))
+
+
+def test_truncated_record_stops_cleanly():
+    raw = write_warc(_records(2), gz=False)
+    rows = list(warc_bytes_to_page_rows(raw[: len(raw) - 40]))
+    assert [r["url"] for r in rows] == ["http://example.org/a0"]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    (d / "part-00000.warc.gz").write_bytes(write_warc(_records(4)))
+    (d / "part-00001.warc.gz").write_bytes(
+        write_warc(
+            [("http://example.org/b%d" % i, datetime(2024, 6, 1, 0, 0, i),
+              DOC.replace(b"%d", b"b%d" % i)) for i in range(3)]
+        )
+    )
+    # corrupt archive: truncated gzip member — must be skipped, not fatal
+    (d / "part-00002.warc.gz").write_bytes(write_warc(_records(1))[:25])
+    # garbage framing inside valid gzip — must also be skipped
+    (d / "part-00003.warc.gz").write_bytes(gzip.compress(b"NOT A WARC AT ALL"))
+    return str(d)
+
+
+def test_pages_from_warc_spark(spark, warc_dir):
+    df = pages_from_warc(spark, warc_dir)
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+
+    assert df.schema == PAGES_SCHEMA
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 7  # corrupt archives contributed nothing, job survived
+    assert rows["http://example.org/a1"].warc_ts == datetime(2024, 5, 1, 12, 0, 1)
+    assert bytes(rows["http://example.org/b2"].html) == DOC.replace(b"%d", b"b2")
+
+
+def test_pages_from_warc_strict_raises(spark, warc_dir):
+    with pytest.raises(Exception):
+        pages_from_warc(spark, warc_dir, strict=True).count()
+
+
+def test_warc_feeds_extraction_plan(spark, warc_dir):
+    from go_readability_spark.plans.extract import extract_pages
+
+    arts = extract_pages(pages_from_warc(spark, warc_dir), n_buckets=4,
+                         num_partitions=4)
+    got = {r.url: r for r in arts.collect()}
+    assert len(got) == 7
+    a0 = got["http://example.org/a0"]
+    assert a0.title == "T0" and a0.error is None
+    assert "Readable sentence" in a0.text_content
+
+
+def test_cli_extract_from_warc(tmp_path, warc_dir):
+    out = tmp_path / "articles"
+    ckpt = tmp_path / "ckpt"
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "extract",
+         "--input", warc_dir, "--input-format", "warc",
+         "--output", str(out), "--checkpoint", str(ckpt),
+         "--buckets", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from '{out}/**/*.parquet'").fetchone()[0]
+    assert n == 7
