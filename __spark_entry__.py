@@ -436,6 +436,34 @@ def _q_quality_partition(spark, sf_dir):
     )
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII redaction audit: every document gets deterministic synthetic
+    PII appended (emails, an IPv4, phones for some ids — both engines
+    construct the identical text from doc_id), then the masking operator
+    runs; output pins the exact redacted text via md5 plus per-category
+    counts. Map-only, no shuffle — the 100 TB plan is the sf0.01 plan."""
+    _ship_package(spark)
+    from go_readability_spark.functions.pii import with_pii_redacted
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), d.cast("string"), F.lit("@mail.example.com"),
+            F.when(d % 3 == 0, F.lit(" cc admin@corp.example.org")).otherwise(F.lit("")),
+            F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0.7"),
+            F.when(d % 5 == 0, F.lit(" call +1 555 867 5309"))
+            .when(d % 5 == 1, F.lit(" call 415-555-0133"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_pii_redacted(docs, "text").select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling event-time windows (batch twin of the streaming metrics)."""
     _ship_package(spark)
@@ -491,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "corpus_mixture": _q_corpus_mixture,
         "line_dedup": _q_line_dedup,
+        "pii_redaction": _q_pii_redaction,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -636,6 +665,31 @@ def _fixture_parity_oracle() -> dict[str, str]:
             FROM read_parquet('{golden_path}')
         """,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of _q_pii_redaction: identical injected text, identical
+    staged redaction (fragments generated from the same PII_STAGES table
+    the Spark side uses, so the two can't drift)."""
+    from go_readability_spark.functions.pii import duck_pii_fragments
+
+    inject = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example.org' ELSE '' END"
+        " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7'"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 867 5309'"
+        "         WHEN doc_id % 5 = 1 THEN ' call 415-555-0133' ELSE '' END"
+    )
+    f = duck_pii_fragments("t")
+    return f"""
+        WITH injected AS (SELECT doc_id, {inject} AS t FROM documents)
+        SELECT doc_id,
+               {f['n_emails']} AS n_emails,
+               {f['n_ips']} AS n_ips,
+               {f['n_phones']} AS n_phones,
+               md5({f['redacted']}) AS redacted_md5
+        FROM injected
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -789,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k LEFT JOIN dropped d ON d.doc_id = k.doc_id
             GROUP BY k.doc_id
         """,
+        "pii_redaction": _pii_oracle_sql(),
         "corpus_mixture": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
