@@ -464,6 +464,17 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: add-one bigram LM trained on a
+    deterministic 40% hash-sample, every doc scored by negative
+    log-likelihood in integer micro-nats (order-independent sums → exact
+    oracle despite float logs)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.lm_score import bigram_lm_scores
+
+    return bigram_lm_scores(_read(spark, sf_dir, "documents"))
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling event-time windows (batch twin of the streaming metrics)."""
     _ship_package(spark)
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "line_dedup": _q_line_dedup,
         "pii_redaction": _q_pii_redaction,
+        "lm_perplexity": _q_lm_perplexity,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -693,6 +705,7 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_readability_spark.operators.lm_score import duck_bigram_lm_sql
     return {
         **_fixture_parity_oracle(),
         "extract_salted_md5": """
@@ -844,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k.doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "lm_perplexity": duck_bigram_lm_sql(),
         "corpus_mixture": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
