@@ -109,3 +109,43 @@ def test_ngram_jaccard_no_per_document_broadcast(spark):
     for m in re.finditer(r"(?:HashJoin|SortMergeJoin)\w* \[([a-z_]+)#", plan):
         assert m.group(1) == "shingle", plan
     assert re.search(r"(?:HashJoin|SortMergeJoin)", plan), plan
+
+
+def test_pii_redaction_stays_jvm_side(spark):
+    """PII masking must be whole-stage-codegen column expressions — no
+    Python evaluation nodes, no Exchange (it's map-only)."""
+    from go_readability_spark.functions.pii import with_pii_redacted
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(with_pii_redacted(docs, "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "*(1)" in plan, plan  # whole-stage codegen marker
+
+
+def test_lm_scoring_broadcasts_vocab_not_corpus(spark):
+    """The <unk> vocab-mapping join must broadcast the vocab side (bounded
+    by language, not corpus size). The per-token table must never be the
+    build side of a broadcast."""
+    from go_readability_spark.operators.lm_score import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bigram_lm_scores(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_warc_scan_prunes_to_content(spark, tmp_path):
+    """The WARC reader must read only (path, content) from the binaryFile
+    scan — modificationTime/length are pruned."""
+    from datetime import datetime
+
+    from go_readability_spark.sources.warc import pages_from_warc, write_warc
+
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(write_warc([("http://x/1", datetime(2024, 1, 1), b"<html>x</html>")]))
+    plan = _plan(pages_from_warc(spark, str(tmp_path)))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    assert "content" in m.group(1)
+    assert "modificationTime" not in m.group(1), plan
