@@ -70,12 +70,19 @@ def word_shingles(col, n: int = 3):
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """(id, shingles) with tokens staged as a real column between the two
-    selects, keeping every lambda O(1) per element."""
+    selects, keeping every lambda O(1) per element.
+
+    The non-empty filter is expressed on the TOKEN count (size(toks) >= n,
+    exactly equivalent: an n-gram list is empty iff there are fewer than n
+    tokens). Filtering on size(shingles) instead re-inlines the whole
+    shingle builder into the pushed-down scan filter (predicate pushdown
+    has no cost guard), rebuilding the n-gram array 2-3x per row before
+    the projection builds it again — measured 3-4x slower at sf0.1."""
     tokens = F.split(F.trim(normalized_text(F.col(text_col))), " ")
     staged = df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
-    return staged.select(
+    return staged.where(F.size("toks") >= n).select(
         "id", word_shingles(F.col("toks"), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -136,31 +143,48 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_fn_xxhash64(s, k: int):
-    """Production per-(seed, shingle) hash: JVM xxhash64."""
-    return F.xxhash64(F.lit(k), s)
+def _minhash_fn_xxhash64(s, k):
+    """Production per-(seed, shingle) hash: JVM xxhash64. `k` may be an
+    int literal or an integer Column (the seed-sequence lambda variable) —
+    xxhash64 hashes the VALUE, so both forms are bit-identical."""
+    return F.xxhash64(F.lit(k) if isinstance(k, int) else k, s)
 
 
-def _minhash_fn_md5(s, k: int):
+def _minhash_fn_md5(s, k):
     """Engine-portable per-(seed, shingle) hash: 32-bit md5 prefix. Slower
     than xxhash64 but reproducible in DuckDB for the oracle twin."""
-    return md5_prefix_long(F.concat(F.lit(f"{k}:"), s))
-
-
-def _seeded_min(sh, hash_fn, k: int):
-    """min over shingles of hash_fn(shingle, k), with a SINGLE-parameter
-    lambda. NEVER write `lambda s, k=k: ...` inside F.transform: a
-    two-parameter callable makes PySpark bind the second parameter to the
-    ELEMENT INDEX column (overriding the default), which silently turned
-    every per-seed hash into the same index-seeded hash — all signature
-    components identical, collapsing 32-hash/8-band MinHash LSH into a
-    single-hash exact match (round-1 bug, caught by the md5 oracle twin
-    work in round 2)."""
-    return F.array_min(F.transform(sh, lambda s: hash_fn(s, k)))
+    kc = F.lit(f"{k}:") if isinstance(k, int) else F.concat(k.cast("string"), F.lit(":"))
+    return md5_prefix_long(F.concat(kc, s))
 
 
 def _signature_expr(sh, num_hashes: int, hash_fn):
-    return F.array(*[_seeded_min(sh, hash_fn, k) for k in range(num_hashes)])
+    """sig[k] = min over shingles of hash_fn(shingle, k) for k in
+    [0, num_hashes) — as ONE nested transform over a runtime seed
+    sequence, not num_hashes unrolled columns. The unrolled form's codegen
+    unit grew with num_hashes and cost ~10s of first-execution JIT at 32
+    hashes (the dominant minhash_dedup bench cost); this form is O(1) in
+    code size, bit-identical output (locked by test_operators_more).
+
+    Two optimizer traps apply (see also quality_filters.py):
+    - `sh` would be a SINGLE static reference inside a lambda —
+      CollapseProject re-inlines it and re-tokenizes per seed (32x).
+      Binding it as a lambda variable via element_at(transform(array(e)))
+      materializes it once per row.
+    - seed lambdas must be single-parameter: a two-parameter callable gets
+      (element, INDEX) — the round-1 bug that collapsed all 32 "seeded"
+      hashes into one (caught by the md5 oracle twin in round 2).
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.element_at(
+        F.transform(
+            F.array(sh),
+            lambda shb: F.transform(
+                seeds,
+                lambda k: F.array_min(F.transform(shb, lambda s: hash_fn(s, k))),
+            ),
+        ),
+        1,
+    )
 
 
 def minhash_signatures(
