@@ -42,8 +42,13 @@ def winnowing_fingerprints(
     staged = df.select(
         F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("t")
     )
-    hashed = staged.select("id", _kgram_hashes(F.col("t"), k).alias("hashes")).where(
-        F.size("hashes") >= window
+    # the ≥window gate is expressed on text LENGTH (size(hashes) >= window
+    # ⟺ length(t) >= k + window - 1): filtering on size(hashes) pushed the
+    # whole per-character md5 array into the scan filter, recomputing it
+    # once per row just for the size check (measured 18s of the 19s
+    # fingerprint time at sf0.1 — same trap as dedup.shingle_table)
+    hashed = staged.where(F.length("t") >= k + window - 1).select(
+        "id", _kgram_hashes(F.col("t"), k).alias("hashes")
     )
     h = F.col("hashes")
     minima = F.transform(
