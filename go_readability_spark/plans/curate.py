@@ -29,11 +29,18 @@ def curate_corpus(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     gopher_gate: bool = False,
+    redact_pii: bool = False,
+    max_lm_nll_per_bigram: float | None = None,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
     fingerprint) — readerable, long enough, high-quality, language-matched,
-    exact- and near-deduplicated (min-url representative per group)."""
+    exact- and near-deduplicated (min-url representative per group).
+
+    redact_pii masks emails/IPs/phones in text_content (map-only stage).
+    max_lm_nll_per_bigram additionally gates docs by CCNet-style bigram-LM
+    perplexity (micro-nats per bigram; the LM trains on a hash-sample of
+    the already-curated docs)."""
     articles = extract_pages(
         pages,
         n_buckets=n_buckets,
@@ -80,6 +87,28 @@ def curate_corpus(
     pairs = minhash_dedup_pairs(docs, threshold=near_dup_threshold)
     drop = pairs.select(F.greatest("id_a", "id_b").alias("url")).distinct()
     curated = exact_unique.join(drop, "url", "left_anti")
+
+    if max_lm_nll_per_bigram is not None:
+        # LM-perplexity gate (CCNet): train on a hash-sample of the curated
+        # docs themselves, keep docs whose per-bigram NLL is at or below the
+        # cap. Docs with < 2 tokens have no bigrams and are kept (no signal).
+        from ..operators.lm_score import bigram_lm_scores
+
+        scores = bigram_lm_scores(
+            curated.select(F.col("url").alias("doc_id"),
+                           F.col("text_content").alias("text")),
+        ).where(
+            F.col("nll_micro")
+            > F.col("n_bigrams") * F.lit(max_lm_nll_per_bigram * 1_000_000)
+        ).select(F.col("doc_id").alias("url"))
+        curated = curated.join(scores, "url", "left_anti")
+
+    if redact_pii:
+        from ..functions.pii import with_pii_redacted
+
+        curated = with_pii_redacted(curated, "text_content").drop(
+            "text_content", "n_emails", "n_ips", "n_phones"
+        ).withColumnRenamed("text_redacted", "text_content")
 
     return curated.select(
         "url", "title", "text_content", "length",

@@ -252,3 +252,41 @@ def test_curate_with_gopher_gate(spark):
                           languages=("en",), num_partitions=4, gopher_gate=True)
     nb, ng = base.count(), gated.count()
     assert 0 < ng <= nb
+
+
+def test_curate_with_pii_and_lm_gate(spark):
+    """Round-2 continuation stages compose into curation: PII masking
+    rewrites text_content in place (schema unchanged), and the LM
+    perplexity cap only ever removes docs."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    rows = synth_corpus_rows(16, seed=31, skew=False)
+    # plant PII inside one page's article body so it survives extraction
+    target = rows[2]
+    target["html"] = target["html"].replace(
+        b"</p>", b" write to alice@example.com or 10.1.2.3.</p>", 1
+    )
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    kw = dict(min_length=100, min_quality=0.0, languages=("en", "und"),
+              num_partitions=4)
+
+    base = curate_corpus(pages, **kw).cache()
+    redacted = curate_corpus(pages, redact_pii=True, **kw).cache()
+    assert redacted.columns == base.columns
+    assert redacted.count() == base.count()
+    joined = (base.alias("b").join(redacted.alias("r"), "url")
+              .select(F.col("b.text_content").alias("bt"),
+                      F.col("r.text_content").alias("rt")).collect())
+    assert any("<EMAIL>" in r.rt and "<IP>" in r.rt for r in joined)
+    assert all("alice@example.com" not in r.rt for r in joined)
+    assert any(r.bt != r.rt for r in joined)
+
+    # a generous cap keeps everything; cap 0 drops every doc with bigrams
+    loose = curate_corpus(pages, max_lm_nll_per_bigram=1000.0, **kw)
+    tight = curate_corpus(pages, max_lm_nll_per_bigram=0.0, **kw)
+    assert loose.count() == base.count()
+    assert tight.count() < base.count()
