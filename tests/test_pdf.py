@@ -1,0 +1,90 @@
+"""PDF text extraction: writer→parser round-trips (flate + raw streams,
+escapes, hex strings, multi-page, multi-line), honest failure modes
+(encrypted / non-PDF / unsupported filters), and the Spark read path."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from go_readability_spark.sources.pdf import (
+    docs_from_pdf,
+    pdf_text,
+    write_pdf,
+)
+
+
+@pytest.mark.parametrize("flate", [True, False])
+def test_roundtrip_single_page(flate):
+    assert pdf_text(write_pdf(["Hello, PDF world."], flate=flate)) == "Hello, PDF world."
+
+
+def test_roundtrip_multiline_multipage():
+    pages = ["line one\nline two\nline three", "second page"]
+    assert pdf_text(write_pdf(pages)) == "line one\nline two\nline three\nsecond page"
+
+
+def test_escapes_and_parens():
+    s = r"parens () and \ backslash, tabs"
+    assert pdf_text(write_pdf([s])) == s
+
+
+def test_hex_strings_and_tj_array():
+    content = b"BT /F1 12 Tf 72 720 Td [(Kerned) -120 ( pair)] TJ T* <48657821> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_text(pdf) == "Kerned pair\nHex!"
+
+
+def test_octal_and_quote_operator():
+    content = b"BT (first) Tj (\\110i) ' ET"  # ' starts a new line, \110 = 'H'
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_text(pdf) == "first\nHi"
+
+
+def test_not_a_pdf_and_encrypted_raise():
+    with pytest.raises(ValueError):
+        pdf_text(b"GIF89a not a pdf")
+    enc = write_pdf(["x"]).replace(b"/Root", b"/Encrypt 9 0 R /Root")
+    with pytest.raises(ValueError):
+        pdf_text(enc)
+
+
+def test_image_stream_skipped():
+    """A DCTDecode (JPEG) stream must be ignored, not parsed as text."""
+    img = b"<< /Filter /DCTDecode /Length 4 >>\nstream\nBTET\nendstream\n"
+    pdf = write_pdf(["real text"], flate=False)
+    pdf = pdf.replace(b"%PDF-1.4\n", b"%PDF-1.4\n9 0 obj\n" + img + b"endobj\n")
+    assert pdf_text(pdf) == "real text"
+
+
+def test_corrupt_flate_stream_skipped():
+    pdf = write_pdf(["will be corrupted"])
+    # damage the deflate payload: text stream becomes undecodable → skipped
+    body = bytearray(pdf)
+    i = pdf.index(b"stream\n") + 7
+    body[i:i + 8] = b"\x00" * 8
+    assert pdf_text(bytes(body)) == ""
+
+
+def test_spark_read_path(spark, tmp_path):
+    (tmp_path / "a.pdf").write_bytes(write_pdf(["alpha doc", "page 2"]))
+    (tmp_path / "b.pdf").write_bytes(write_pdf(["beta doc"], flate=False))
+    (tmp_path / "c.pdf").write_bytes(b"not a pdf at all")
+    rows = {r.path.rsplit("/", 1)[-1]: r
+            for r in docs_from_pdf(spark, str(tmp_path)).collect()}
+    assert rows["a.pdf"].text == "alpha doc\npage 2" and rows["a.pdf"].error is None
+    assert rows["b.pdf"].text == "beta doc"
+    assert rows["c.pdf"].text is None and "ValueError" in rows["c.pdf"].error
+
+
+def test_spark_strict_raises(spark, tmp_path):
+    (tmp_path / "c.pdf").write_bytes(b"junk")
+    with pytest.raises(Exception):
+        docs_from_pdf(spark, str(tmp_path), strict=True).count()
