@@ -475,6 +475,38 @@ def _q_lm_perplexity(spark, sf_dir):
     return bigram_lm_scores(_read(spark, sf_dir, "documents"))
 
 
+_DUP_PASSAGE = (
+    "this shared boilerplate passage is repeated verbatim across many "
+    "documents in the corpus today"
+)
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Exact-substring span removal (Lee et al. 2021): a 15-token passage
+    is planted at the head of every 4th document (identically in both
+    engines), so its 12-token windows occur corpus-wide and the operator
+    must cut exactly those spans; md5 pins the surviving text."""
+    _ship_package(spark)
+    from go_readability_spark.operators.substring_dedup import (
+        remove_duplicated_spans,
+    )
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 4 == 0, F.concat(F.lit(_DUP_PASSAGE + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_duplicated_spans(docs, "doc_id", "text", length=12)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling event-time windows (batch twin of the streaming metrics)."""
     _ship_package(spark)
@@ -532,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
+        "substring_dedup": _q_substring_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
@@ -706,6 +739,9 @@ def _pii_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from go_readability_spark.operators.lm_score import duck_bigram_lm_sql
+    from go_readability_spark.operators.substring_dedup import (
+        duck_substring_dedup_sql,
+    )
     return {
         **_fixture_parity_oracle(),
         "extract_salted_md5": """
@@ -858,6 +894,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redaction": _pii_oracle_sql(),
         "lm_perplexity": duck_bigram_lm_sql(),
+        "substring_dedup": (
+            "SELECT doc_id, md5(clean_text) AS clean_md5, "
+            "n_tokens_kept, n_tokens_dropped FROM ("
+            + duck_substring_dedup_sql(
+                inject=(
+                    f"CASE WHEN doc_id % 4 = 0 THEN '{_DUP_PASSAGE} ' || text "
+                    "ELSE text END"
+                )
+            )
+            + ")"
+        ),
         "corpus_mixture": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -69,7 +69,7 @@ def test_every_query_runs(spark, entry_mod):
     "extract_salted_md5", "tpch_q1", "tpch_q3_like",
     "minhash_pairs_md5", "simhash_pairs", "fixture_parity",
     "embedding_near_pairs", "repetition_filters", "url_canonical", "decontamination", "corpus_mixture", "line_dedup",
-    "pii_redaction", "lm_perplexity",
+    "pii_redaction", "lm_perplexity", "substring_dedup",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()
