@@ -19,6 +19,46 @@ def read_pages_stream(spark, path: str, max_files_per_trigger: int = 4) -> DataF
     )
 
 
+def read_pages_stream_warc(
+    spark, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over a directory that RECEIVES
+    .warc/.warc.gz archives (the continuous-crawl ingestion shape: each
+    newly landed archive becomes one micro-batch unit). Same per-archive
+    parser and corrupt-archive containment as the batch WARC source."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..sources.warc import warc_bytes_to_page_rows
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    rows = list(warc_bytes_to_page_rows(bytes(content)))
+                except Exception:
+                    continue  # corrupt archive: skip, the stream lives on
+                if rows:
+                    out = pd.DataFrame(rows)
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
+                    yield out
+
+    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def extract_pages_stream(pages_stream: DataFrame, n_buckets: int = 64) -> DataFrame:
     """Streaming extraction: stateless mapInPandas, so it composes with any
     sink; watermarks aren't needed (per-row transform, no event-time agg)."""

@@ -162,3 +162,23 @@ def test_cli_extract_from_warc(tmp_path, warc_dir):
 
     n = duckdb.sql(f"select count(*) from '{out}/**/*.parquet'").fetchone()[0]
     assert n == 7
+
+
+def test_streaming_warc_ingestion(spark, warc_dir, tmp_path):
+    """Continuous-crawl shape: archives landing in a directory stream
+    through the same parser into the extraction sink; the corrupt
+    archives in warc_dir must not kill the stream."""
+    from go_readability_spark.streaming import (
+        read_pages_stream_warc,
+        run_stream_to_parquet,
+    )
+
+    stream = read_pages_stream_warc(spark, warc_dir, max_files_per_trigger=2)
+    q = run_stream_to_parquet(
+        stream, str(tmp_path / "articles"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "articles"))
+    assert out.count() == 7
+    assert out.where("error is null").count() == 7
+    assert {r.title for r in out.select("title").collect()} >= {"T0", "T1"}
