@@ -7,7 +7,12 @@ from .fixtures import (  # noqa: F401
 )
 from .fixture_corpus import fixture_mix_pages, load_fixture_blobs  # noqa: F401
 from .pdf import docs_from_pdf, pdf_text, write_pdf  # noqa: F401
-from .warc import pages_from_warc, write_warc  # noqa: F401
+from .warc import (  # noqa: F401
+    docs_from_wet,
+    pages_from_warc,
+    write_warc,
+    write_wet,
+)
 from .synthetic import (  # noqa: F401
     pages_from_documents,
     synth_corpus_rows,

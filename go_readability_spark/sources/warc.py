@@ -108,6 +108,79 @@ def warc_bytes_to_page_rows(raw: bytes) -> Iterator[dict]:
         yield {"url": url, "warc_ts": ts, "html": body, "text": None, "lang": None}
 
 
+def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
+    """Text `conversion` records of a WET archive (Common Crawl's
+    pre-extracted text sidecar format — same ISO 28500 framing, payload is
+    the plain text itself, no HTTP envelope)."""
+    for headers, payload in iter_warc_records(raw):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+            except ValueError:
+                ts = None
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "text": payload.decode("utf-8", errors="replace"),
+        }
+
+
+def docs_from_wet(spark, path: str, strict: bool = False) -> DataFrame:
+    """Read .wet/.wet.gz archives under `path` into (url, warc_ts, text) —
+    the documents-shaped on-ramp for corpora where extraction already
+    happened upstream (Common Crawl publishes WET alongside WARC). Same
+    one-archive-per-task parallelism and corrupt-archive containment as
+    :func:`pages_from_warc`."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    rows = list(wet_bytes_to_doc_rows(bytes(content)))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                if rows:
+                    out = pd.DataFrame(rows)
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
+                    yield out
+
+    return files.mapInPandas(
+        parse, schema="url string, warc_ts timestamp, text string"
+    )
+
+
+def write_wet(records: list[tuple[str, datetime, str]], gz: bool = True) -> bytes:
+    """Build a WET blob from (url, ts, text) triples — for tests."""
+    out = b""
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        rec = headers + body + b"\r\n\r\n"
+        out += gzip.compress(rec) if gz else rec
+    return out
+
+
 def pages_from_warc(
     spark, path: str, num_partitions: int | None = None, strict: bool = False
 ) -> DataFrame:

@@ -182,3 +182,31 @@ def test_streaming_warc_ingestion(spark, warc_dir, tmp_path):
     assert out.count() == 7
     assert out.where("error is null").count() == 7
     assert {r.title for r in out.select("title").collect()} >= {"T0", "T1"}
+
+
+def test_wet_roundtrip_and_spark(spark, tmp_path):
+    """WET (conversion-record) sidecar format: text docs round-trip; a
+    response-record WARC yields nothing through the WET reader and vice
+    versa (record-type discrimination)."""
+    from go_readability_spark.sources.warc import (
+        docs_from_wet,
+        wet_bytes_to_doc_rows,
+        write_wet,
+    )
+
+    recs = [
+        ("http://example.org/w0", datetime(2024, 2, 1, 8, 0, 0), "extracted text zero"),
+        ("http://example.org/w1", datetime(2024, 2, 1, 8, 0, 1), "unicode café — text"),
+    ]
+    rows = list(wet_bytes_to_doc_rows(write_wet(recs)))
+    assert [(r["url"], r["text"]) for r in rows] == [(u, t) for u, _, t in recs]
+    # WARC response records are not WET conversions
+    assert list(wet_bytes_to_doc_rows(write_warc(_records(2)))) == []
+    assert list(warc_bytes_to_page_rows(write_wet(recs))) == []
+
+    (tmp_path / "a.wet.gz").write_bytes(write_wet(recs))
+    (tmp_path / "b.wet.gz").write_bytes(write_wet(recs)[:20])  # corrupt: skipped
+    got = {r.url: r for r in docs_from_wet(spark, str(tmp_path)).collect()}
+    assert len(got) == 2
+    assert got["http://example.org/w1"].text == "unicode café — text"
+    assert got["http://example.org/w0"].warc_ts == datetime(2024, 2, 1, 8, 0, 0)
