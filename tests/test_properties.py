@@ -121,3 +121,66 @@ def test_spark_jaccard_matches_pure_python_reference(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()
     }
     assert got == _py_jaccard_pairs(docs)
+
+
+@given(st.binary(max_size=4096))
+def test_pdf_text_contained_on_arbitrary_bytes(data):
+    """pdf_text either extracts or raises ValueError — never hangs, never
+    leaks an unexpected exception type (the Spark wrapper maps ValueError
+    to a per-row error)."""
+    from go_readability_spark.sources.pdf import pdf_text
+
+    try:
+        out = pdf_text(data)
+        assert isinstance(out, str)
+    except ValueError:
+        pass
+
+
+@given(st.binary(max_size=4096))
+def test_pdf_text_contained_with_pdf_header(data):
+    from go_readability_spark.sources.pdf import pdf_text
+
+    try:
+        out = pdf_text(b"%PDF-1.4\n" + data)
+        assert isinstance(out, str)
+    except ValueError:
+        pass
+
+
+@given(st.binary(max_size=4096))
+def test_warc_parsers_contained_on_arbitrary_bytes(data):
+    """Both archive parsers terminate with rows or a contained exception
+    on arbitrary bytes (the mapInPandas wrappers skip such archives)."""
+    from go_readability_spark.sources.warc import (
+        warc_bytes_to_page_rows,
+        wet_bytes_to_doc_rows,
+    )
+
+    for fn in (warc_bytes_to_page_rows, wet_bytes_to_doc_rows):
+        try:
+            rows = list(fn(data))
+            assert all(isinstance(r, dict) for r in rows)
+        except (ValueError, EOFError, OSError):  # gzip/framing errors
+            pass
+
+
+@given(st.binary(max_size=2048))
+def test_warc_parsers_contained_on_valid_framing_prefix(data):
+    """A syntactically valid first record followed by garbage must yield
+    the record and then stop or raise contained errors."""
+    from datetime import datetime
+
+    from go_readability_spark.sources.warc import (
+        warc_bytes_to_page_rows,
+        write_warc,
+    )
+
+    good = write_warc(
+        [("http://x/ok", datetime(2024, 1, 1), b"<html>ok</html>")], gz=False
+    )
+    try:
+        rows = list(warc_bytes_to_page_rows(good + data))
+    except ValueError:
+        return
+    assert rows and rows[0]["url"] == "http://x/ok"
