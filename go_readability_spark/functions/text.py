@@ -30,6 +30,12 @@ LANG_STOPWORDS = {
 LANG_ORDER = ("en", "de", "fr", "es", "it", "pt", "nl")
 
 
+# DuckDB/RE2 twin of Java's \s: RE2's \s omits \x0B (vertical tab), so
+# oracles that tokenize must spell the class out or they diverge from the
+# Spark side on \x0B-bearing text
+DUCK_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+
+
 def md5_prefix_long(col: Column) -> Column:
     """First 8 hex chars of md5 as a bigint — THE engine-portable 32-bit
     hash (DuckDB twin: CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)).

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import md5_prefix_long
+from ..functions.text import DUCK_WS_CLASS, md5_prefix_long
 
 UNK = "<unk>"
 
@@ -145,7 +145,8 @@ def duck_bigram_lm_sql(
     return f"""
         WITH toks AS (
             SELECT {id_col} AS id,
-                   list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),
+                   list_filter(string_split_regex(lower(trim({text_col})),
+                               '{DUCK_WS_CLASS}'),
                                x -> x != '') AS t
             FROM {table}
         ),

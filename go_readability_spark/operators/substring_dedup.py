@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import md5_prefix_long
+from ..functions.text import DUCK_WS_CLASS, md5_prefix_long
 from .dedup import normalized_text
 
 
@@ -134,7 +134,7 @@ def duck_substring_dedup_sql(
         WITH toks AS (
             SELECT {id_col} AS id,
                    list_filter(string_split_regex(trim(regexp_replace(lower({text_expr}),
-                               '\\s+', ' ', 'g')), ' '), x -> x != '') AS t
+                               '{DUCK_WS_CLASS}', ' ', 'g')), ' '), x -> x != '') AS t
             FROM {table}
         ),
         tok_rows AS (

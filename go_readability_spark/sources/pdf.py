@@ -55,9 +55,11 @@ def _decode_literal(raw: bytes) -> bytes:
             i += 1
             continue
         nxt = raw[i + 1:i + 2]
-        if nxt.isdigit():  # octal \d{1,3}
+        if nxt and nxt in b"01234567":  # octal \d{1,3}, OCTAL digits only:
+            # \8 / \9 are "backslash before non-escape" (ignored backslash,
+            # §7.3.4.2), and \79 is octal \7 followed by literal '9'
             j = i + 1
-            while j < min(i + 4, n) and raw[j:j + 1].isdigit():
+            while j < min(i + 4, n) and raw[j:j + 1] in b"01234567":
                 j += 1
             out.append(int(raw[i + 1:j], 8) & 0xFF)
             i = j
@@ -86,9 +88,18 @@ def _content_streams(pdf: bytes) -> Iterator[bytes]:
         raise ValueError("encrypted PDF not supported")
     for m in _STREAM_RE.finditer(pdf):
         params, data = m.group(1), m.group(2)
-        # stream data runs to the Length, but regex splits on `endstream`;
-        # strip the EOL the writer put before the keyword
-        data = data.rstrip(b"\r\n")
+        # the payload length: /Length when direct (authoritative — deflate
+        # payloads may legitimately END in 0x0A/0x0D bytes, so trimming by
+        # EOL inspection alone is ambiguous); otherwise strip AT MOST ONE
+        # EOL sequence before `endstream` (§7.3.8.1 — rstrip would eat
+        # payload bytes and silently lose the stream's text)
+        lm = re.search(rb"/Length\s+(\d+)(\s+0\s+R)?", params)
+        if lm and not lm.group(2) and int(lm.group(1)) <= len(data):
+            data = data[: int(lm.group(1))]
+        elif data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
         if b"/FlateDecode" in params:
             try:
                 data = zlib.decompress(data)

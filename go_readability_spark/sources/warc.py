@@ -19,7 +19,7 @@ from __future__ import annotations
 import gzip
 import io
 from collections.abc import Iterator
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
@@ -48,8 +48,13 @@ def _read_headers(stream) -> dict | None:
 def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
     """(warc_headers, payload) per record from a .warc or .warc.gz blob."""
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)  # multi-member: stdlib reads all members
-    stream = io.BytesIO(raw)
+        # stream members instead of gzip.decompress(raw): a ~1 GB Common
+        # Crawl archive inflates to ~4-5 GB, and materializing that next
+        # to the compressed blob would OOM a default-sized executor;
+        # GzipFile reads all concatenated members transparently
+        stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        stream = io.BytesIO(raw)
     while True:
         headers = _read_headers(stream)
         if headers is None:
@@ -61,28 +66,110 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
-def _split_http_response(payload: bytes) -> tuple[dict, bytes] | None:
-    """HTTP response payload -> (http_headers, body); None if malformed."""
-    sep = payload.find(b"\r\n\r\n")
-    nl = b"\r\n"
-    if sep == -1:
-        sep = payload.find(b"\n\n")
-        nl = b"\n"
-        if sep == -1:
-            return None
+def _split_http_response(payload: bytes) -> tuple[int, dict, bytes] | None:
+    """HTTP response payload -> (status, http_headers, body); None if
+    malformed. Whichever header/body separator (CRLFCRLF or LFLF) occurs
+    FIRST wins — LF-only headers whose body happens to contain a CRLFCRLF
+    must not missplit."""
+    crlf, lf = payload.find(b"\r\n\r\n"), payload.find(b"\n\n")
+    if crlf == -1 and lf == -1:
+        return None
+    if crlf != -1 and (lf == -1 or crlf <= lf):
+        sep, nl = crlf, b"\r\n"
+    else:
+        sep, nl = lf, b"\n"
     head = payload[:sep].split(nl)
     if not head or not head[0].startswith(b"HTTP/"):
+        return None
+    parts = head[0].split()
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
         return None
     headers = {}
     for line in head[1:]:
         if b":" in line:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
-    return headers, payload[sep + 2 * len(nl):]
+    return status, headers, payload[sep + 2 * len(nl):]
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked body (hex-size lines, CRLF or
+    bare-LF framing); stops cleanly at the terminal 0-chunk or on any
+    malformed size line."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = body.find(b"\r\n", i)
+        nl = 2
+        k = body.find(b"\n", i)
+        if k != -1 and (j == -1 or k < j):
+            j, nl = k, 1
+        if j == -1:
+            break
+        try:
+            size = int(body[i:j].split(b";")[0].strip() or b"0", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = j + nl
+        out += body[start:start + size]
+        i = start + size
+        if body[i:i + 2] == b"\r\n":
+            i += 2
+        elif body[i:i + 1] == b"\n":
+            i += 1
+    return bytes(out)
+
+
+def _decode_http_body(http_headers: dict, body: bytes) -> bytes | None:
+    """Undo Transfer-Encoding / Content-Encoding; None when the encoding
+    is unknown or the payload doesn't decode (record is skipped rather
+    than emitting framing bytes or compressed bytes as page html)."""
+    if "chunked" in http_headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = http_headers.get("content-encoding", "").strip().lower()
+    if enc in ("", "identity"):
+        return body
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            import zlib
+
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    except Exception:
+        return None
+    return None  # br/zstd/unknown: no stdlib decoder — skip the record
+
+
+def _parse_warc_date(headers: dict) -> datetime | None:
+    """WARC-Date → naive UTC. Offsets are CONVERTED to UTC, not truncated
+    (the spec mandates Z, but real-world writers emit offsets — dropping
+    the tz would skew warc_ts by the offset)."""
+    raw_ts = headers.get("warc-date")
+    if not raw_ts:
+        return None
+    try:
+        dt = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def warc_bytes_to_page_rows(raw: bytes) -> Iterator[dict]:
-    """HTML response records of one archive as pages-shaped dicts."""
+    """HTML 2xx response records of one archive as pages-shaped dicts.
+    Non-2xx responses (redirect stubs, error pages) are crawl noise, not
+    corpus pages; chunked / gzip / deflate bodies are decoded, records
+    with undecodable encodings are skipped rather than emitting framing
+    or compressed bytes as html."""
     for headers, payload in iter_warc_records(raw):
         if headers.get("warc-type") != "response":
             continue
@@ -92,20 +179,22 @@ def warc_bytes_to_page_rows(raw: bytes) -> Iterator[dict]:
         parsed = _split_http_response(payload)
         if parsed is None:
             continue
-        http_headers, body = parsed
+        status, http_headers, body = parsed
+        if not 200 <= status < 300:
+            continue
         ctype = http_headers.get("content-type", "")
         if "html" not in ctype.lower():
             continue
-        ts = None
-        raw_ts = headers.get("warc-date")
-        if raw_ts:
-            try:
-                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00")).replace(
-                    tzinfo=None
-                )
-            except ValueError:
-                ts = None
-        yield {"url": url, "warc_ts": ts, "html": body, "text": None, "lang": None}
+        body = _decode_http_body(http_headers, body)
+        if body is None:
+            continue
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_date(headers),
+            "html": body,
+            "text": None,
+            "lang": None,
+        }
 
 
 def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
@@ -118,20 +207,35 @@ def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        ts = None
-        raw_ts = headers.get("warc-date")
-        if raw_ts:
-            try:
-                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00")).replace(
-                    tzinfo=None
-                )
-            except ValueError:
-                ts = None
         yield {
             "url": url,
-            "warc_ts": ts,
+            "warc_ts": _parse_warc_date(headers),
             "text": payload.decode("utf-8", errors="replace"),
         }
+
+
+def archive_parser(row_fn, strict: bool = False):
+    """The shared mapInPandas body for every archive reader (batch WARC,
+    WET, streaming WARC): parse each file's bytes with `row_fn`, skip the
+    archive on any error unless strict — corrupt-archive semantics live in
+    exactly one place."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    rows = list(row_fn(bytes(content)))
+                except Exception:
+                    if strict:
+                        raise
+                    continue  # corrupt archive: skip, don't kill the job
+                if rows:
+                    out = pd.DataFrame(rows)
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
+                    yield out
+
+    return parse
 
 
 def docs_from_wet(spark, path: str, strict: bool = False) -> DataFrame:
@@ -140,26 +244,10 @@ def docs_from_wet(spark, path: str, strict: bool = False) -> DataFrame:
     happened upstream (Common Crawl publishes WET alongside WARC). Same
     one-archive-per-task parallelism and corrupt-archive containment as
     :func:`pages_from_warc`."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for content in pdf["content"]:
-                try:
-                    rows = list(wet_bytes_to_doc_rows(bytes(content)))
-                except Exception:
-                    if strict:
-                        raise
-                    continue
-                if rows:
-                    out = pd.DataFrame(rows)
-                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
-                    yield out
-
     return files.mapInPandas(
-        parse, schema="url string, warc_ts timestamp, text string"
+        archive_parser(wet_bytes_to_doc_rows, strict),
+        schema="url string, warc_ts timestamp, text string",
     )
 
 
@@ -193,29 +281,14 @@ def pages_from_warc(
     corrupt archives among tens of thousands must not kill the job — they
     are skipped and the job proceeds. strict=True re-raises for debugging.
     """
-    import pandas as pd
-
     from ..plans.schema import PAGES_SCHEMA
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     if num_partitions:
         files = files.repartition(num_partitions)
-
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for content in pdf["content"]:
-                try:
-                    rows = list(warc_bytes_to_page_rows(bytes(content)))
-                except Exception:
-                    if strict:
-                        raise
-                    continue  # corrupt archive: skip, don't kill the job
-                if rows:
-                    out = pd.DataFrame(rows)
-                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
-                    yield out
-
-    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+    return files.mapInPandas(
+        archive_parser(warc_bytes_to_page_rows, strict), schema=PAGES_SCHEMA
+    )
 
 
 def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True) -> bytes:

@@ -26,10 +26,7 @@ def read_pages_stream_warc(
     .warc/.warc.gz archives (the continuous-crawl ingestion shape: each
     newly landed archive becomes one micro-batch unit). Same per-archive
     parser and corrupt-archive containment as the batch WARC source."""
-    import pandas as pd
-    from collections.abc import Iterator
-
-    from ..sources.warc import warc_bytes_to_page_rows
+    from ..sources.warc import archive_parser, warc_bytes_to_page_rows
 
     files = (
         spark.readStream.format("binaryFile")
@@ -43,20 +40,9 @@ def read_pages_stream_warc(
         .load(path)
         .select("path", "content")
     )
-
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for content in pdf["content"]:
-                try:
-                    rows = list(warc_bytes_to_page_rows(bytes(content)))
-                except Exception:
-                    continue  # corrupt archive: skip, the stream lives on
-                if rows:
-                    out = pd.DataFrame(rows)
-                    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce")
-                    yield out
-
-    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+    return files.mapInPandas(
+        archive_parser(warc_bytes_to_page_rows), schema=PAGES_SCHEMA
+    )
 
 
 def extract_pages_stream(pages_stream: DataFrame, n_buckets: int = 64) -> DataFrame:

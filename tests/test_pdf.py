@@ -88,3 +88,31 @@ def test_spark_strict_raises(spark, tmp_path):
     (tmp_path / "c.pdf").write_bytes(b"junk")
     with pytest.raises(Exception):
         docs_from_pdf(spark, str(tmp_path), strict=True).count()
+
+
+def test_deflate_payload_ending_in_eol_byte_not_eaten():
+    """Regression: a compressed stream whose last deflate byte is 0x0A or
+    0x0D must round-trip — stripping more than one EOL before `endstream`
+    ate payload bytes and silently lost the stream's text (~1 in 128)."""
+    found = 0
+    for i in range(400):
+        text = f"silent loss {i}"
+        blob = write_pdf([text])
+        # locate the compressed payload and check its tail byte
+        start = blob.index(b"stream\n", blob.index(b"/FlateDecode")) + 7
+        end = blob.index(b"\nendstream", start)
+        if blob[end - 1:end] in (b"\n", b"\r"):
+            found += 1
+            assert pdf_text(blob) == text, text
+    assert found > 0  # the hazard case was actually exercised
+
+
+def test_backslash_before_non_octal_digit():
+    """§7.3.4.2: backslash before a non-escape char is ignored — '\\8'
+    means '8', '\\79' is octal \\7 then literal '9'."""
+    content = rb"BT (digit \8 and \79 ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_text(pdf) == "digit 8 and \x079 ok"

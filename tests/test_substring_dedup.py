@@ -78,3 +78,28 @@ def test_kept_plus_dropped_is_total(spark):
     for r in remove_duplicated_spans(df, length=12).collect():
         total = len([t for t in re.sub(r"\s+", " ", dict(CORPUS)[r.id].strip().lower()).split(" ") if t])
         assert r.n_tokens_kept + r.n_tokens_dropped == total
+
+
+def test_duckdb_tokenizer_matches_java_on_vertical_tab(spark):
+    """RE2's \\s omits \\x0B; the oracles spell the whitespace class out
+    (DUCK_WS_CLASS) so a vertical tab splits tokens in BOTH engines."""
+    import duckdb
+
+    from go_readability_spark.functions.text import DUCK_WS_CLASS
+
+    text = "alpha\x0bbeta gamma"
+    duck = duckdb.sql(
+        "SELECT list_filter(string_split_regex(trim(regexp_replace(lower(?),"
+        f" '{DUCK_WS_CLASS}', ' ', 'g')), ' '), x -> x != '') AS t",
+        params=[text],
+    ).fetchone()[0]
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators.dedup import normalized_text
+
+    spark_toks = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.split(F.trim(normalized_text(F.col("text"))), " ").alias("t"))
+        .collect()[0].t
+    )
+    assert duck == spark_toks == ["alpha", "beta", "gamma"]

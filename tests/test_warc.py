@@ -210,3 +210,65 @@ def test_wet_roundtrip_and_spark(spark, tmp_path):
     assert len(got) == 2
     assert got["http://example.org/w1"].text == "unicode café — text"
     assert got["http://example.org/w0"].warc_ts == datetime(2024, 2, 1, 8, 0, 0)
+
+
+def _wrap_http(http: bytes, url=b"http://example.org/h") -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url + b"\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+def test_non_2xx_responses_skipped():
+    """404 error pages and 301 redirect stubs are crawl noise, not pages."""
+    for status in (b"404 Not Found", b"301 Moved Permanently", b"500 Oops"):
+        http = (b"HTTP/1.1 " + status +
+                b"\r\nContent-Type: text/html\r\n\r\n<html>stub</html>")
+        assert list(warc_bytes_to_page_rows(_wrap_http(http))) == []
+    ok = b"HTTP/1.1 204 No Content\r\nContent-Type: text/html\r\n\r\n<html>x</html>"
+    assert len(list(warc_bytes_to_page_rows(_wrap_http(ok)))) == 1  # 2xx kept
+
+
+def test_chunked_transfer_encoding_decoded():
+    body = b"7\r\n<html>h\r\n8\r\nello</h1\r\n4\r\ntml>\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    rows = list(warc_bytes_to_page_rows(_wrap_http(http)))
+    assert len(rows) == 1
+    assert rows[0]["html"] == b"<html>hello</h1tml>"
+
+
+def test_content_encoding_gzip_decoded_unknown_skipped():
+    page = b"<html><body>compressed page body</body></html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(page))
+    rows = list(warc_bytes_to_page_rows(_wrap_http(http)))
+    assert rows and rows[0]["html"] == page
+    # brotli: no stdlib decoder — the record must be skipped, not emitted raw
+    http_br = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Encoding: br\r\n\r\n\x1b\x2e\x00")
+    assert list(warc_bytes_to_page_rows(_wrap_http(http_br))) == []
+    # corrupt gzip body: skipped, not raised
+    http_bad = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n\r\nnot-gzip")
+    assert list(warc_bytes_to_page_rows(_wrap_http(http_bad))) == []
+
+
+def test_warc_date_offset_converted_to_utc():
+    raw = write_warc([("http://example.org/tz", datetime(2024, 5, 1, 12, 0, 0), b"<html>t</html>")], gz=False)
+    raw = raw.replace(b"2024-05-01T12:00:00Z", b"2024-05-01T12:00:00+02:00")
+    rows = list(warc_bytes_to_page_rows(raw))
+    assert rows[0]["warc_ts"] == datetime(2024, 5, 1, 10, 0, 0)  # converted, not truncated
+
+
+def test_lf_headers_with_crlfcrlf_in_body():
+    """LF-only HTTP headers whose BODY contains a CRLFCRLF must split on
+    the earlier LFLF, keeping the real headers."""
+    http = (b"HTTP/1.0 200 OK\nContent-Type: text/html\n\n"
+            b"<html>before\r\n\r\nafter</html>")
+    rows = list(warc_bytes_to_page_rows(_wrap_http(http)))
+    assert len(rows) == 1
+    assert rows[0]["html"] == b"<html>before\r\n\r\nafter</html>"
