@@ -230,6 +230,36 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .plans import build_session, curate_corpus, ship_package
+    from .plans.schema import PAGES_SCHEMA
+
+    spark = build_session(master=args.master)
+    try:
+        ship_package(spark)
+        if args.input_format == "warc":
+            from .sources.warc import pages_from_warc
+
+            pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
+        else:
+            pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+        curated = curate_corpus(
+            pages,
+            min_length=args.min_length,
+            min_quality=args.min_quality,
+            languages=tuple(args.languages.split(",")) if args.languages else (),
+            near_dup_threshold=args.near_dup_threshold,
+            num_partitions=args.partitions,
+            gopher_gate=args.gopher_gate,
+            redact_pii=args.redact_pii,
+            max_lm_nll_per_bigram=args.max_lm_nll,
+        )
+        curated.write.mode("overwrite").parquet(args.output)
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="go_readability_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -265,6 +295,28 @@ def main(argv=None) -> int:
                    help="trust checkpoint rows without verifying the output "
                         "(unsafe if a prior run died mid-commit)")
     e.set_defaults(fn=cmd_extract)
+
+    c = sub.add_parser("curate", help="full curation pipeline: extract -> "
+                       "quality/lang gates -> exact+near dedup [-> LM gate, "
+                       "PII redaction]")
+    c.add_argument("--input", required=True, help="pages parquet or warc dir")
+    c.add_argument("--input-format", choices=("parquet", "warc"),
+                   default="parquet")
+    c.add_argument("--output", required=True, help="curated parquet path")
+    c.add_argument("--min-length", type=int, default=200)
+    c.add_argument("--min-quality", type=float, default=0.3)
+    c.add_argument("--languages", default="en",
+                   help="comma-separated lang_id whitelist; empty = all")
+    c.add_argument("--near-dup-threshold", type=float, default=0.7)
+    c.add_argument("--gopher-gate", action="store_true",
+                   help="apply Gopher/C4 repetition + structure gates")
+    c.add_argument("--redact-pii", action="store_true",
+                   help="mask emails/IPs/phones in text_content")
+    c.add_argument("--max-lm-nll", type=float, default=None,
+                   help="CCNet-style per-bigram NLL cap (nats); unset = off")
+    c.add_argument("--partitions", type=int, default=None)
+    c.add_argument("--master", default=None)
+    c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

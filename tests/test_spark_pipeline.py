@@ -290,3 +290,36 @@ def test_curate_with_pii_and_lm_gate(spark):
     tight = curate_corpus(pages, max_lm_nll_per_bigram=0.0, **kw)
     assert loose.count() == base.count()
     assert tight.count() < base.count()
+
+
+def test_cli_curate_from_warc(tmp_path):
+    """The curate subcommand end-to-end from WARC input with PII redaction
+    on (subprocess: real spark-submit-equivalent surface)."""
+    import subprocess
+    import sys as _sys
+    from datetime import datetime
+
+    from go_readability_spark.sources import synth_corpus_rows, write_warc
+
+    rows = synth_corpus_rows(12, seed=5, skew=False)
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc.gz").write_bytes(
+        write_warc([(r["url"], datetime(2024, 1, 1), r["html"]) for r in rows])
+    )
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [_sys.executable, "-m", "go_readability_spark", "curate",
+         "--input", str(tmp_path / "in"), "--input-format", "warc",
+         "--output", str(out), "--min-length", "100", "--min-quality", "0.0",
+         "--languages", "en,und", "--redact-pii", "--partitions", "4",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    import duckdb
+
+    n, cols = duckdb.sql(
+        f"select count(*), count(distinct url) from '{out}/*.parquet'"
+    ).fetchone(), duckdb.sql(f"describe select * from '{out}/*.parquet'").fetchall()
+    assert n[0] > 0 and n[0] == n[1]
+    assert {c[0] for c in cols} >= {"url", "text_content", "lang_id", "quality"}
