@@ -588,7 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WS_TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    "ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END"
 )
 _PUNCT_RAW = (
     f"CASE WHEN length(text) = 0 THEN 0.0 "
@@ -614,7 +614,7 @@ _LANG_ID = (
     )
     + f" ELSE '{LANG_ORDER[-1]}' END"
 )
-_FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, len(toks) - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
@@ -625,7 +625,7 @@ _SHINGLES = (
 _JACCARD_CTES = f"""
             tokens AS (
                 SELECT doc_id,
-                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                       string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS toks
                 FROM documents
             ),
             shingled AS (
@@ -654,7 +654,7 @@ _JACCARD_CTES = f"""
 # bit j set iff vote > 0. Docs with no tokens get simhash 0.
 _SIMHASH_CTES = """
             norm AS (
-                SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
                 FROM documents
             ),
             toks AS (
@@ -799,9 +799,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": f"""
             WITH staged AS (
                 SELECT doc_id, text,
-                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w,
-                       list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS l,
-                       list_filter(string_split_regex(text, '\\n{{2,}}'), x -> trim(x) != '') AS p
+                       list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS w,
+                       list_filter(string_split_regex(text, '\\r?\\n'), x -> trim(x) != '') AS l,
+                       list_filter(string_split_regex(text, '(?:\\r?\\n){{2,}}'), x -> trim(x) != '') AS p
                 FROM documents
             ),
             bg AS (
@@ -825,10 +825,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(list_sum(list_transform(w, x -> length(x)))
                              / CAST(len(w) AS DOUBLE), 6) END AS mean_word_len,
                    CASE WHEN len(l) = 0 THEN 0.0
-                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '^\\s*([-*•‣▪])')))
+                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '^[ \\t\\n\\x0b\\f\\r]*([-*•‣▪])')))
                              / CAST(len(l) AS DOUBLE), 6) END AS bullet_line_frac,
                    CASE WHEN len(l) = 0 THEN 0.0
-                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                        ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t\\n\\x0b\\f\\r]*$')))
                              / CAST(len(l) AS DOUBLE), 6) END AS ellipsis_line_frac,
                    (
                      {_WS_TOKENS} BETWEEN 50 AND 100000
@@ -838,9 +838,9 @@ def oracle_sql() -> dict[str, str]:
                      AND (CASE WHEN len(w) = 0 THEN 0.0
                           ELSE round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / CAST(len(w) AS DOUBLE), 6) END) < 0.1
                      AND (CASE WHEN len(l) = 0 THEN 0.0
-                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '^\\s*([-*•‣▪])'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.9
+                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '^[ \\t\\n\\x0b\\f\\r]*([-*•‣▪])'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.9
                      AND (CASE WHEN len(l) = 0 THEN 0.0
-                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.3
+                          ELSE round(len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)[ \\t\\n\\x0b\\f\\r]*$'))) / CAST(len(l) AS DOUBLE), 6) END) < 0.3
                      AND (CASE WHEN len(l) = 0 THEN 0.0
                           ELSE round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6) END) < 0.3
                      AND (CASE WHEN len(p) = 0 THEN 0.0
@@ -859,38 +859,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             ld AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
-            ex0 AS (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(l) + 1),
-                           i -> struct_pack(pos := i, line := l[i]))) AS u
-                FROM ld
-            ),
             ex AS (
                 SELECT doc_id, u.pos AS pos, u.line AS line,
-                       md5(trim(u.line)) AS fingerprint
-                FROM ex0 WHERE trim(u.line) != ''
+                       CASE WHEN trim(u.line) = '' THEN NULL
+                            ELSE md5(trim(u.line)) END AS fingerprint
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(l) + 1),
+                                 i -> struct_pack(pos := i, line := l[i]))) AS u
+                      FROM ld)
             ),
             freq AS (
                 SELECT fingerprint, count(*) AS df
-                FROM (SELECT DISTINCT doc_id, fingerprint FROM ex)
+                FROM (SELECT DISTINCT doc_id, fingerprint FROM ex
+                      WHERE fingerprint IS NOT NULL)
                 GROUP BY fingerprint
             ),
             hot AS (SELECT fingerprint FROM freq WHERE df > 10),
-            kept AS (
-                SELECT e.* FROM ex e
-                WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fingerprint = e.fingerprint)
+            marked AS (
+                SELECT e.*, (h.fingerprint IS NOT NULL) AS is_hot
+                FROM ex e LEFT JOIN hot h ON h.fingerprint = e.fingerprint
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       CAST(sum(CASE WHEN fingerprint IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_lines_kept
+                FROM marked WHERE NOT is_hot GROUP BY doc_id
             ),
             dropped AS (
-                SELECT e.doc_id, count(*) AS n_lines_dropped FROM ex e
-                WHERE EXISTS (SELECT 1 FROM hot h WHERE h.fingerprint = e.fingerprint)
-                GROUP BY e.doc_id
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_dropped
+                FROM marked WHERE is_hot GROUP BY doc_id
             )
-            SELECT k.doc_id,
-                   md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_md5,
-                   count(*) AS n_lines_kept,
-                   coalesce(any_value(d.n_lines_dropped), 0) AS n_lines_dropped
-            FROM kept k LEFT JOIN dropped d ON d.doc_id = k.doc_id
-            GROUP BY k.doc_id
+            SELECT d.doc_id,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5,
+                   coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+                   coalesce(x.n_lines_dropped, 0) AS n_lines_dropped
+            FROM docs2 d
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            LEFT JOIN dropped x ON x.doc_id = d.doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
         "lm_perplexity": duck_bigram_lm_sql(),
@@ -916,7 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": """
             WITH toks AS (
                 SELECT doc_id,
-                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+                       string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
                 FROM documents
             ),
             grams AS (
@@ -944,15 +950,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS _nf FROM u),
             au AS (SELECT *, regexp_extract(_nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS _auth FROM nf),
+            al AS (
+                SELECT *,
+                       CASE WHEN instr(_auth, '@') = 0 THEN lower(_auth)
+                            ELSE lower(substring(_auth, 1, instr(_auth, '://') + 2))
+                              || substring(_auth, instr(_auth, '://') + 3,
+                                           instr(_auth, '@') - instr(_auth, '://') - 2)
+                              || lower(substring(_auth, instr(_auth, '@') + 1)) END AS _al
+                FROM au
+            ),
             a2 AS (
                 SELECT *,
-                       CASE WHEN lower(_auth) LIKE 'http://%' AND lower(_auth) LIKE '%:80'
-                                 THEN substring(lower(_auth), 1, length(_auth) - 3)
-                            WHEN lower(_auth) LIKE 'https://%' AND lower(_auth) LIKE '%:443'
-                                 THEN substring(lower(_auth), 1, length(_auth) - 4)
-                            ELSE lower(_auth) END AS _a,
+                       CASE WHEN _al LIKE 'http://%' AND _al LIKE '%:80'
+                                 THEN substring(_al, 1, length(_al) - 3)
+                            WHEN _al LIKE 'https://%' AND _al LIKE '%:443'
+                                 THEN substring(_al, 1, length(_al) - 4)
+                            ELSE _al END AS _a,
                        substring(_nf, length(_auth) + 1) AS _t
-                FROM au
+                FROM al
             ),
             pq AS (
                 SELECT *,
@@ -1002,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnowing_pairs": """
             WITH staged AS (
-                SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
                 FROM documents
             ),
             hashed AS (

@@ -46,14 +46,19 @@ def _sloppy_1252_bytes(s: str) -> bytes:
     return bytes(out)
 
 
-def fix_mojibake_text(s: str) -> str:
-    """Repair one string, or return it unchanged when not confidently
-    mojibake."""
-    if not s or not MOJIBAKE_MARKER.search(s):
+# ASCII whitespace only: \s would also match U+00A0, which can be the
+# SECOND byte of a mojibake pair ('Â\xa0' = double-encoded nbsp) — splitting
+# there would break the pair. UTF-8 continuation bytes map to no ASCII
+# whitespace under cp1252, so ASCII-whitespace boundaries never cut a
+# mojibake sequence.
+_ASCII_WS = re.compile(r"([ \t\n\r\f\v]+)")
+
+
+def _fix_segment(s: str) -> str:
+    if not MOJIBAKE_MARKER.search(s):
         return s
     try:
-        raw = _sloppy_1252_bytes(s)
-        fixed = raw.decode("utf-8", errors="strict")
+        fixed = _sloppy_1252_bytes(s).decode("utf-8", errors="strict")
     except (UnicodeEncodeError, UnicodeDecodeError):
         return s
     if "�" in fixed:
@@ -61,6 +66,20 @@ def fix_mojibake_text(s: str) -> str:
     before = len(MOJIBAKE_MARKER.findall(s))
     after = len(MOJIBAKE_MARKER.findall(fixed))
     return fixed if after < before else s
+
+
+def fix_mojibake_text(s: str) -> str:
+    """Repair one string, or return it unchanged when not confidently
+    mojibake. Repair is applied PER whitespace-separated token: real crawl
+    docs mix mojibake with legitimately non-ASCII text (em-dashes, curly
+    quotes), and a whole-string strict round-trip would let one legitimate
+    cp1252-encodable character block every repair in the document."""
+    if not s or not MOJIBAKE_MARKER.search(s):
+        return s
+    return "".join(
+        part if i % 2 else _fix_segment(part)
+        for i, part in enumerate(_ASCII_WS.split(s))
+    )
 
 
 def with_fixed_text(df: DataFrame, text_col: str = "text",

@@ -33,8 +33,11 @@ def _arrays_sql(text_col: str) -> str:
     return (
         f"named_struct("
         f"'w', filter(split(trim({text_col}), '\\\\s+'), x -> x != ''), "
-        f"'l', filter(split({text_col}, '\\\\n'), x -> trim(x) != ''), "
-        f"'p', filter(split({text_col}, '\\\\n{{2,}}'), x -> trim(x) != ''))"
+        # \r?\n so CRLF documents split identically — with bare \n the
+        # paragraph split NEVER fires on Windows line endings and the
+        # duplicate-paragraph gate is silently disabled (review finding)
+        f"'l', filter(split({text_col}, '\\\\r?\\\\n'), x -> trim(x) != ''), "
+        f"'p', filter(split({text_col}, '(?:\\\\r?\\\\n){{2,}}'), x -> trim(x) != ''))"
     )
 
 

@@ -29,15 +29,27 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     staged = df.withColumn("_cu_nf", no_frag).withColumn(
         "_cu_auth", F.regexp_extract(F.col("_cu_nf"), _AUTHORITY, 1)
     )
-    # lowercase authority, strip default ports
-    auth = F.lower(F.col("_cu_auth"))
+    # lowercase scheme + host ONLY — userinfo (user:pass@) is case-
+    # sensitive per RFC 3986 §6.2.2.1, so lowercasing it would merge
+    # genuinely distinct URLs — then strip default ports
+    staged = staged.withColumn(
+        "_cu_al",
+        F.expr(
+            "CASE WHEN instr(_cu_auth, '@') = 0 THEN lower(_cu_auth) "
+            "ELSE lower(substring(_cu_auth, 1, instr(_cu_auth, '://') + 2)) "
+            "  || substring(_cu_auth, instr(_cu_auth, '://') + 3, "
+            "               instr(_cu_auth, '@') - instr(_cu_auth, '://') - 2) "
+            "  || lower(substring(_cu_auth, instr(_cu_auth, '@') + 1)) END"
+        ),
+    )
+    al = F.col("_cu_al")
     auth = F.when(
-        auth.startswith("http://") & auth.endswith(":80"),
-        F.expr("substring(lower(_cu_auth), 1, length(_cu_auth) - 3)"),
+        al.startswith("http://") & al.endswith(":80"),
+        F.expr("substring(_cu_al, 1, length(_cu_al) - 3)"),
     ).when(
-        auth.startswith("https://") & auth.endswith(":443"),
-        F.expr("substring(lower(_cu_auth), 1, length(_cu_auth) - 4)"),
-    ).otherwise(auth)
+        al.startswith("https://") & al.endswith(":443"),
+        F.expr("substring(_cu_al, 1, length(_cu_al) - 4)"),
+    ).otherwise(al)
     tail = F.expr("substring(_cu_nf, length(_cu_auth) + 1)")
     staged = staged.withColumn("_cu_a", auth).withColumn("_cu_t", tail)
     path = F.expr("CASE WHEN instr(_cu_t, '?') = 0 THEN _cu_t "
@@ -54,5 +66,5 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
         "CASE WHEN _cu_q = '' THEN _cu_a || _cu_p ELSE _cu_a || _cu_p || '?' || _cu_q END"
     )
     return staged.withColumn("canonical_url", canon).drop(
-        "_cu_nf", "_cu_auth", "_cu_a", "_cu_t", "_cu_p", "_cu_q0", "_cu_q"
+        "_cu_nf", "_cu_auth", "_cu_al", "_cu_a", "_cu_t", "_cu_p", "_cu_q0", "_cu_q"
     )

@@ -80,6 +80,9 @@ def train_ivf_centroids(
         .limit(k)
         .collect()
     )
+    bad = next((len(r.unit_vec) for r in init_rows if len(r.unit_vec) != dim), None)
+    if bad is not None:
+        raise ValueError(f"dim={dim} but embeddings have {bad} components")
     cents = np.array([r.unit_vec for r in init_rows], dtype="float64")
     if len(cents) < k:
         raise ValueError(f"need >= {k} vectors to train {k} centroids, got {len(cents)}")

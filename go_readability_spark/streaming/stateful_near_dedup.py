@@ -14,6 +14,12 @@ so the final AND is a plain batch aggregation inside foreachBatch — no
 second stateful stage, no watermark coupling. State per group is capped
 (newest-kept) so a hot chunk value cannot grow without bound; production
 would add a GroupStateTimeout TTL on top.
+
+Dedup semantics: "near-duplicate of ANYTHING previously seen" — a
+suppressed document's hash also enters state, so a near-dup of a
+suppressed doc is itself suppressed (deterministic under any chunk
+geometry, at the cost of transitive-chain suppression, which is what a
+crawl dedup wants anyway).
 """
 
 from __future__ import annotations
@@ -32,18 +38,23 @@ def _make_group_fn(max_hamming: int, max_state: int):
         import pandas as pd
 
         seen = list(state.get[0]) if state.exists else []
-        # CRITICAL: process the batch's rows in a GLOBAL deterministic
+        # CRITICAL #1: process the batch's rows in a GLOBAL deterministic
         # order (url). A near-dup pair arriving in the same micro-batch
         # shares several chunk groups; if group 0 processed A first while
         # group 1 processed B first, BOTH would get a matched vote and the
         # batch-side AND would suppress both copies — silent loss of every
         # copy of the article. With a consistent order, the first-by-url
         # doc is never matched by the other in ANY group.
-        rows = sorted(
+        # CRITICAL #2: collapse exact (url, simhash) copies to ONE row —
+        # a crawler re-emitting the same url twice in one batch would
+        # otherwise have its second copy vote matched=1, and the
+        # batch-side groupBy(url, simhash) would merge the two copies and
+        # suppress BOTH (every copy of the article lost).
+        rows = sorted({
             (str(url), int(sh))
             for pdf in pdfs
             for url, sh in zip(pdf["url"], pdf["simhash"])
-        )
+        })
         urls, hashes, matched = [], [], []
         for url, sh in rows:
             hit = any(
@@ -53,8 +64,13 @@ def _make_group_fn(max_hamming: int, max_state: int):
             urls.append(url)
             hashes.append(sh)
             matched.append(1 if hit else 0)
-            if not hit:
-                seen.append(sh)
+            # append UNCONDITIONALLY: the semantics are "near-dup of
+            # ANYTHING previously seen" (survivor or suppressed). Adding
+            # only non-matching docs made later verdicts depend on which
+            # chunk groups a suppressed doc happened to match in — the
+            # same logical input could dedup differently depending on
+            # WHERE its bits differed (chunk-geometry-dependent state).
+            seen.append(sh)
         if len(seen) > max_state:
             seen = seen[-max_state:]
         state.update((seen,))
@@ -113,7 +129,12 @@ def run_near_dedup_stream(
     )
 
     def sink(batch_df, batch_id):
-        finalize_near_dedup_batch(batch_df).write.mode("append").parquet(output_dir)
+        # one overwritten subdirectory per batch id: a replay after a
+        # crash between write and checkpoint commit rewrites the same
+        # directory instead of appending duplicate survivor rows
+        finalize_near_dedup_batch(batch_df).write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
 
     return (
         votes.writeStream.foreachBatch(sink)
