@@ -212,7 +212,7 @@ def _q_line_dedup(spark, sf_dir):
     )
     out = remove_boilerplate_lines(docs, max_df=10)
     return out.select(
-        F.col("id").alias("doc_id"),
+        "doc_id",
         F.md5("clean_text").alias("clean_md5"),
         "n_lines_kept",
         "n_lines_dropped",
@@ -500,7 +500,7 @@ def _q_substring_dedup(spark, sf_dir):
     )
     out = remove_duplicated_spans(docs, "doc_id", "text", length=12)
     return out.select(
-        F.col("id").alias("doc_id"),
+        "doc_id",
         F.md5("clean_text").alias("clean_md5"),
         "n_tokens_kept",
         "n_tokens_dropped",

@@ -46,5 +46,5 @@ print("curated:", curated.count())
 
 docs = curated.select("url", "text_content")
 cleaned = remove_duplicated_spans(docs, "url", "text_content", length=12)
-cleaned.select("id", "n_tokens_kept", "n_tokens_dropped").show(5, truncate=40)
+cleaned.select("url", "n_tokens_kept", "n_tokens_dropped").show(5, truncate=40)
 spark.stop()

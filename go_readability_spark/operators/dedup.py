@@ -299,6 +299,16 @@ def minhash_dedup_pairs_md5(
 def _minhash_pairs_impl(
     df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn
 ) -> DataFrame:
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        # num_bands > num_hashes would give rows_per_band = 0: every band
+        # string becomes '' so EVERY doc shares EVERY bucket (the candidate
+        # join degenerates to all-pairs); a non-divisor would silently
+        # ignore the trailing signature components. Both are config bugs —
+        # fail loudly.
+        raise ValueError(
+            f"num_bands={num_bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // num_bands
     # materialize the SHINGLE table once: it feeds the signatures AND both
     # sides of the verification join — unpersisted, the tokenize+shingle
@@ -377,12 +387,15 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         "id",
         F.expr("filter(split(t, ' '), x -> x != '')").alias("toks"),
     )
+    # md5(tok) is bound once per token via an inner lambda variable —
+    # mentioned twice inline it would be computed twice per token (no CSE
+    # inside HOF lambdas), doubling the dominant per-token cost
     hashed = toks.select(
         "id",
         F.expr(
-            "transform(toks, tok -> "
-            "  shiftleft(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), 32)"
-            "  | cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint))"
+            "transform(toks, tok -> element_at(transform(array(md5(tok)), m -> "
+            "  shiftleft(cast(conv(substring(m, 1, 8), 16, 10) as bigint), 32)"
+            "  | cast(conv(substring(m, 9, 8), 16, 10) as bigint)), 1))"
         ).alias("hashes"),
     )
     # votes is BOUND as a lambda variable: staged as a plain column it gets

@@ -102,7 +102,7 @@ def remove_boilerplate_lines(
         ids.join(rebuilt, "id", "left")
         .join(dropped, "id", "left")
         .select(
-            "id",
+            F.col("id").alias(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
             F.coalesce("n_lines_dropped", F.lit(0)).cast("long")

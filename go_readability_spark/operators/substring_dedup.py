@@ -106,7 +106,7 @@ def remove_duplicated_spans(
     return (
         totals.join(rebuilt, "id", "left")
         .select(
-            "id",
+            F.col("id").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
             F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
             (F.col("n_tokens") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))

@@ -39,13 +39,21 @@ def curate_corpus(
 
     redact_pii masks emails/IPs/phones in text_content (map-only stage).
     max_lm_nll_per_bigram additionally gates docs by CCNet-style bigram-LM
-    perplexity (micro-nats per bigram; the LM trains on a hash-sample of
-    the already-curated docs)."""
+    perplexity (NATS per bigram — e.g. 8.0; the LM trains on a hash-sample
+    of the already-curated docs).
+
+    checkpoint_dir records per-bucket lineage/metrics only — resume is
+    deliberately OFF here: skip-completed-buckets semantics are only sound
+    when paired with an appendable output that already holds those
+    buckets' rows (run_extraction_job). curate_corpus returns a DataFrame
+    with no such output, so resuming would silently drop every
+    previously-'done' bucket from the corpus."""
     articles = extract_pages(
         pages,
         n_buckets=n_buckets,
         num_partitions=num_partitions,
         checkpoint_dir=checkpoint_dir,
+        resume=False,
     )
 
     c = F.col("text_content")
@@ -58,6 +66,20 @@ def curate_corpus(
         .withColumn("ws_tokens", ws_token_count(c))
         .withColumn("fingerprint", fingerprint(c))
         .where(F.col("quality") >= min_quality)
+    )
+    # one row per url FIRST (latest capture wins, fingerprint tiebreak):
+    # a recrawled url would otherwise survive both dedup stages — exact
+    # dedup keys on (fingerprint, url), and the near-dup pair join
+    # requires id_a < id_b, which equal urls never satisfy
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("fingerprint")
+    )
+    enriched = (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     if languages:
         enriched = enriched.where(F.col("lang_id").isin(*languages))

@@ -203,9 +203,12 @@ def completed_buckets(spark, checkpoint_dir: str,
         .groupBy(F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).alias("salt"))
         .agg(F.count("*").alias("actual_rows"))
     )
+    # LEFT join: a bucket whose every page errored has rows_out == 0 and
+    # no output rows at all — an inner join would drop it from `done`,
+    # re-extracting it (and re-appending its error rows) on EVERY resume
     return (
-        done.join(actual, "salt")
-        .where(F.col("rows_out") == F.col("actual_rows"))
+        done.join(actual, "salt", "left")
+        .where(F.col("rows_out") == F.coalesce(F.col("actual_rows"), F.lit(0)))
         .select("salt")
     )
 

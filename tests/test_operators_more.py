@@ -674,7 +674,7 @@ def test_boilerplate_line_removal(spark):
     # blank lines are paragraph boundaries: preserved verbatim
     docs.append((101, f"para one A\n\npara two B\n{boiler}"))
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = {r.id: r for r in remove_boilerplate_lines(df, max_df=10).collect()}
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, max_df=10).collect()}
     assert len(out) == 14
     for i in range(12):
         assert out[i].clean_text == f"unique content line {i}\nsecond line {i}"
@@ -734,3 +734,48 @@ def test_streaming_near_dedup_same_url_twice_keeps_one(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert sum(1 for r in rows if r["url"] == "u_same") == 1, rows
     assert any(r["url"] == "u_other" for r in rows)
+
+
+def test_minhash_band_config_validated(spark):
+    """num_bands must divide num_hashes: rows_per_band=0 made every band
+    string empty, degenerating the LSH bucket join to ALL-PAIRS (review
+    finding). Config bugs now fail loudly."""
+    from go_readability_spark.operators import minhash_dedup_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    for bands in (16, 3, 0):
+        with pytest.raises(ValueError, match="divisor"):
+            minhash_dedup_pairs(df, num_hashes=8, num_bands=bands)
+
+
+def test_streaming_dedup_state_capped(spark, tmp_path):
+    """Per-group state must not grow without bound: with a cap of 2, the
+    oldest fingerprint is evicted and a much-later repeat re-emits."""
+    import pandas as pd
+
+    from go_readability_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "cap_stream")
+    texts = [f"doc number {i}" for i in range(6)]
+    pd1 = pd.DataFrame({"url": [f"u{i}" for i in range(6)], "text": texts})
+    pd2 = pd.DataFrame({"url": ["r0"], "text": [texts[0]]})  # repeat of first
+    spark.createDataFrame(pd1).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(pd2).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_exact_dedup(stream, n_buckets=1, max_state_per_group=2)
+        .writeStream.format("memory").queryName("cap_stream_q")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cap_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.sql("select * from cap_stream_q").collect()}
+    assert {f"u{i}" for i in range(6)} <= got
+    # the first fingerprint was evicted (cap=2), so its repeat re-emits —
+    # the documented bounded-false-negative trade for bounded state
+    assert "r0" in got

@@ -323,3 +323,62 @@ def test_cli_curate_from_warc(tmp_path):
     ).fetchone(), duckdb.sql(f"describe select * from '{out}/*.parquet'").fetchall()
     assert n[0] > 0 and n[0] == n[1]
     assert {c[0] for c in cols} >= {"url", "text_content", "lang_id", "quality"}
+
+
+def test_resume_counts_all_error_bucket_as_done(spark, tmp_path):
+    """Review finding: a bucket whose every page errored (rows_out=0,
+    no output rows) must verify as done — the inner join dropped it and
+    every resume re-extracted it forever."""
+    from datetime import datetime
+
+    from go_readability_spark.plans.extract import completed_buckets
+    from go_readability_spark.plans.schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA
+
+    now = datetime(2024, 1, 1)
+    ck = [
+        ("3", 1, "done", 5, 0, 5, 1000, now, now),   # all-error bucket
+        ("7", 1, "done", 2, 2, 0, 400, now, now),    # healthy bucket
+    ]
+    ckpt_dir = str(tmp_path / "ck")
+    spark.createDataFrame(ck, schema=CHECKPOINT_SCHEMA).write.parquet(ckpt_dir)
+    # output holds ONLY bucket 7's two good rows
+    from pyspark.sql import functions as F
+
+    urls = [f"https://x{i}.org/p" for i in range(200)]
+    pool = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(16))
+    )
+    two = [r.url for r in pool.where("salt = 7").limit(2).collect()]
+    assert len(two) == 2
+    rows = [
+        {**{f.name: None for f in ARTICLES_SCHEMA.fields}, "url": u}
+        for u in two
+    ]
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, schema=ARTICLES_SCHEMA).write.parquet(out_dir)
+
+    done = completed_buckets(spark, ckpt_dir, verify_output_dir=out_dir, n_buckets=16)
+    salts = {r.salt for r in done.collect()}
+    assert salts == {3, 7}, salts
+
+
+def test_curate_dedups_recrawled_url(spark):
+    """Review finding: the same url recrawled (same content, two warc_ts)
+    survived both dedup stages — exact dedup keyed on (fingerprint, url)
+    keeps both rows and equal urls never form a near-dup pair."""
+    from datetime import datetime
+
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    rows = synth_corpus_rows(8, seed=41, skew=False)
+    dup = dict(rows[0])
+    dup["warc_ts"] = datetime(2025, 1, 1)
+    rows.append(dup)  # identical url + html, later capture
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    curated = curate_corpus(pages, min_length=100, min_quality=0.0,
+                            languages=("en", "und"), num_partitions=4)
+    urls = [r.url for r in curated.select("url").collect()]
+    assert len(urls) == len(set(urls))
+    assert urls.count(rows[0]["url"]) <= 1

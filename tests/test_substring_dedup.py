@@ -52,7 +52,7 @@ def _py_reference(corpus, length=12):
 def test_matches_pure_python_reference(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     got = {
-        r.id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
         for r in remove_duplicated_spans(df, length=12).collect()
     }
     assert got == _py_reference(CORPUS)
@@ -60,7 +60,7 @@ def test_matches_pure_python_reference(spark):
 
 def test_planted_span_removed_everywhere(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    got = {r.id: r for r in remove_duplicated_spans(df, length=12).collect()}
+    got = {r.doc_id: r for r in remove_duplicated_spans(df, length=12).collect()}
     for i in (0, 1, 5):
         assert "alpha beta gamma" not in got[i].clean_text, i
         assert got[i].n_tokens_dropped >= 12, i
@@ -76,7 +76,7 @@ def test_planted_span_removed_everywhere(spark):
 def test_kept_plus_dropped_is_total(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     for r in remove_duplicated_spans(df, length=12).collect():
-        total = len([t for t in re.sub(r"\s+", " ", dict(CORPUS)[r.id].strip().lower()).split(" ") if t])
+        total = len([t for t in re.sub(r"\s+", " ", dict(CORPUS)[r.doc_id].strip().lower()).split(" ") if t])
         assert r.n_tokens_kept + r.n_tokens_dropped == total
 
 
