@@ -3,9 +3,13 @@
 After any pairwise dedup (exact groups already cluster; MinHash/SimHash/
 Jaccard emit PAIRS), training pipelines need transitive clusters with one
 canonical representative. This is min-label propagation over the pair
-graph — each iteration is two shuffles (groupBy + join), converging in
-O(log(diameter)) rounds; duplicate-cluster diameters are tiny in practice,
-so the default cap of 10 rounds is generous.
+graph with a POINTER-JUMPING shortcut (label(v) <- label(label(v)) each
+round), which makes convergence genuinely O(log(diameter)) — plain
+neighbor-min alone moves labels ONE hop per round, i.e. O(diameter), and
+a near-dup chain longer than the iteration cap would silently return
+multiple cluster_ids for one component. With the shortcut, the default
+cap of 10 rounds covers diameters beyond 2^10; if the cap is still hit,
+the operator RAISES rather than returning wrong clusters.
 """
 
 from __future__ import annotations
@@ -52,11 +56,23 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nlabel"))
             .select(F.col("src").alias("id"), "nlabel")
         )
+        stepped = labels.join(neighbor_labels, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: follow the label one more hop (label values are
+        # themselves node ids, so they appear in `stepped`) — this is what
+        # turns O(diameter) neighbor propagation into O(log diameter)
+        parent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_labels, "id", "left")
+            stepped.join(parent, "label", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
             )
         ).persist()
         changed = (
@@ -70,5 +86,11 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(component diameter > 2^rounds) — raise max_iterations; "
+            "returning partial labels would silently split components"
+        )
 
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -779,3 +779,18 @@ def test_streaming_dedup_state_capped(spark, tmp_path):
     # the first fingerprint was evicted (cap=2), so its repeat re-emits —
     # the documented bounded-false-negative trade for bounded state
     assert "r0" in got
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Pointer jumping makes convergence O(log diameter): a 40-node chain
+    (diameter 39) must fully collapse within the default 10-round cap —
+    plain neighbor-min propagation would need 39 rounds and previously
+    returned SPLIT components silently."""
+    from go_readability_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 40
