@@ -223,7 +223,16 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # HTML5: the "/" in <tag/> is only honored in foreign content or
-        # for void elements; otherwise the tag stays open.
+        # for void elements; otherwise the tag stays open. For raw-text
+        # elements the reference tokenizer (x/net/html, like the spec)
+        # enters script-data/rawtext state regardless of the flag — so
+        # '<script src=x/>' swallows everything to the next </script>;
+        # without this, following article markup was parsed as real
+        # elements INSIDE <script> and deleted by removeScripts.
+        if self.foreign_depth == 0 and tag in ("script", "style"):
+            self.handle_starttag(tag, attrs)
+            self.set_cdata_mode(tag)
+            return
         self._start_tag(tag, attrs, explicit_self_closing=True)
 
     def _dedupe_attrs(self, attrs):
@@ -244,10 +253,15 @@ class _TreeBuilder(HTMLParser):
             ]
             el = Node(ELEMENT, SVG_TAG_ADJUST.get(tag, tag), "", adj)
             self._current().append_child(el)
+            # foreign content acknowledges the self-closing flag for EVERY
+            # element (HTML5 §13.2.6.5) — a nested <svg/> left open would
+            # deepen foreign mode for the rest of the document
+            if explicit_self_closing:
+                return
             if tag in FOREIGN_ROOTS:
                 self.foreign_depth += 1
                 self.stack.append(el)
-            elif not explicit_self_closing:
+            else:
                 self._push(el)
             return
 
@@ -352,11 +366,8 @@ class _TreeBuilder(HTMLParser):
 
         foster = False
         if self._in_table_context():
-            cur_tag = self._current().tag
             if tag not in TABLE_ALLOWED and tag != "table":
                 foster = True
-            elif tag in ("td", "th") and cur_tag not in ("tr",):
-                pass
 
         el_attrs = self._dedupe_attrs(attrs)
         if tag in FOREIGN_ROOTS:
@@ -372,8 +383,12 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             return
         if tag in FOREIGN_ROOTS:
-            self.foreign_depth += 1
-            self.stack.append(el)
+            # <svg/> / <math/>: the self-closing flag is acknowledged for
+            # foreign roots — leaving it open swallowed the whole rest of
+            # the document into the svg subtree
+            if not explicit_self_closing:
+                self.foreign_depth += 1
+                self.stack.append(el)
             return
         self._push(el)
         if tag in ("pre", "listing", "textarea"):
@@ -429,9 +444,12 @@ class _TreeBuilder(HTMLParser):
         if tag == "body":
             return
         if tag == "head":
+            # only meaningful while still in head (HTML5 'in head' mode);
+            # a stray </head> in body is ignored — clearing the open stack
+            # unconditionally reparented everything after it to <body>
             if self.mode == "in_head":
                 self.mode = "after_head"
-            self.stack.clear()
+                self.stack.clear()
             return
         if tag in VOID_ELEMENTS:
             return
@@ -564,6 +582,11 @@ def parse_html(source) -> Node:
     """
     if isinstance(source, (bytes, bytearray, memoryview)):
         source = _sniff_decode(bytes(source))
+    # HTML5 §13.2.3.5 / x/net/html: a leading U+FEFF BOM is dropped before
+    # tokenizing. Left in, it is NOT Python-whitespace, so it flipped the
+    # builder to in_body before <head> and misplaced title/meta into body.
+    if source[:1] == "﻿":
+        source = source[1:]
     if "\r" in source:
         source = source.replace("\r\n", "\n").replace("\r", "\n")
     if "\x00" in source:

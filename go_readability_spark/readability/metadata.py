@@ -420,6 +420,13 @@ def parse_date(date_str: str):
                 return offset
             return 0 if name else None  # unnamed/absent zone stays naive
 
-        return _du.parse(s, fuzzy=False, tzinfos=_tzinfos)
+        # fixed default: without it dateutil fills missing components from
+        # the CURRENT date, making 'May 2020' parse to a different day on
+        # every run (and raise entirely on the 29th-31st for short months).
+        # First-of-period defaults match dateparse's zero-value fill.
+        from datetime import datetime as _dt
+
+        return _du.parse(s, fuzzy=False, tzinfos=_tzinfos,
+                         default=_dt(1970, 1, 1))
     except Exception:
         return None

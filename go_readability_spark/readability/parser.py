@@ -16,6 +16,7 @@ survive the per-attempt document clone (parser.go:768).
 from __future__ import annotations
 
 import math
+import re as _re
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -47,6 +48,19 @@ from .metadata import (
     parse_date,
 )
 from .utils import char_count, text_similarity, to_absolute_uri
+
+_ATOI_RX = _re.compile(r"^[+-]?[0-9]+$")
+
+
+def _atoi(s) -> int:
+    """strconv.Atoi parity for span attributes (parser.go:1811-1841):
+    optional sign + ASCII digits ONLY. Python's int() also accepts
+    surrounding whitespace, underscores, and Unicode digits — all of which
+    Go rejects, flipping data-table marking on sloppy markup. Returns 0 on
+    error, matching the call sites' err fallback."""
+    if s and _ATOI_RX.match(s):
+        return int(s)
+    return 0
 
 
 def _WS_ONLY(s: str) -> bool:
@@ -356,15 +370,23 @@ class Parser:
             score -= 5
         self._set_content_score(node, score)
 
-    def _get_text_density(self, node, tags) -> float:
-        """parser.go:729-742."""
-        text_length = char_count(get_inner_text(node, True))
+    def _get_text_density(self, node, tags, children=None, text_length=None) -> float:
+        """parser.go:729-742. `children`/`text_length` let the hot caller
+        (_clean_conditionally, which has already collected the nodes and
+        measured the text) avoid re-walking the subtree."""
+        if text_length is None:
+            text_length = char_count(get_inner_text(node, True))
         if text_length == 0:
             return 0.0
-        children_length = 0
-        for tag in tags:
-            for child in get_elements_by_tag_name(node, tag):
-                children_length += char_count(get_inner_text(child, True))
+        if children is None:
+            children = [
+                child
+                for tag in tags
+                for child in get_elements_by_tag_name(node, tag)
+            ]
+        children_length = sum(
+            char_count(get_inner_text(child, True)) for child in children
+        )
         return children_length / text_length
 
     # ------------------------------------------------------------ removals
@@ -982,17 +1004,11 @@ class Parser:
         rows = 0
         columns = 0
         for tr in get_elements_by_tag_name(table, "tr"):
-            try:
-                rowspan = int(get_attribute(tr, "rowspan") or 0)
-            except ValueError:
-                rowspan = 0
+            rowspan = _atoi(get_attribute(tr, "rowspan"))
             rows += rowspan if rowspan else 1
             cols_in_row = 0
             for cell in get_elements_by_tag_name(tr, "td"):
-                try:
-                    colspan = int(get_attribute(cell, "colspan") or 0)
-                except ValueError:
-                    colspan = 0
+                colspan = _atoi(get_attribute(cell, "colspan"))
                 cols_in_row += colspan if colspan else 1
             columns = max(columns, cols_in_row)
         return rows, columns
@@ -1111,14 +1127,14 @@ class Parser:
                 img = float(len(found["img"]))
                 li = float(len(found["li"]) - 100)
                 inputs = float(len(found["input"]))
-                if node_text_len == 0:
-                    heading_density = 0.0
-                else:
-                    heading_chars = 0
-                    for h in ("h1", "h2", "h3", "h4", "h5", "h6"):
-                        for child in found[h]:
-                            heading_chars += char_count(get_inner_text(child, True))
-                    heading_density = heading_chars / node_text_len
+                headings = [
+                    child
+                    for h in ("h1", "h2", "h3", "h4", "h5", "h6")
+                    for child in found[h]
+                ]
+                heading_density = self._get_text_density(
+                    node, (), children=headings, text_length=node_text_len
+                )
 
                 embed_count = 0
                 for embed in found["object"] + found["embed"] + found["iframe"]:

@@ -19,8 +19,11 @@ RX_VIDEOS = re.compile(
     re.I,
 )
 RX_TOKENIZE = re.compile(r"\W+", re.I | re.ASCII)
-RX_WHITESPACE = re.compile(r"^\s*$", re.I)
-RX_HAS_CONTENT = re.compile(r"\S$", re.I)
+# RE2's \s is exactly [\t\n\f\r ] — ASCII only, and no \v (Python's
+# Unicode \s matched &nbsp; etc., flipping br-chain and single-tag-inside
+# decisions vs the reference; even re.ASCII would wrongly include \v)
+RX_WHITESPACE = re.compile(r"^[\t\n\f\r ]*$")
+RX_HAS_CONTENT = re.compile(r"[^\t\n\f\r ]$")
 RX_HASH_URL = re.compile(r"^#.+", re.I)
 RX_PROPERTY_PATTERN = re.compile(
     r"\s*(dc|dcterm|og|article|twitter)\s*:\s*"

@@ -158,3 +158,92 @@ def test_nesting_bomb_is_linear_and_lossless():
         ("<div>" * 5000 + "deep text content here" + "</div>" * 5000).encode(),
     )
     assert rec["error"] is None
+
+
+# ------------------------- round-2 continuation: core parity review fixes
+
+def test_bom_stripped_before_tokenizing():
+    """HTML5 §13.2.3.5 / x/net/html: a UTF-8 BOM must not flip the builder
+    to in_body before <head> (title/meta were misplaced into body and
+    scored as article content)."""
+    from go_readability_spark.dom import parse_html
+    from go_readability_spark.dom.serialize import outer_html
+
+    s = outer_html(parse_html(
+        b"\xef\xbb\xbf<html><head><title>My Title</title></head><body><p>hi</p></body></html>"
+    ))
+    assert "<head><title>My Title</title></head>" in s
+    assert "﻿" not in s
+
+
+def test_stray_end_head_in_body_ignored():
+    from go_readability_spark.dom import parse_html
+    from go_readability_spark.dom.serialize import outer_html
+
+    s = outer_html(parse_html(b"<body><div id=a><p>one</p></head><p>two</p></div>"))
+    assert '<div id="a"><p>one</p><p>two</p></div>' in s, s
+
+
+def test_self_closed_foreign_root_acknowledged():
+    """<svg/> must close immediately (HTML5 foreign content honors the
+    self-closing flag) — it previously swallowed the rest of the document
+    into the svg subtree."""
+    from go_readability_spark.dom import parse_html
+    from go_readability_spark.dom.serialize import outer_html
+
+    s = outer_html(parse_html(b"<body><p>one</p><svg/><p>two</p></body>"))
+    assert "<svg></svg><p>two</p>" in s, s
+    # nested self-closed foreign element inside foreign content
+    s2 = outer_html(parse_html(b"<body><svg><circle/><rect></rect></svg><p>after</p>"))
+    assert "<p>after</p>" in s2, s2
+
+
+def test_self_closed_script_is_rawtext():
+    """x/net/html's tokenizer enters script-data state on <script/> — the
+    following markup is script TEXT up to </script>, never real elements
+    (they were previously parsed as elements inside <script> and then
+    deleted by removeScripts)."""
+    from go_readability_spark.dom import parse_html
+    from go_readability_spark.dom.serialize import outer_html
+
+    s = outer_html(parse_html(
+        b'<body><script src="x"/>inside<p>still inside</p></script><p>outside</p>'
+    ))
+    assert '<script src="x">inside<p>still inside</p></script>' in s, s
+    assert s.count("<p>outside</p>") == 1
+
+
+def test_ascii_whitespace_regex_parity():
+    """RE2's \\s is [\\t\\n\\f\\r ] exactly: &nbsp; and \\v are NOT
+    whitespace (Unicode \\s flipped br-chain collapsing and
+    single-tag-inside decisions vs the reference)."""
+    from go_readability_spark.readability import regexps as rx
+
+    assert rx.RX_WHITESPACE.match(" \t\n\f\r ")
+    assert not rx.RX_WHITESPACE.match("\xa0")
+    assert not rx.RX_WHITESPACE.match("\v")
+    assert rx.RX_HAS_CONTENT.search("x\xa0")   # nbsp at end IS content
+    assert rx.RX_HAS_CONTENT.search("x\v")
+    assert not rx.RX_HAS_CONTENT.search("x ")
+
+
+def test_span_attributes_atoi_strict():
+    """strconv.Atoi parity: int(' 5 ') / int('1_0') / Unicode digits must
+    NOT count as valid spans (they flipped data-table marking)."""
+    from go_readability_spark.readability.parser import _atoi
+
+    assert _atoi("5") == 5 and _atoi("+7") == 7 and _atoi("-2") == -2
+    for bad in (" 5 ", "1_0", "٥", "5x", "", None, "+ 5"):
+        assert _atoi(bad) == 0, bad
+
+
+def test_parse_date_deterministic_defaults():
+    """Missing date components must fill from a FIXED default, not the
+    current day (published_time differed per run date; short months even
+    raised on the 29th-31st)."""
+    from datetime import datetime
+
+    from go_readability_spark.readability.metadata import parse_date
+
+    assert parse_date("May 2020") == datetime(2020, 5, 1)
+    assert parse_date("February 2021") == datetime(2021, 2, 1)
