@@ -29,13 +29,10 @@ FIXTURE_DOCS = int(os.environ.get("BENCH_FIXTURE_DOCS", "1000"))
 def _session(cpus):
     from go_readability_spark.plans import build_session
 
+    # build_session already zips + addPyFile's the package (ship_package),
+    # so executors can import it regardless of CWD — no second artifact
     spark = build_session(master=f"local[{cpus}]", app_name="bench",
                           **{"spark.sql.shuffle.partitions": str(max(8, int(cpus)))})
-    # executors must import the package even when bench runs from another CWD
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from build_pyfiles import build
-
-    spark.sparkContext.addPyFile(build())
     return spark
 
 

@@ -54,32 +54,22 @@ def _is_url(path: str) -> bool:
     return bool(parts.scheme in ("http", "https") and parts.netloc)
 
 
-def _get_url_content(url: str, metadata_only: bool, text_only: bool,
-                     check_only: bool = False) -> str:
-    """main.go:114-177 getContent for a URL source: fetch, gate on the
-    readerability Check (unreadable pages are an error, not empty output),
-    then emit content / text / the 5-key metadata JSON the reference
-    emits. Only http(s) URLs are fetched — the server mode exposes this to
-    untrusted query strings, and urlopen would otherwise happily open
-    file:// (local-file disclosure) or ftp:// references."""
-    from urllib.request import Request, urlopen
-
+def _render_article(data: bytes, page_url: str, metadata_only: bool,
+                    text_only: bool, check_only: bool = False) -> str:
+    """The shared tail of the reference's getContent (main.go:139-176):
+    gate on the readerability Check (unreadable pages are an ERROR, not
+    empty output), then emit content / text / the 5-key indented metadata
+    JSON — identical for file and URL sources, like the reference."""
     from .dom import parse_html
     from .readability import Parser, check_document
 
-    if not _is_url(url):
-        raise ValueError(f"not a valid http(s) URL: {url}")
-    req = Request(url, headers={"User-Agent": "go-readability-spark/0.1"})
-    with urlopen(req, timeout=30.0) as resp:  # noqa: S310 — scheme-gated above
-        data = resp.read()
-        final_url = resp.geturl()
     doc = parse_html(data)
     readerable = check_document(doc)
     if check_only:
         return "true" if readerable else "false"
     if not readerable:
         raise ValueError("failed to parse page: the page is not readable")
-    art = Parser().parse_document(doc, final_url)
+    art = Parser().parse_document(doc, page_url)
     if metadata_only:
         return json.dumps(
             {
@@ -93,10 +83,24 @@ def _get_url_content(url: str, metadata_only: bool, text_only: bool,
     return art.content
 
 
-def cmd_parse(args) -> int:
-    from .dom import parse_html
-    from .readability import Parser, check_document
+def _get_url_content(url: str, metadata_only: bool, text_only: bool,
+                     check_only: bool = False) -> str:
+    """main.go:114-137 getContent for a URL source. Only http(s) URLs are
+    fetched — the server mode exposes this to untrusted query strings, and
+    urlopen would otherwise happily open file:// (local-file disclosure)
+    or ftp:// references."""
+    from urllib.request import Request, urlopen
 
+    if not _is_url(url):
+        raise ValueError(f"not a valid http(s) URL: {url}")
+    req = Request(url, headers={"User-Agent": "go-readability-spark/0.1"})
+    with urlopen(req, timeout=30.0) as resp:  # noqa: S310 — scheme-gated above
+        data = resp.read()
+        final_url = resp.geturl()
+    return _render_article(data, final_url, metadata_only, text_only, check_only)
+
+
+def cmd_parse(args) -> int:
     if _is_url(args.file):
         try:
             out = _get_url_content(
@@ -114,25 +118,19 @@ def cmd_parse(args) -> int:
     except OSError as exc:
         print(f"error: cannot read {args.file}: {exc.strerror}", file=sys.stderr)
         return 2
-    doc = parse_html(data)
-    if args.check_only:
-        readerable = check_document(doc)
-        print("true" if readerable else "false")
-        return 0 if readerable else 1
-    art = Parser().parse_document(doc, args.url)
-    if args.metadata_only:
-        print(json.dumps({
-            "title": art.title, "byline": art.byline, "excerpt": art.excerpt,
-            "siteName": art.site_name, "image": art.image, "favicon": art.favicon,
-            "language": art.language, "length": art.length,
-            "publishedTime": art.published_time.isoformat() if art.published_time else None,
-            "modifiedTime": art.modified_time.isoformat() if art.modified_time else None,
-        }, ensure_ascii=False, indent=2))
-    elif args.text_only:
-        print(art.text_content)
-    else:
-        print(art.content)
-    return 0
+    # file sources resolve against http://fakehost.com like the reference
+    # (main.go:135), so relative hrefs/srcs absolutize identically
+    page_url = args.url or "http://fakehost.com"
+    try:
+        out = _render_article(
+            data, page_url, args.metadata_only, args.text_only,
+            check_only=args.check_only,
+        )
+    except Exception as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(out)
+    return 1 if (args.check_only and out == "false") else 0
 
 
 def make_http_server(listen: str):

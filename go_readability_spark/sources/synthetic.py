@@ -105,8 +105,9 @@ def synth_corpus_rows(n_docs: int, seed: int = 42, skew: bool = True):
     return rows
 
 
-def synth_pages_dataframe(spark, n_docs: int, seed: int = 42, skew: bool = True,
-                          num_slices: int | None = None):
+def synth_pages_dataframe(spark, n_docs: int, seed: int = 42, skew: bool = True):
+    """Driver-side corpus (fine for tests); for sized corpora use
+    synth_pages_distributed, which also controls partitioning."""
     from ..plans.schema import PAGES_SCHEMA
 
     rows = synth_corpus_rows(n_docs, seed=seed, skew=skew)

@@ -8,7 +8,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def host_of(url_col):
-    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+    # no trailing '/' requirement and case-insensitive scheme: bare-host
+    # URLs ('https://example.org') and 'HTTP://...' otherwise extracted an
+    # empty host, collapsing them into one phantom host="" metrics group
+    return F.regexp_extract(url_col, r"^(?i)[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
 
 
 def pages_ingest_metrics(

@@ -151,3 +151,39 @@ def test_server_rejects_file_scheme(httpd):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_cli_file_source_matches_reference_semantics(tmp_path, capsys):
+    """main.go getContent applies the readerable gate, the 5-key indent-4
+    metadata, and the http://fakehost.com base to FILE sources too (review
+    finding: the file branch skipped the gate and emitted a different
+    metadata shape than the URL branch)."""
+    import json
+
+    from go_readability_spark.cli import main
+
+    page = tmp_path / "page.html"
+    body = (
+        "<html><head><title>T</title></head><body><article>"
+        + "<p><a href='rel.html'>rel</a> "
+        + "Long readable sentence, with commas, and length. " * 40
+        + "</p></article></body></html>"
+    )
+    page.write_text(body)
+
+    rc = main(["parse", str(page), "-m"])
+    out = capsys.readouterr().out
+    meta = json.loads(out)
+    assert rc == 0
+    assert sorted(meta) == ["byline", "excerpt", "favicon", "image", "title"]
+
+    rc = main(["parse", str(page)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'href="http://fakehost.com/rel.html"' in out  # fakehost base
+
+    unreadable = tmp_path / "tiny.html"
+    unreadable.write_text("<p>x</p>")
+    rc = main(["parse", str(unreadable)])
+    err = capsys.readouterr().err
+    assert rc == 1 and "not readable" in err

@@ -794,3 +794,18 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {1}
     assert len(got) == 40
+
+
+def test_metrics_host_of_bare_and_uppercase_urls(spark):
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.streaming.metrics_stream import host_of
+
+    rows = [
+        ("https://example.org",),          # no path slash
+        ("HTTP://Upper.example.NET/x",),   # uppercase scheme
+        ("https://a.b/p?q=1",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.h for r in df.select(host_of(F.col("url")).alias("h")).collect()]
+    assert got == ["example.org", "Upper.example.NET", "a.b"]

@@ -128,3 +128,47 @@ def test_corrupt_png_does_not_kill_the_task(spark):
     assert out[1].frames == 1 and any(v > 0 for v in out[1].feat)
     assert out[2].frames == 0 or out[2].frames == 1  # decodes or degrades, never dies
     assert out[3].frames == 0 and all(v == 0 for v in out[3].feat)
+
+
+def test_decompression_bomb_rejected():
+    """A tiny IDAT claiming enormous dimensions must be rejected BEFORE
+    inflating (zlib fed a max_length), not OOM the executor."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from go_readability_spark.operators.png import PNG_MAGIC, decode_png
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 1024)
+    bomb = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(bomb)
+
+
+def test_oversized_idat_rejected():
+    """An IDAT that inflates past the declared dimensions is an error."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from go_readability_spark.operators.png import PNG_MAGIC, decode_png
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body)
+        )
+
+    # claims 2x2 grayscale (expected 2*(2+1)=6 bytes) but inflates to 600
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 600)
+    png = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past|size"):
+        decode_png(png)
