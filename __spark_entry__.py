@@ -192,6 +192,74 @@ _MESSY_URL = (
 )
 
 
+# Snapshot synthesis: page id = doc_id % 120, so each page has ~4-5
+# captures; the messy variant cycles with the CAPTURE index (doc_id div
+# 120), so one page's captures arrive under different URL spellings —
+# variants 0/1 collapse to the same canonical URL, 2/3 stay distinct
+# (trailing slash is a real path difference).
+_SNAPSHOT_URL = (
+    "CASE CAST((doc_id div 120) % 4 AS INT) "
+    "WHEN 0 THEN 'HTTPS://Docs.Example.org:443/' || CAST(doc_id % 120 AS STRING) || '.html?utm_source=x&b=2&a=1#s' "
+    "WHEN 1 THEN 'https://docs.example.org/' || CAST(doc_id % 120 AS STRING) || '.html?a=1&b=2' "
+    "WHEN 2 THEN 'http://Mirror.example.NET:80/m/' || CAST(doc_id % 120 AS STRING) || '?gclid=z' "
+    "ELSE 'http://mirror.example.net/m/' || CAST(doc_id % 120 AS STRING) || '/' END"
+)
+
+
+def _q_latest_snapshot(spark, sf_dir):
+    """Crawl-snapshot dedup: newest capture per canonical URL (ts is the
+    doc_id, so winners are exactly the max doc_id of each canonical
+    group — fully deterministic for the hash compare)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.snapshots import latest_snapshot
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SNAPSHOT_URL).alias("url"),
+        F.col("doc_id").alias("warc_ts"),
+    )
+    return latest_snapshot(docs, ts_col="warc_ts").select(
+        "canonical_url", "doc_id", "warc_ts"
+    )
+
+
+def _q_snapshot_history(spark, sf_dir):
+    """Per-canonical-URL capture audit (counts + first/last ts)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.snapshots import snapshot_history
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SNAPSHOT_URL).alias("url"),
+        F.col("doc_id").alias("warc_ts"),
+    )
+    return snapshot_history(docs, ts_col="warc_ts")
+
+
+def _q_host_stats(spark, sf_dir):
+    """Host-level corpus roll-up over the messy-URL synthesis."""
+    _ship_package(spark)
+    from go_readability_spark.operators.hosts import host_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_MESSY_URL).alias("url")
+    )
+    return host_stats(docs, size_col="n_chars")
+
+
+def _q_blocked_hosts(spark, sf_dir):
+    """UT1-style blocklist gating: blocking 'example.net' must also drop
+    every subdomain (mirror.example.net), keeping only docs.example.org
+    rows."""
+    _ship_package(spark)
+    from go_readability_spark.operators.hosts import filter_blocked_hosts
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_URL).alias("url")
+    )
+    return filter_blocked_hosts(docs, ["example.net"]).select("doc_id", "url")
+
+
 _BOILER_TOP = "COOKIE NOTICE: accept our cookies"
 _BOILER_BOT = "copyright footer 2025"
 
@@ -558,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "repetition_filters": _q_repetition_filters,
         "url_canonical": _q_url_canonical,
+        "latest_snapshot": _q_latest_snapshot,
+        "snapshot_history": _q_snapshot_history,
+        "host_stats": _q_host_stats,
+        "blocked_hosts": _q_blocked_hosts,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "corpus_mixture": _q_corpus_mixture,
@@ -585,6 +657,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------ oracle SQL
+
+# DuckDB twins of the URL synthesis expressions (VARCHAR casts, // division)
+_MESSY_URL_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'HTTPS://Docs.Example.org:443/' || CAST(doc_id AS VARCHAR) || '.html?utm_source=x&b=2&a=1#s' "
+    "WHEN 1 THEN 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html?a=1&b=2' "
+    "WHEN 2 THEN 'http://Mirror.example.NET:80/m/' || CAST(doc_id AS VARCHAR) || '?gclid=z' "
+    "ELSE 'http://mirror.example.net/m/' || CAST(doc_id AS VARCHAR) || '/' END"
+)
+_SNAPSHOT_URL_SQL = (
+    "CASE CAST((doc_id // 120) % 4 AS INT) "
+    "WHEN 0 THEN 'HTTPS://Docs.Example.org:443/' || CAST(doc_id % 120 AS VARCHAR) || '.html?utm_source=x&b=2&a=1#s' "
+    "WHEN 1 THEN 'https://docs.example.org/' || CAST(doc_id % 120 AS VARCHAR) || '.html?a=1&b=2' "
+    "WHEN 2 THEN 'http://Mirror.example.NET:80/m/' || CAST(doc_id % 120 AS VARCHAR) || '?gclid=z' "
+    "ELSE 'http://mirror.example.net/m/' || CAST(doc_id % 120 AS VARCHAR) || '/' END"
+)
+
+# functions/urls.py canonicalization, stage-for-stage, as reusable CTEs:
+# expects a CTE `u` exposing (url, ...carried columns); yields `canon`
+# with everything plus canonical_url. Same chain the url_canonical oracle
+# inlines — kept textually identical so both verify the same semantics.
+_CANON_CHAIN = """
+    nf AS (SELECT *, regexp_replace(url, '#.*$', '') AS _nf FROM u),
+    au AS (SELECT *, regexp_extract(_nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS _auth FROM nf),
+    al AS (
+        SELECT *,
+               CASE WHEN instr(_auth, '@') = 0 THEN lower(_auth)
+                    ELSE lower(substring(_auth, 1, instr(_auth, '://') + 2))
+                      || substring(_auth, instr(_auth, '://') + 3,
+                                   instr(_auth, '@') - instr(_auth, '://') - 2)
+                      || lower(substring(_auth, instr(_auth, '@') + 1)) END AS _al
+        FROM au
+    ),
+    a2 AS (
+        SELECT *,
+               CASE WHEN _al LIKE 'http://%' AND _al LIKE '%:80'
+                         THEN substring(_al, 1, length(_al) - 3)
+                    WHEN _al LIKE 'https://%' AND _al LIKE '%:443'
+                         THEN substring(_al, 1, length(_al) - 4)
+                    ELSE _al END AS _a,
+               substring(_nf, length(_auth) + 1) AS _t
+        FROM al
+    ),
+    pq AS (
+        SELECT *,
+               CASE WHEN instr(_t, '?') = 0 THEN _t ELSE substring(_t, 1, instr(_t, '?') - 1) END AS _p,
+               CASE WHEN instr(_t, '?') = 0 THEN '' ELSE substring(_t, instr(_t, '?') + 1) END AS _q0
+        FROM a2
+    ),
+    kq AS (
+        SELECT *,
+               coalesce(array_to_string(list_sort(list_filter(string_split(_q0, '&'),
+                   x -> x != '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid)(=|$)'))), '&'), '') AS _q
+        FROM pq
+    ),
+    canon AS (
+        SELECT *, CASE WHEN _q = '' THEN _a || _p ELSE _a || _p || '?' || _q END AS canonical_url
+        FROM kq
+    )
+"""
+
+# operators/hosts.py host_of_url, DuckDB-side (RE2-safe pattern, no
+# single quotes inside)
+_HOST_SQL = (
+    "lower(regexp_extract(url, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+)
 
 _WS_TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -984,6 +1123,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url,
                    CASE WHEN _q = '' THEN _a || _p ELSE _a || _p || '?' || _q END AS canonical_url
             FROM kq
+        """,
+        "latest_snapshot": f"""
+            WITH u AS (SELECT doc_id, {_SNAPSHOT_URL_SQL} AS url,
+                              doc_id AS warc_ts FROM documents),
+            {_CANON_CHAIN}
+            SELECT canonical_url, doc_id, warc_ts FROM (
+                SELECT canonical_url, doc_id, warc_ts,
+                       row_number() OVER (PARTITION BY canonical_url
+                                          ORDER BY warc_ts DESC, url ASC) AS rn
+                FROM canon)
+            WHERE rn = 1
+        """,
+        "snapshot_history": f"""
+            WITH u AS (SELECT doc_id, {_SNAPSHOT_URL_SQL} AS url,
+                              doc_id AS warc_ts FROM documents),
+            {_CANON_CHAIN}
+            SELECT canonical_url, count(*) AS n_snapshots,
+                   count(DISTINCT url) AS n_url_variants,
+                   min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
+            FROM canon GROUP BY canonical_url
+        """,
+        "host_stats": f"""
+            WITH u AS (SELECT doc_id, n_chars, {_MESSY_URL_SQL} AS url FROM documents)
+            SELECT {_HOST_SQL} AS host, count(*) AS n_docs,
+                   count(DISTINCT url) AS n_urls,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_size
+            FROM u GROUP BY 1
+        """,
+        "blocked_hosts": f"""
+            WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+            h AS (SELECT doc_id, url, {_HOST_SQL} AS host FROM u)
+            SELECT doc_id, url FROM h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (VALUES ('example.net')) b(bh)
+                WHERE h.host = b.bh OR ends_with(h.host, '.' || b.bh))
         """,
         "ngram_jaccard": f"""
             WITH {_JACCARD_CTES}

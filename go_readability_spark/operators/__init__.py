@@ -16,7 +16,9 @@ from .multimodal import (  # noqa: F401
     extract_media_features,
     synth_media_dataframe,
 )
+from .hosts import filter_blocked_hosts, host_of_url, host_stats  # noqa: F401
 from .png import decode_png, encode_png, is_png  # noqa: F401
+from .snapshots import latest_snapshot, snapshot_history  # noqa: F401
 from .ivf import assign_buckets, ivf_topk, train_ivf_centroids  # noqa: F401
 from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: F401
 from .similarity import (  # noqa: F401
