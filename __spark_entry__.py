@@ -260,6 +260,32 @@ def _q_blocked_hosts(spark, sf_dir):
     return filter_blocked_hosts(docs, ["example.net"]).select("doc_id", "url")
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """GPT-style corpus packing: exact global token offsets (two-phase
+    distributed prefix sum — block_size=64 forces the multi-block path)
+    and the seq_len=1000 sequence span of every document."""
+    _ship_package(spark)
+    from go_readability_spark.operators.packing import with_sequence_spans
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return with_sequence_spans(docs, 1000, block_size=64).select(
+        "doc_id", "start_offset", "end_offset", "first_seq", "last_seq"
+    )
+
+
+def _q_sequence_manifest(spark, sf_dir):
+    """Shard-builder work list: per (sequence, document) token slices."""
+    _ship_package(spark)
+    from go_readability_spark.operators.packing import sequence_manifest
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return sequence_manifest(docs, 1000, block_size=64)
+
+
 _BOILER_TOP = "COOKIE NOTICE: accept our cookies"
 _BOILER_BOT = "copyright footer 2025"
 
@@ -630,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_history": _q_snapshot_history,
         "host_stats": _q_host_stats,
         "blocked_hosts": _q_blocked_hosts,
+        "sequence_packing": _q_sequence_packing,
+        "sequence_manifest": _q_sequence_manifest,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "corpus_mixture": _q_corpus_mixture,
@@ -1158,6 +1186,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM (VALUES ('example.net')) b(bh)
                 WHERE h.host = b.bh OR ends_with(h.host, '.' || b.bh))
+        """,
+        "sequence_packing": """
+            WITH t AS (SELECT doc_id, n_chars AS n_tokens FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens AS BIGINT) AS start_offset
+                  FROM t)
+            SELECT doc_id, start_offset,
+                   start_offset + n_tokens AS end_offset,
+                   start_offset // 1000 AS first_seq,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 1000
+                        ELSE start_offset // 1000 END AS last_seq
+            FROM o
+        """,
+        "sequence_manifest": """
+            WITH t AS (SELECT doc_id, n_chars AS n_tokens FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens AS BIGINT) AS start_offset
+                  FROM t),
+            s AS (SELECT doc_id, start_offset,
+                         start_offset + n_tokens AS end_offset,
+                         start_offset // 1000 AS first_seq,
+                         (start_offset + n_tokens - 1) // 1000 AS last_seq
+                  FROM o WHERE n_tokens > 0),
+            e AS (SELECT doc_id, start_offset, end_offset,
+                         unnest(range(first_seq, last_seq + 1)) AS seq_id
+                  FROM s)
+            SELECT seq_id, doc_id,
+                   greatest(seq_id * 1000, start_offset) - start_offset AS take_from,
+                   least((seq_id + 1) * 1000, end_offset) - start_offset AS take_to
+            FROM e
         """,
         "ngram_jaccard": f"""
             WITH {_JACCARD_CTES}
