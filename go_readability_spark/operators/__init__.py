@@ -12,9 +12,22 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .multimodal import (  # noqa: F401
+    decode_audio,
     decode_image,
     extract_media_features,
+    resize_images,
     synth_media_dataframe,
+    synth_real_media_dataframe,
+)
+from .wav import decode_wav, encode_wav, is_wav, wav_features  # noqa: F401
+from .image_ops import (  # noqa: F401
+    count_frames,
+    encode_motion_png,
+    frame_sample,
+    resize_box,
+    resize_nearest,
+    resize_png,
+    split_frames,
 )
 from .hosts import filter_blocked_hosts, host_of_url, host_stats  # noqa: F401
 from .png import decode_png, encode_png, is_png  # noqa: F401
