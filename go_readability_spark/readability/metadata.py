@@ -294,7 +294,9 @@ _ISO_RX = re.compile(
 )
 
 
-_DIGITS_RX = re.compile(r"^\d+$")
+# ASCII digits, end-of-text \Z: dateparse scans bytes, so "123\n" and
+# Unicode digits are NOT an epoch to Go
+_DIGITS_RX = re.compile(r"^[0-9]+\Z")
 # trailing zone NAME after an explicit numeric offset (Go time.String()
 # emits e.g. "2012-08-03 18:31:59 +0000 UTC"); also "(CEST)" comments
 _OFFSET_THEN_NAME_RX = re.compile(r"([+-]\d{2}:?\d{2})\s+[A-Z]{2,5}$")

@@ -49,7 +49,9 @@ from .metadata import (
 )
 from .utils import char_count, text_similarity, to_absolute_uri
 
-_ATOI_RX = _re.compile(r"^[+-]?[0-9]+$")
+# \Z, not $: Python's $ matches before a trailing newline, so "5\n" would
+# pass — strconv.Atoi rejects it
+_ATOI_RX = _re.compile(r"^[+-]?[0-9]+\Z")
 
 
 def _atoi(s) -> int:

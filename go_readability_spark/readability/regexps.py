@@ -19,47 +19,59 @@ RX_VIDEOS = re.compile(
     re.I,
 )
 RX_TOKENIZE = re.compile(r"\W+", re.I | re.ASCII)
+# RE2-faithful character classes (see the whitespace note below): Go \s is
+# exactly [\t\n\f\r ] — even Python's re.ASCII \s differs by including \v.
+_S = r"[\t\n\f\r ]"
+_NS = r"[^\t\n\f\r ]"
 # RE2's \s is exactly [\t\n\f\r ] — ASCII only, and no \v (Python's
 # Unicode \s matched &nbsp; etc., flipping br-chain and single-tag-inside
 # decisions vs the reference; even re.ASCII would wrongly include \v)
 RX_WHITESPACE = re.compile(r"^[\t\n\f\r ]*$")
-RX_HAS_CONTENT = re.compile(r"[^\t\n\f\r ]$")
+RX_HAS_CONTENT = re.compile(r"[^\t\n\f\r ]\Z")  # \Z: RE2 $ is end-of-text
 RX_HASH_URL = re.compile(r"^#.+", re.I)
 RX_PROPERTY_PATTERN = re.compile(
-    r"\s*(dc|dcterm|og|article|twitter)\s*:\s*"
-    r"(author|creator|description|title|site_name|published_time|modified_time|image\S*)\s*",
-    re.I | re.ASCII,
+    rf"{_S}*(dc|dcterm|og|article|twitter){_S}*:{_S}*"
+    rf"(author|creator|description|title|site_name|published_time|modified_time|image{_NS}*){_S}*",
+    re.I,
 )
 RX_NAME_PATTERN = re.compile(
-    r"^\s*(?:(dc|dcterm|article|og|twitter|weibo:(article|webpage))\s*[\.:]\s*)?"
-    r"(author|creator|description|title|site_name|published_time|modified_time|image)\s*$",
-    re.I | re.ASCII,
+    rf"^{_S}*(?:(dc|dcterm|article|og|twitter|weibo:(article|webpage)){_S}*[\.:]{_S}*)?"
+    rf"(author|creator|description|title|site_name|published_time|modified_time|image){_S}*\Z",
+    re.I,
 )
 RX_TITLE_SEPARATOR = re.compile(r" [\|\-\\/>»] ", re.I)
 RX_TITLE_HIERARCHY_SEP = re.compile(r" [\\/>»] ", re.I)
 RX_TITLE_REMOVE_FINAL_PART = re.compile(r"(.*)[\|\-\\/>»] .*", re.I)
 RX_TITLE_REMOVE_1ST_PART = re.compile(r"[^\|\-\\/>»]*[\|\-\\/>»](.*)", re.I)
 RX_TITLE_ANY_SEPARATOR = re.compile(r"[\|\-\\/>»]+", re.I)
-RX_DISPLAY_NONE = re.compile(r"display\s*:\s*none", re.I)
-RX_VISIBILITY_HIDDEN = re.compile(r"visibility\s*:\s*hidden", re.I)
-RX_SENTENCE_PERIOD = re.compile(r"\.( |$)", re.I)
+# Go's $ (no (?m)) is end-of-TEXT, which in Python is \Z — Python's $
+# also matches before a trailing newline, which RE2's does not.
+RX_DISPLAY_NONE = re.compile(rf"display{_S}*:{_S}*none", re.I)
+RX_VISIBILITY_HIDDEN = re.compile(rf"visibility{_S}*:{_S}*hidden", re.I)
+RX_SENTENCE_PERIOD = re.compile(r"\.( |\Z)", re.I)
 RX_SHARE_ELEMENTS = re.compile(r"(\b|_)(share|sharedaddy)(\b|_)", re.I | re.ASCII)
-RX_FAVICON_SIZE = re.compile(r"(\d+)x(\d+)", re.I | re.ASCII)
-RX_LAZY_IMAGE_SRCSET = re.compile(r"\.(jpg|jpeg|png|webp)\s+\d", re.I)
-RX_LAZY_IMAGE_SRC = re.compile(r"^\s*\S+\.(jpg|jpeg|png|webp)\S*\s*$", re.I)
+RX_FAVICON_SIZE = re.compile(r"([0-9]+)x([0-9]+)", re.I)
+RX_LAZY_IMAGE_SRCSET = re.compile(rf"\.(jpg|jpeg|png|webp){_S}+[0-9]", re.I)
+RX_LAZY_IMAGE_SRC = re.compile(
+    rf"^{_S}*{_NS}+\.(jpg|jpeg|png|webp){_NS}*{_S}*\Z", re.I
+)
 RX_IMG_EXTENSIONS = re.compile(r"\.(jpg|jpeg|png|webp)", re.I)
-RX_SRCSET_URL = re.compile(r"(\S+)(\s+[\d.]+[xw])?(\s*(?:,|$))", re.I)
-RX_B64_DATA_URL = re.compile(r"^data:\s*([^\s;,]+)\s*;\s*base64\s*,", re.I)
+RX_SRCSET_URL = re.compile(
+    rf"({_NS}+)({_S}+[0-9.]+[xw])?({_S}*(?:,|\Z))", re.I
+)
+RX_B64_DATA_URL = re.compile(
+    rf"^data:{_S}*([^\t\n\f\r ;,]+){_S}*;{_S}*base64{_S}*,", re.I
+)
 RX_JSONLD_ARTICLE_TYPES = re.compile(
     r"^Article|AdvertiserContentArticle|NewsArticle|AnalysisNewsArticle"
     r"|AskPublicNewsArticle|BackgroundNewsArticle|OpinionNewsArticle"
     r"|ReportageNewsArticle|ReviewNewsArticle|Report|SatiricalArticle"
     r"|ScholarlyArticle|MedicalScholarlyArticle|SocialMediaPosting|BlogPosting"
-    r"|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference$",
+    r"|LiveBlogPosting|DiscussionForumPosting|TechArticle|APIReference\Z",
     re.I,
 )
-RX_CDATA = re.compile(r"^\s*<!\[CDATA\[|\]\]>\s*$")
-RX_SCHEMA_ORG = re.compile(r"^https?\:\/\/schema\.org\/?$", re.I)
+RX_CDATA = re.compile(rf"^{_S}*<!\[CDATA\[|\]\]>{_S}*\Z")
+RX_SCHEMA_ORG = re.compile(r"^https?\:\/\/schema\.org\/?\Z", re.I)
 
 # --- re2c DFA equivalents (internal/re2go/*.re) ------------------------------
 
