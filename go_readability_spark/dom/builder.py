@@ -15,9 +15,10 @@ readability corpus exercises:
 * table foster-parenting of misplaced content
 * </p> with no open p inserts an empty <p>; </br> acts as <br>
 * \r\n -> \n normalization and leading-newline stripping after <pre>
-
-Deliberately omitted (acceptable divergence, tracked by fixture tests):
-the adoption agency algorithm and active-formatting reconstruction.
+* the active formatting elements list — reconstruction, Noah's Ark
+  clause, markers — and the adoption agency algorithm (WHATWG
+  §13.2.6.4.7), so misnested formatting like ``<b>1<p>2</b>3</p>``
+  builds the same tree x/net/html produces
 """
 
 from __future__ import annotations
@@ -83,6 +84,28 @@ TABLE_ALLOWED = frozenset(
 
 FOREIGN_ROOTS = frozenset(("svg", "math"))
 
+# WHATWG formatting elements: tracked in the active-formatting list and
+# subject to the adoption agency algorithm on their end tags
+FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# start tags that push a marker onto the active formatting list (their
+# close clears the list back to the marker)
+AFE_MARKER_TAGS = frozenset("applet marquee object template caption td th".split())
+# in-body start tags that do NOT "reconstruct the active formatting
+# elements" before inserting (blocks, list items, table structure,
+# rawtext/head metadata). Everything else — formatting tags, phrasing
+# voids like <br>/<img>, and unknown tags — reconstructs, per the spec's
+# per-tag "in body" rules. xmp is the one CLOSE_P member that DOES
+# reconstruct (close p, then reconstruct, then rawtext).
+NO_RECONSTRUCT = (CLOSE_P - {"xmp"}) | frozenset(
+    "li dd dt td th tr tbody thead tfoot caption colgroup col form frame "
+    "frameset iframe noembed noframes noscript script style title textarea "
+    "base basefont bgsound link meta template param source track".split()
+)
+
+_MARKER = object()  # active-formatting-list marker sentinel
+
 # WHATWG foreign-content case adjustments (x/net/html foreign.go): the HTML
 # tokenizer lowercases names; inside <svg>/<math> these get their canonical
 # mixed case back.
@@ -135,6 +158,7 @@ class _TreeBuilder(HTMLParser):
         self.html.append_child(self.body)
         self.mode = "initial"  # initial | in_head | after_head | in_body
         self.stack: list[Node] = []  # open elements below body (or head)
+        self.afe: list = []  # active formatting elements (+ _MARKER entries)
         self.foreign_depth = 0
         self.form_open = False
         self.strip_leading_newline = False
@@ -200,7 +224,200 @@ class _TreeBuilder(HTMLParser):
         return -1
 
     def _pop_through(self, index: int) -> None:
+        popped = self.stack[index:]
         del self.stack[index:]
+        # closing a cell/caption/object/... clears the active formatting
+        # list back to its marker, whichever code path popped it
+        for node in popped:
+            if node.tag in AFE_MARKER_TAGS:
+                self._clear_afe_to_marker()
+
+    # ------------------------------------------------- active formatting list
+
+    # Bound the list against hostile pages (10^4 <b>s with distinct attrs
+    # would otherwise make every later text token reconstruct 10^4 clones
+    # — the spec and x/net/html leave it unbounded). 64 live entries is
+    # far past anything real markup nests.
+    MAX_AFE = 64
+
+    def _clear_afe_to_marker(self) -> None:
+        afe = self.afe
+        while afe:
+            if afe.pop() is _MARKER:
+                break
+
+    def _afe_push(self, el: Node) -> None:
+        """Push with the Noah's Ark clause: if three entries after the
+        last marker share tag + attribute set, drop the earliest."""
+        afe = self.afe
+        key = sorted((a[0], a[1]) for a in el.attrs) if el.attrs else []
+        count = 0
+        for i in range(len(afe) - 1, -1, -1):
+            e = afe[i]
+            if e is _MARKER:
+                break
+            if e.tag == el.tag and (
+                (sorted((a[0], a[1]) for a in e.attrs) if e.attrs else []) == key
+            ):
+                count += 1
+                if count == 3:
+                    afe.pop(i)
+                    break
+        if len(afe) >= self.MAX_AFE:
+            for i, e in enumerate(afe):
+                if e is not _MARKER:
+                    afe.pop(i)
+                    break
+        afe.append(el)
+
+    def _reconstruct_afe(self) -> None:
+        """WHATWG 'reconstruct the active formatting elements': re-open
+        (as clones) every entry after the last marker that is no longer
+        on the open-elements stack."""
+        afe = self.afe
+        if not afe:
+            return
+        # at the tree-depth cap, clones can't join the stack — every
+        # subsequent token would re-clone the whole list (quadratic on
+        # hostile pages); skip reconstruction in that degraded mode
+        if len(self.stack) >= self.MAX_TREE_DEPTH:
+            return
+        last = afe[-1]
+        if last is _MARKER or last in self.stack:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _MARKER or e in self.stack:
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            entry = afe[j]
+            clone = Node(
+                ELEMENT, entry.tag, "",
+                [a[:] for a in entry.attrs] if entry.attrs is not None else [],
+            )
+            self._insert_node(clone, self._in_table_context())
+            self._push(clone)
+            afe[j] = clone
+
+    def _any_other_end_tag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.tag == tag:
+                self._pop_through(i)
+                return
+            if node.tag in SPECIAL:
+                return
+
+    def _adoption_agency(self, tag: str) -> None:
+        """WHATWG §13.2.6.4.7 'in body' adoption agency algorithm, on our
+        stack layout (body/head/html live outside self.stack; a common
+        ancestor above stack index 0 is <body>)."""
+        stack, afe = self.stack, self.afe
+        for _outer in range(8):
+            # 1. trivial case: current node matches and isn't tracked
+            if stack and stack[-1].tag == tag and stack[-1] not in afe:
+                stack.pop()
+                return
+            # 2. find the formatting element (last matching entry after
+            # the last marker)
+            fmt = None
+            fmt_afe_idx = -1
+            for i in range(len(afe) - 1, -1, -1):
+                e = afe[i]
+                if e is _MARKER:
+                    break
+                if e.tag == tag:
+                    fmt = e
+                    fmt_afe_idx = i
+                    break
+            if fmt is None:
+                self._any_other_end_tag(tag)
+                return
+            if fmt not in stack:
+                afe.pop(fmt_afe_idx)
+                return
+            si = stack.index(fmt)
+            # in-scope check (default scope)
+            in_scope = False
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k] is fmt:
+                    in_scope = True
+                    break
+                if stack[k].tag in SCOPE_BOUNDARY:
+                    break
+            if not in_scope:
+                return
+            # 3. furthest block: lowest special element below fmt
+            fb = None
+            fb_idx = -1
+            for j in range(si + 1, len(stack)):
+                if stack[j].tag in SPECIAL:
+                    fb = stack[j]
+                    fb_idx = j
+                    break
+            if fb is None:
+                self._pop_through(si)
+                if fmt in afe:
+                    afe.remove(fmt)
+                return
+            common = stack[si - 1] if si > 0 else None  # None -> <body>
+            bookmark = fmt_afe_idx
+            node = fb
+            last_node = fb
+            node_idx = fb_idx
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node = stack[node_idx] if node_idx >= 0 else fmt
+                if node is fmt:
+                    break
+                if inner > 3 and node in afe:
+                    ni = afe.index(node)
+                    afe.pop(ni)
+                    if ni < bookmark:
+                        bookmark -= 1
+                if node not in afe:
+                    del stack[node_idx]
+                    continue
+                clone = Node(
+                    ELEMENT, node.tag, "",
+                    [a[:] for a in node.attrs] if node.attrs is not None else [],
+                )
+                afe[afe.index(node)] = clone
+                stack[node_idx] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = afe.index(clone) + 1
+                node.append_child(last_node)
+                last_node = node
+            # insert last_node at the appropriate place for common ancestor
+            if last_node.parent is not None:
+                last_node.parent.remove_child(last_node)
+            if common is None:
+                self.body.append_child(last_node)
+            elif common.tag in TABLE_CONTEXT:
+                parent, ref = self._foster_target()
+                parent.insert_before(last_node, ref)
+            else:
+                common.append_child(last_node)
+            # clone fmt; move furthest block's children into the clone
+            fclone = Node(
+                ELEMENT, fmt.tag, "",
+                [a[:] for a in fmt.attrs] if fmt.attrs is not None else [],
+            )
+            while fb.first_child is not None:
+                fclone.append_child(fb.first_child)
+            fb.append_child(fclone)
+            fi = afe.index(fmt)
+            afe.pop(fi)
+            if fi < bookmark:
+                bookmark -= 1
+            afe.insert(bookmark, fclone)
+            stack.remove(fmt)
+            stack.insert(stack.index(fb) + 1, fclone)
 
     def _close_p(self) -> None:
         i = self._find_in_scope("p", BUTTON_SCOPE_BOUNDARY)
@@ -307,6 +524,14 @@ class _TreeBuilder(HTMLParser):
         if tag == "form" and self.form_open:
             return
 
+        # in-body table-structure tags with no open table are parse
+        # errors the spec IGNORES (their content flows to the parent)
+        if tag in (
+            "caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
+            "thead", "tr", "frame",
+        ) and not any(n.tag == "table" for n in self.stack):
+            return
+
         if tag in CLOSE_P:
             self._close_p()
         if tag in HEADINGS and self.stack and self.stack[-1].tag in HEADINGS:
@@ -316,17 +541,24 @@ class _TreeBuilder(HTMLParser):
         elif tag in ("dd", "dt"):
             self._close_list_item(("dd", "dt"))
         elif tag == "a":
-            i = self._find_in_scope("a", SCOPE_BOUNDARY)
-            if i != -1:
-                # adoption-agency-lite: if only phrasing content is open
-                # above the stale <a>, close it (simple case); if a special
-                # element (e.g. a <div> inside the <a>) intervenes, the spec
-                # keeps those elements open and just drops the stale <a>
-                # from the stack — the new <a> nests inside the div.
-                if any(self.stack[j].tag in SPECIAL for j in range(i + 1, len(self.stack))):
-                    del self.stack[i]
-                else:
-                    self._pop_through(i)
+            # a start tag while an <a> is in the active formatting list:
+            # run the adoption agency for "a", then drop the stale element
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is _MARKER:
+                    break
+                if e.tag == "a":
+                    self._adoption_agency("a")
+                    if e in self.afe:
+                        self.afe.remove(e)
+                    if e in self.stack:
+                        self.stack.remove(e)
+                    break
+        elif tag == "nobr":
+            self._reconstruct_afe()
+            if self._find_in_scope("nobr", SCOPE_BOUNDARY) != -1:
+                self._adoption_agency("nobr")
+                self._reconstruct_afe()
         elif tag == "button":
             i = self._find_in_scope("button", SCOPE_BOUNDARY)
             if i != -1:
@@ -342,27 +574,33 @@ class _TreeBuilder(HTMLParser):
             if i != -1:
                 self._pop_through(i)
         elif tag in ("td", "th"):
+            self._clear_to_table_context()
             i = self._find_in_scope_any(("td", "th"), ("table",))
             if i != -1:
                 self._pop_through(i)
             self._ensure_row()
         elif tag == "tr":
+            self._clear_to_table_context()
             i = self._find_in_scope("tr", ("table", "html"))
             if i != -1:
                 self._pop_through(i)
             self._ensure_section()
         elif tag in TABLE_SECTION:
+            self._clear_to_table_context()
             i = self._find_in_scope_any(TABLE_SECTION, ("table", "html"))
             if i != -1:
                 self._pop_through(i)
         elif tag == "caption" or tag == "colgroup":
-            pass
+            self._clear_to_table_context()
         elif tag == "table":
             # <table> while already directly in table context -> close it
             if self._in_table_context():
                 i = self._find_in_scope("table", ("html",))
                 if i != -1:
                     self._pop_through(i)
+
+        if tag not in NO_RECONSTRUCT:
+            self._reconstruct_afe()
 
         foster = False
         if self._in_table_context():
@@ -382,6 +620,10 @@ class _TreeBuilder(HTMLParser):
             self.form_open = True
         if tag in VOID_ELEMENTS:
             return
+        if tag in FORMATTING:
+            self._afe_push(el)
+        elif tag in AFE_MARKER_TAGS:
+            self.afe.append(_MARKER)
         if tag in FOREIGN_ROOTS:
             # <svg/> / <math/>: the self-closing flag is acknowledged for
             # foreign roots — leaving it open swallowed the whole rest of
@@ -402,6 +644,22 @@ class _TreeBuilder(HTMLParser):
             if t in boundary:
                 return -1
         return -1
+
+    def _clear_to_table_context(self):
+        """WHATWG 'clear the stack back to a table (body/row) context':
+        when a table-structure tag arrives, pop anything that is not
+        table structure (e.g. formatting elements fostered out of the
+        table) — but only while a table is actually open."""
+        stack = self.stack
+        if not any(n.tag == "table" for n in stack):
+            return
+        i = len(stack)
+        while i > 0 and stack[i - 1].tag not in (
+            "table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption",
+        ):
+            i -= 1
+        if i < len(stack):
+            self._pop_through(i)
 
     def _ensure_section(self):
         """Imply <tbody> for a <tr> appearing directly inside <table>."""
@@ -471,6 +729,10 @@ class _TreeBuilder(HTMLParser):
                 self._pop_through(i)
             return
 
+        if tag in FORMATTING:
+            self._adoption_agency(tag)
+            return
+
         if tag in SPECIAL:
             boundary = SCOPE_BOUNDARY if tag not in SCOPE_BOUNDARY else ("html",)
             i = self._find_in_scope(tag, boundary)
@@ -479,13 +741,7 @@ class _TreeBuilder(HTMLParser):
             return
 
         # "any other end tag": pop if found before a special element
-        for i in range(len(self.stack) - 1, -1, -1):
-            node = self.stack[i]
-            if node.tag == tag:
-                self._pop_through(i)
-                return
-            if node.tag in SPECIAL:
-                return
+        self._any_other_end_tag(tag)
 
     # ------------------------------------------------------------ text & misc
 
@@ -507,6 +763,10 @@ class _TreeBuilder(HTMLParser):
                 return
             self.mode = "in_body"
         self.strip_leading_newline = False
+        # character tokens in body reconstruct the active formatting
+        # elements (raw-text/RCDATA content and foreign content do not)
+        if self.cdata_elem is None and self.foreign_depth == 0:
+            self._reconstruct_afe()
         if self._in_table_context() and data.strip() != "":
             parent, ref = self._foster_target()
             if ref is not None and ref.prev is not None and ref.prev.type == TEXT:

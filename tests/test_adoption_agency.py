@@ -1,0 +1,106 @@
+"""Adoption agency + active-formatting-element reconstruction (WHATWG
+§13.2.6.4.7 / x/net/html parity). Expected trees verified against the
+spec's own worked examples and Chrome/x-net-html output shapes."""
+
+import time
+
+from go_readability_spark.dom.builder import parse_html
+from go_readability_spark.dom.serialize import render
+
+
+def body_of(src: str) -> str:
+    out = render(parse_html(src))
+    return out.split("<body>")[1].split("</body>")[0]
+
+
+def test_misnested_formatting_classic():
+    assert body_of("<p><b><i>bi</b>i only</i></p>") == (
+        "<p><b><i>bi</i></b><i>i only</i></p>"
+    )
+
+
+def test_formatting_across_block():
+    assert body_of("<b>1<p>2</b>3</p>") == "<b>1</b><p><b>2</b>3</p>"
+
+
+def test_reconstruction_after_block_pop():
+    # </div> pops <b> from the stack but not the formatting list; the
+    # following text re-opens a clone
+    assert body_of("<div><b>x</div>y") == "<div><b>x</b></div><b>y</b>"
+
+
+def test_spec_worked_example_b_i_p():
+    # the WHATWG spec's own misnesting example
+    assert body_of("<b>1<i>2<p>3</b>4") == (
+        "<b>1<i>2</i></b><i><p><b>3</b>4</p></i>"
+    )
+
+
+def test_stale_a_is_adopted():
+    assert body_of("<a href=1>1<a href=2>2</a>") == (
+        '<a href="1">1</a><a href="2">2</a>'
+    )
+
+
+def test_a_spanning_div_nests_new_anchor_inside():
+    # <div> inside <a>, then a new <a>: the stale <a> is segmented
+    out = body_of("<a href=1>1<div>2<a href=2>3</a></div>")
+    assert out == '<a href="1">1</a><div><a href="1">2</a><a href="2">3</a></div>'
+
+
+def test_cell_boundary_clears_formatting():
+    # <b> left open in one cell must NOT leak into the next (AFE marker)
+    assert body_of("<table><tr><td><b>x</td><td>y</td></tr></table>") == (
+        "<table><tbody><tr><td><b>x</b></td><td>y</td></tr></tbody></table>"
+    )
+
+
+def test_fostered_formatting_before_table():
+    assert body_of("<table><b>f<tr><td>x</td></tr></table>after") == (
+        "<b>f</b><table><tbody><tr><td>x</td></tr></tbody></table><b>after</b>"
+    )
+
+
+def test_marquee_is_a_formatting_boundary():
+    assert body_of("<p><b>a<marquee>b</marquee>c") == (
+        "<p><b>a<marquee>b</marquee>c</b></p>"
+    )
+
+
+def test_loose_table_structure_tags_ignored():
+    # in-body td/tr/tbody with no open table: spec says ignore the token
+    assert body_of("<td>loose</td>") == "loose"
+    assert body_of("<tr><td>a</td></tr>text") == "atext"
+    assert body_of("x<tbody>y") == "xy"
+
+
+def test_noahs_ark_caps_identical_entries():
+    # 10 identical <b>s, all popped by a div-close; reconstruction
+    # re-opens at most 3 (the Noah's Ark clause)
+    src = "<div>" + "<b>" * 10 + "x</div>y"
+    out = body_of(src)
+    tail = out.split("</div>")[1]
+    assert tail.count("<b>") == 3 and tail.endswith("y" + "</b>" * 3)
+
+
+def test_nobr_self_closes_via_adoption():
+    out = body_of("<nobr>1<nobr>2")
+    assert out == "<nobr>1</nobr><nobr>2</nobr>"
+
+
+def test_hostile_formatting_floods_stay_linear():
+    flood = "".join(f'<b class="c{i}">x' for i in range(8000))
+    t0 = time.time()
+    parse_html(flood)
+    assert time.time() - t0 < 5.0
+    flood2 = "<b><i>" * 2000 + "x" + "</b>" * 2000
+    t0 = time.time()
+    parse_html(flood2)
+    assert time.time() - t0 < 5.0
+
+
+def test_formatting_inside_raw_text_untouched():
+    # rawtext content must not trigger reconstruction
+    out = body_of("<div><b>x</div><script>a < b</script>t")
+    assert "<script>a < b</script>" in out
+    assert out.endswith("<b>t</b>")
