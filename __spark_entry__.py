@@ -439,6 +439,24 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(simhash_table(docs, "doc_id", "text"), max_hamming=8)
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode leg: REAL PNG / WAV-PCM / motion-PNG payloads
+    (synthesized deterministically with the repo's own codecs) through the
+    Arrow-batched feature extractor. Binary decode is not expressible in
+    SQL, so this is a rows-only driver check; the decoded values are
+    pinned by tests/test_wav_media.py and tests/test_png.py."""
+    _ship_package(spark)
+    from go_readability_spark.operators.multimodal import (
+        extract_media_features,
+        synth_real_media_dataframe,
+    )
+
+    media = synth_real_media_dataframe(spark, n=24, seed=42)
+    return extract_media_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "frames"
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     _ship_package(spark)
     emb = _read(spark, sf_dir, "embeddings")
@@ -671,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": _q_minhash_pairs_md5,
         "winnowing_pairs": _q_winnowing_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "media_features": _q_media_features,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
