@@ -230,26 +230,28 @@ def node_id(node: Node) -> str:
 def text_content(node: Node) -> str:
     """Concatenation of all text-node payloads in tree order
     (go-shiori/dom TextContent semantics used at
-    /root/reference/parser-parse.go:92)."""
+    /root/reference/parser-parse.go:92).
+
+    Parent-pointer climb instead of an explicit stack: these walkers are
+    the hottest functions in the whole extraction profile (called for
+    every score/clean decision), and dropping the per-node list
+    append/pop is a measurable win across a corpus."""
     if node.type == TEXT:
         return node.data
     parts = []
-    # iterative DFS
-    stack = []
+    append = parts.append
     c = node.first_child
-    while c is not None or stack:
-        if c is None:
-            c = stack.pop()
-            c = c.next
-            continue
+    while c is not None:
         if c.type == TEXT:
-            parts.append(c.data)
-            c = c.next
+            append(c.data)
         elif c.first_child is not None:
-            stack.append(c)
             c = c.first_child
-        else:
-            c = c.next
+            continue
+        while c.next is None:
+            c = c.parent
+            if c is node or c is None:
+                return "".join(parts)
+        c = c.next
     return "".join(parts)
 
 
@@ -257,40 +259,37 @@ def get_elements_by_tag_name(node: Node, tag: str):
     """All descendant elements with the given tag, document order.
     tag='*' matches every element. Does not include `node` itself."""
     out = []
+    append = out.append
     any_tag = tag == "*"
-    stack = []
     c = node.first_child
-    while c is not None or stack:
-        if c is None:
-            c = stack.pop()
-            c = c.next
-            continue
+    while c is not None:
         if c.type == ELEMENT:
             if any_tag or c.tag == tag:
-                out.append(c)
+                append(c)
             if c.first_child is not None:
-                stack.append(c)
                 c = c.first_child
                 continue
+        while c.next is None:
+            c = c.parent
+            if c is node or c is None:
+                return out
         c = c.next
     return out
 
 
 def iter_elements(node: Node):
     """Yield descendant elements in document order (no self)."""
-    stack = []
     c = node.first_child
-    while c is not None or stack:
-        if c is None:
-            c = stack.pop()
-            c = c.next
-            continue
+    while c is not None:
         if c.type == ELEMENT:
             yield c
             if c.first_child is not None:
-                stack.append(c)
                 c = c.first_child
                 continue
+        while c.next is None:
+            c = c.parent
+            if c is node or c is None:
+                return
         c = c.next
 
 
