@@ -313,6 +313,33 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_shard_stats(spark, sf_dir):
+    """Balanced output sharding: exact byte offsets (two-phase prefix
+    sum) cut into ~64 KiB shards; per-shard manifest rows."""
+    _ship_package(spark)
+    from go_readability_spark.operators.sharding import shard_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    return shard_stats(
+        docs, "n_bytes", "doc_id", target_bytes=65536, block_size=64
+    ).select("shard_id", "n_docs", "shard_bytes", "min_id", "max_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: the 20 smallest-md5-order docs
+    per source, via the skew-safe two-phase top-k (no whole-group
+    single-task window)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, 20, "source", "doc_id").select(
+        "source", "doc_id"
+    )
+
+
 def _q_corpus_mixture(spark, sf_dir):
     """Deterministic per-source corpus mixing: src0 kept at 80%, src1 at
     30%, everything else dropped — membership is a pure md5 function of
@@ -678,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": _q_sequence_manifest,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
+        "shard_stats": _q_shard_stats,
+        "stratified_sample": _q_stratified_sample,
         "corpus_mixture": _q_corpus_mixture,
         "line_dedup": _q_line_dedup,
         "pii_redaction": _q_pii_redaction,
@@ -1097,6 +1126,31 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "shard_stats": """
+            WITH b AS (SELECT doc_id, strlen(text) AS nb FROM documents),
+            o AS (SELECT doc_id, nb,
+                         CAST(sum(nb) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - nb AS BIGINT) AS start_offset
+                  FROM b)
+            SELECT start_offset // 65536 AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(nb) AS BIGINT) AS shard_bytes,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM o GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
         "corpus_mixture": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -32,6 +32,8 @@ from .image_ops import (  # noqa: F401
 from .hosts import filter_blocked_hosts, host_of_url, host_stats  # noqa: F401
 from .png import decode_png, encode_png, is_png  # noqa: F401
 from .snapshots import latest_snapshot, snapshot_history  # noqa: F401
+from .sharding import shard_assignments, shard_stats, write_sharded  # noqa: F401
+from .sampling import hash_sample, mix_corpus, stratified_sample  # noqa: F401
 from .ivf import assign_buckets, ivf_topk, train_ivf_centroids  # noqa: F401
 from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -35,6 +35,54 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exactly the n_per_group rows per group with the SMALLEST hash
+    order (md5(salt:key), key) — a deterministic, engine-portable
+    stratified sample.
+
+    Scale note: the naive spelling — row_number() over
+    (PARTITION BY group ORDER BY hash) — funnels each group through ONE
+    task; with a handful of huge sources that is a single-executor sort
+    of the whole corpus. This does the standard two-phase exact top-k:
+
+      1. local top-k within (group, hash-derived subkey of n_salts):
+         every subgroup is ~1/n_salts of the group, and only k rows per
+         subgroup survive
+      2. global top-k among the n_salts*k survivors per group — bounded
+         input regardless of corpus size
+
+    Both phases pick by the same total order, so the result is identical
+    to the single-partition spelling (top-k of a union == top-k of the
+    per-part top-ks).
+    """
+    from pyspark.sql import Window
+
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    h = F.pmod(md5_prefix_long(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), F.lit(_BUCKETS))
+    sub = F.pmod(F.col(key_col).cast("long"), F.lit(int(n_salts)))
+    staged = df.withColumn("_ss_h", h).withColumn("_ss_sub", sub)
+    local = Window.partitionBy(group_col, "_ss_sub").orderBy("_ss_h", key_col)
+    survivors = (
+        staged.withColumn("_ss_rn", F.row_number().over(local))
+        .where(F.col("_ss_rn") <= n_per_group)
+        .drop("_ss_rn")
+    )
+    final = Window.partitionBy(group_col).orderBy("_ss_h", key_col)
+    return (
+        survivors.withColumn("_ss_rn", F.row_number().over(final))
+        .where(F.col("_ss_rn") <= n_per_group)
+        .drop("_ss_rn", "_ss_h", "_ss_sub")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     rates: dict[str, float],

@@ -71,7 +71,7 @@ def test_every_query_runs(spark, entry_mod):
     "embedding_near_pairs", "repetition_filters", "url_canonical", "decontamination", "corpus_mixture", "line_dedup",
     "pii_redaction", "lm_perplexity", "substring_dedup",
     "latest_snapshot", "snapshot_history", "host_stats", "blocked_hosts",
-    "sequence_packing", "sequence_manifest",
+    "sequence_packing", "sequence_manifest", "shard_stats", "stratified_sample",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()

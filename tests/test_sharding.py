@@ -1,0 +1,121 @@
+"""Balanced byte-sharding and stratified sampling operators."""
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=200, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, "x" * rng.randint(50, 4000), f"src{i % 3}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_shard_assignments_match_pure_python(spark):
+    from go_readability_spark.operators.sharding import shard_assignments
+
+    df = _docs(spark).withColumn("n_bytes", F.octet_length("text"))
+    target = 50_000
+    got = {
+        r["doc_id"]: (r["shard_id"], r["start_offset"])
+        for r in shard_assignments(
+            df, "n_bytes", "doc_id", target_bytes=target, block_size=17
+        ).collect()
+    }
+    rows = sorted(
+        (r["doc_id"], r["n_bytes"]) for r in df.select("doc_id", "n_bytes").collect()
+    )
+    off = 0
+    for doc_id, nb in rows:
+        assert got[doc_id] == (off // target, off), doc_id
+        off += nb
+
+
+def test_shard_stats_bounds(spark):
+    from go_readability_spark.operators.sharding import shard_stats
+
+    df = _docs(spark).withColumn("n_bytes", F.octet_length("text"))
+    target = 50_000
+    stats = sorted(
+        shard_stats(df, "n_bytes", "doc_id", target_bytes=target).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert [r["shard_id"] for r in stats] == list(range(len(stats)))
+    total = df.agg(F.sum("n_bytes")).first()[0]
+    assert sum(r["shard_bytes"] for r in stats) == total
+    # every shard except the last spans at least the target (documents
+    # overflow but never leave a shard short)
+    max_doc = df.agg(F.max("n_bytes")).first()[0]
+    for r in stats[:-1]:
+        assert r["shard_bytes"] + max_doc > target
+    # id spans are disjoint and ordered (layout order == id order)
+    for a, b in zip(stats, stats[1:]):
+        assert a["max_id"] < b["min_id"]
+
+
+def test_write_sharded_roundtrip(spark, tmp_path):
+    from go_readability_spark.operators.sharding import write_sharded
+
+    df = _docs(spark, n=60).withColumn("n_bytes", F.octet_length("text"))
+    out = str(tmp_path / "shards")
+    write_sharded(df, out, target_bytes=30_000)
+    assert any(d.startswith("shard_id=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    # one data file per shard directory (single writer task per shard)
+    for d in os.listdir(out):
+        if d.startswith("shard_id="):
+            files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+
+def _md5_order(doc_id, salt=""):
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
+    return int(h, 16) % 1_000_000
+
+
+def test_stratified_sample_exact_vs_reference(spark):
+    from go_readability_spark.operators.sampling import stratified_sample
+
+    df = _docs(spark, n=300)
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in stratified_sample(df, 10, "source", "doc_id").collect()
+    )
+    # pure-Python reference: smallest-10 per source by (md5 order, id)
+    by_src = {}
+    for i in range(300):
+        by_src.setdefault(f"src{i % 3}", []).append(i)
+    want = []
+    for src, ids in by_src.items():
+        ids.sort(key=lambda d: (_md5_order(d), d))
+        want.extend((src, d) for d in ids[:10])
+    assert got == sorted(want)
+
+
+def test_stratified_sample_undersized_group(spark):
+    from go_readability_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "only", "tiny"), (2, "only2", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    assert stratified_sample(df, 10, "source", "doc_id").count() == 2
+
+
+def test_stratified_sample_two_phase_equals_naive(spark):
+    """The n_salts pre-reduction must not change the result (top-k of
+    per-part top-ks == global top-k)."""
+    from go_readability_spark.operators.sampling import stratified_sample
+
+    df = _docs(spark, n=257)
+    a = sorted(r["doc_id"] for r in stratified_sample(df, 7, "source", "doc_id", n_salts=64).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, 7, "source", "doc_id", n_salts=1).collect())
+    assert a == b
