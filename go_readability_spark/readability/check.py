@@ -18,6 +18,7 @@ from ..dom import (
     parse_html,
     text_content,
 )
+from .utils import go_trim_space
 from .parser import Parser
 from .regexps import RX_MAYBE_CANDIDATE, RX_UNLIKELY_CANDIDATES
 
@@ -49,7 +50,7 @@ def check_document(doc: Node) -> bool:
             continue
         if node.tag == "p" and Parser._has_ancestor_tag(node, "li", -1):
             continue
-        node_text = text_content(node).strip()
+        node_text = go_trim_space(text_content(node))
         text_len = len(node_text.encode("utf-8"))
         if text_len < 140:
             continue

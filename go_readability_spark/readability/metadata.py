@@ -31,12 +31,12 @@ from .regexps import (
     RX_TITLE_SEPARATOR,
     normalize_spaces,
 )
-from .utils import char_count, str_or, text_similarity, to_absolute_uri, word_count
+from .utils import char_count, go_fields, go_trim_space, str_or, text_similarity, to_absolute_uri, word_count
 
 
 def get_inner_text(node, normalize: bool = True) -> str:
     """parser.go:1664-1670."""
-    txt = text_content(node).strip()
+    txt = go_trim_space(text_content(node))
     if normalize:
         txt = normalize_spaces(txt)
     return txt
@@ -60,8 +60,8 @@ def get_article_title(doc) -> str:
             cur_title = RX_TITLE_REMOVE_1ST_PART.sub(r"\1", orig_title)
     elif ": " in cur_title:
         headings = get_elements_by_tag_name(doc, "h1") + get_elements_by_tag_name(doc, "h2")
-        trimmed_title = cur_title.strip()
-        match = any(text_content(h).strip() == trimmed_title for h in headings)
+        trimmed_title = go_trim_space(cur_title)
+        match = any(go_trim_space(text_content(h)) == trimmed_title for h in headings)
         if not match:
             cur_title = orig_title[orig_title.rfind(":") + 1:]
             if word_count(cur_title) < 3:
@@ -73,7 +73,7 @@ def get_article_title(doc) -> str:
         if len(h_ones) == 1:
             cur_title = get_inner_text(h_ones[0], True)
 
-    cur_title = cur_title.strip()
+    cur_title = go_trim_space(cur_title)
     cur_title = normalize_spaces(cur_title)
 
     cur_title_word_count = word_count(cur_title)
@@ -137,29 +137,29 @@ def get_jsonld(doc) -> dict:
             else:
                 metadata["title"] = name
         elif name_is_str:
-            metadata["title"] = name.strip()
+            metadata["title"] = go_trim_space(name)
         elif headline_is_str:
-            metadata["title"] = headline.strip()
+            metadata["title"] = go_trim_space(headline)
 
         author = parsed.get("author")
         if isinstance(author, dict):
             author_name = author.get("name")
             if isinstance(author_name, str):
-                metadata["byline"] = author_name.strip()
+                metadata["byline"] = go_trim_space(author_name)
         elif isinstance(author, list):
             authors = []
             for a in author:
                 if isinstance(a, dict) and isinstance(a.get("name"), str):
-                    authors.append(a["name"].strip())
+                    authors.append(go_trim_space(a["name"]))
             metadata["byline"] = ", ".join(authors)
 
         description = parsed.get("description")
         if isinstance(description, str):
-            metadata["excerpt"] = description.strip()
+            metadata["excerpt"] = go_trim_space(description)
 
         publisher = parsed.get("publisher")
         if isinstance(publisher, dict) and isinstance(publisher.get("name"), str):
-            metadata["siteName"] = publisher["name"].strip()
+            metadata["siteName"] = go_trim_space(publisher["name"])
 
         date_published = parsed.get("datePublished")
         if isinstance(date_published, str):
@@ -173,10 +173,10 @@ def get_article_favicon(doc, document_uri: str | None) -> str:
     favicon = ""
     favicon_size = -1
     for link in get_elements_by_tag_name(doc, "link"):
-        link_rel = get_attribute(link, "rel").strip()
-        link_type = get_attribute(link, "type").strip()
-        link_href = get_attribute(link, "href").strip()
-        link_sizes = get_attribute(link, "sizes").strip()
+        link_rel = go_trim_space(get_attribute(link, "rel"))
+        link_type = go_trim_space(get_attribute(link, "type"))
+        link_href = go_trim_space(get_attribute(link, "href"))
+        link_sizes = go_trim_space(get_attribute(link, "sizes"))
 
         if link_href == "" or "icon" not in link_rel:
             continue
@@ -211,11 +211,11 @@ def get_article_metadata(doc, json_ld: dict, document_uri: str | None) -> dict:
         if element_property != "":
             matches = [m.group(0) for m in RX_PROPERTY_PATTERN.finditer(element_property)]
             for m in reversed(matches):
-                name = "".join(m.lower().split())
-                values[name] = content.strip()
+                name = "".join(go_fields(m.lower()))
+                values[name] = go_trim_space(content)
         if not matches and element_name != "" and RX_NAME_PATTERN.search(element_name):
-            name = "".join(element_name.lower().split()).replace(".", ":")
-            values[name] = content.strip()
+            name = "".join(go_fields(element_name.lower())).replace(".", ":")
+            values[name] = go_trim_space(content)
 
     metadata_title = str_or(
         json_ld.get("title", ""),
@@ -349,13 +349,13 @@ def _epoch_to_datetime(s: str):
 def _normalize_date_string(s: str) -> str:
     m = _CJK_DATE_RX.match(s)
     if m:
-        s = (
+        s = go_trim_space((
             f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
             f"{m.group(4)}"
-        ).strip()
+        ))
     # "September 17, 2012 at 10:09am" -> drop the connective
     s = re.sub(r"\bat\b", " ", s)
-    s = _PAREN_ZONE_RX.sub("", s.strip())
+    s = _PAREN_ZONE_RX.sub("", go_trim_space(s))
     m = _OFFSET_THEN_NAME_RX.search(s)
     if m:
         s = s[: m.end(1)]
@@ -370,7 +370,7 @@ def _normalize_date_string(s: str) -> str:
         yy = int(m.group(3))
         full = 1900 + yy if yy >= 69 else 2000 + yy
         s = f"{m.group(1)}{full}{s[m.end(3):]}"
-    return re.sub(r"\s+", " ", s).strip()
+    return go_trim_space(re.sub(r"\s+", " ", s))
 
 
 def parse_date(date_str: str):
@@ -382,7 +382,7 @@ def parse_date(date_str: str):
     equal to the reference). Returns a datetime or None."""
     if not date_str:
         return None
-    s = date_str.strip()
+    s = go_trim_space(date_str)
     if _DIGITS_RX.match(s):
         return _epoch_to_datetime(s)
     m = _ISO_RX.match(s)
@@ -410,7 +410,7 @@ def parse_date(date_str: str):
     s = _normalize_date_string(s)
     m = _ISO_RX.match(s)  # normalization may have produced ISO (CJK dates)
     if m:
-        return parse_date(s) if s != date_str.strip() else None
+        return parse_date(s) if s != go_trim_space(date_str) else None
     try:
         from dateutil import parser as _du
 

@@ -47,7 +47,7 @@ from .metadata import (
     get_jsonld,
     parse_date,
 )
-from .utils import char_count, text_similarity, to_absolute_uri
+from .utils import char_count, go_fields, go_trim_space, text_similarity, to_absolute_uri
 
 # \Z, not $: Python's $ matches before a trailing newline, so "5\n" would
 # pass — strconv.Atoi rejects it
@@ -66,7 +66,7 @@ def _atoi(s) -> int:
 
 
 def _WS_ONLY(s: str) -> bool:
-    return not s.strip()
+    return not go_trim_space(s)
 
 
 _CLEAN_COND_TAGS = frozenset(
@@ -136,7 +136,7 @@ class Parser:
 
     @staticmethod
     def _get_content_score(node) -> float:
-        s = get_attribute(node, "data-readability-score").strip()
+        s = go_trim_space(get_attribute(node, "data-readability-score"))
         if s == "":
             return 0.0
         try:
@@ -240,7 +240,7 @@ class Parser:
     @staticmethod
     def _is_whitespace(node) -> bool:
         """parser.go:1656-1659."""
-        return (node.type == TEXT and text_content(node).strip() == "") or (
+        return (node.type == TEXT and go_trim_space(text_content(node)) == "") or (
             node.type == ELEMENT and node.tag == "br"
         )
 
@@ -334,7 +334,7 @@ class Parser:
             return 0.0
         link_length = 0.0
         for link in get_elements_by_tag_name(element, "a"):
-            href = get_attribute(link, "href").strip()
+            href = go_trim_space(get_attribute(link, "href"))
             coefficient = 0.3 if (href and rx.RX_HASH_URL.match(href)) else 1.0
             link_length += char_count(get_inner_text(link, True)) * coefficient
         return link_length / text_length
@@ -537,7 +537,7 @@ class Parser:
             if node.type == ELEMENT and node.tag == "img":
                 return True
             children = node.children()
-            if len(children) != 1 or text_content(node).strip() != "":
+            if len(children) != 1 or go_trim_space(text_content(node)) != "":
                 return False
             node = children[0]
 
@@ -600,13 +600,13 @@ class Parser:
         if (
             rel == "author" or "author" in itemprop or rx.RX_BYLINE.search(match_string)
         ) and self._is_valid_byline(node_text):
-            self.article_byline = " ".join(node_text.split()).strip()
+            self.article_byline = " ".join(go_fields(node_text))
             return True
         return False
 
     @staticmethod
     def _is_valid_byline(byline: str) -> bool:
-        n = char_count(byline.strip())
+        n = char_count(go_trim_space(byline))
         return 0 < n < 100
 
     def _header_duplicates_title(self, node) -> bool:
@@ -1276,7 +1276,7 @@ class Parser:
         pending = [node]
         while pending:
             n = pending.pop()
-            preserved = [c for c in class_name(n).split() if c in self.classes_to_preserve]
+            preserved = [c for c in go_fields(class_name(n)) if c in self.classes_to_preserve]
             if preserved:
                 set_attribute(n, "class", " ".join(preserved))
             else:
@@ -1338,14 +1338,14 @@ class Parser:
             if metadata["excerpt"] == "":
                 paragraphs = get_elements_by_tag_name(article_content, "p")
                 if paragraphs:
-                    metadata["excerpt"] = text_content(paragraphs[0]).strip()
+                    metadata["excerpt"] = go_trim_space(text_content(paragraphs[0]))
 
             readable_node = article_content.first_element_child()
             final_html_content = inner_html(article_content)
-            final_text_content = text_content(article_content).strip()
+            final_text_content = go_trim_space(text_content(article_content))
 
         final_byline = metadata["byline"] or self.article_byline
-        excerpt = " ".join(metadata["excerpt"].strip().split())
+        excerpt = " ".join(go_fields(metadata["excerpt"]))
 
         return Article(
             title=self.article_title,

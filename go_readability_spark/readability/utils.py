@@ -12,14 +12,41 @@ def char_count(s: str) -> int:
     return len(s)
 
 
+# Go unicode.IsSpace is exactly the Unicode White_Space property; Python's
+# str.strip()/split()/isspace() additionally treat the ASCII separator
+# controls \x1c-\x1f as whitespace, which Go does not. strings.TrimSpace /
+# strings.Fields parity therefore needs an explicit character set.
+_GO_WS = (
+    "\t\n\v\f\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+_GO_WS_RUN = None  # compiled lazily (regexps imports utils)
+
+
+def go_trim_space(s: str) -> str:
+    """strings.TrimSpace parity (keeps \\x1c-\\x1f, unlike str.strip())."""
+    return s.strip(_GO_WS)
+
+
+def go_fields(s: str):
+    """strings.Fields parity."""
+    global _GO_WS_RUN
+    if _GO_WS_RUN is None:
+        import re as _re
+
+        _GO_WS_RUN = _re.compile("[" + _GO_WS + "]+")
+    return [t for t in _GO_WS_RUN.split(s) if t]
+
+
 def word_count(s: str) -> int:
     """utils.go:22-24 (strings.Fields)."""
-    return len(s.split())
+    return len(go_fields(s))
 
 
 def trim(s: str) -> str:
     """utils.go:97-100: collapse all whitespace runs to single spaces."""
-    return " ".join(s.split()).strip()
+    return " ".join(go_fields(s))
 
 
 def is_valid_url(s: str) -> bool:
