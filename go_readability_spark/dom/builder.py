@@ -851,6 +851,14 @@ def parse_html(source) -> Node:
         source = source.replace("\r\n", "\n").replace("\r", "\n")
     if "\x00" in source:
         source = source.replace("\x00", "�")
+    # The reference parse chain (dom.Parse in generate-test.go and
+    # FromReader alike) drops RAW soft hyphens: every fixture whose
+    # source bytes contain U+00AD (breitbart, videos-2, wapo-2) has it
+    # absent from expected.html while surrounding bytes match exactly.
+    # Mirrored here at the same pre-tokenizer stage; entity-encoded
+    # &shy; (none in the corpus) would survive either way.
+    if "\xad" in source:
+        source = source.replace("\xad", "")
     builder = _TreeBuilder()
     try:
         builder.feed(source)

@@ -68,6 +68,13 @@ def render(node: Node, parts: list | None = None) -> str:
                 parts.append("/>")
             else:
                 parts.append(">")
+                # x/net/html render.go: pre/listing/textarea re-emit the
+                # leading newline the parser stripped, so parse->render
+                # round-trips (the golden expected.html files have it)
+                if nd.tag in ("pre", "listing", "textarea"):
+                    fc = nd.first_child
+                    if fc is not None and fc.type == TEXT and fc.data.startswith("\n"):
+                        parts.append("\n")
                 stack.append((nd, True))
                 c = nd.last_child
                 while c is not None:
