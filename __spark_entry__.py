@@ -340,6 +340,18 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_global_shuffle(spark, sf_dir):
+    """Deterministic training-order permutation: global rank by
+    (md5 order, id) without a global sort (hash-block two-phase scan)."""
+    _ship_package(spark)
+    from go_readability_spark.operators.sampling import global_shuffle
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, "doc_id", salt="ep1", n_blocks=64).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
 def _q_corpus_mixture(spark, sf_dir):
     """Deterministic per-source corpus mixing: src0 kept at 80%, src1 at
     30%, everything else dropped — membership is a pure md5 function of
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
         "shard_stats": _q_shard_stats,
+        "global_shuffle": _q_global_shuffle,
         "stratified_sample": _q_stratified_sample,
         "corpus_mixture": _q_corpus_mixture,
         "line_dedup": _q_line_dedup,
@@ -1139,6 +1152,14 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id,
                    max(doc_id) AS max_id
             FROM o GROUP BY 1
+        """,
+        "global_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY CAST(('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+                                doc_id
+                   ) - 1 AS shuffle_pos
+            FROM documents
         """,
         "stratified_sample": """
             SELECT source, doc_id FROM (

@@ -35,6 +35,45 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
 
 
+def global_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Adds `shuffle_pos`: a deterministic global permutation position —
+    the rank of (md5(salt:key), key) over the whole corpus. This is the
+    training-order shuffle: seeded by `salt`, reproducible across runs
+    and retries, and a different `salt` gives an independent epoch order.
+
+    No global sort: the hash is uniform, so `hash div (BUCKETS/n_blocks)`
+    splits the order into n_blocks pre-sorted ranges of ~equal size.
+    Block counts (n_blocks tiny rows) are aggregated, exclusive offsets
+    computed on the driver, and each block ranks locally — the same
+    two-phase scan as sequence packing, keyed by hash instead of id."""
+    from pyspark.sql import Window
+
+    if n_blocks <= 0:
+        raise ValueError(f"n_blocks must be positive, got {n_blocks}")
+    block_span = max(1, _BUCKETS // n_blocks)
+    h = hash_bucket(F.col(key_col), salt)
+    staged = df.withColumn("_gs_h", h).withColumn(
+        "_gs_blk", F.expr(f"_gs_h div {block_span}")
+    )
+    totals = staged.groupBy("_gs_blk").agg(F.count(F.lit(1)).alias("_gs_n")).collect()
+    running, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_gs_blk"]):
+        offsets.append((row["_gs_blk"], running))
+        running += row["_gs_n"]
+    off = df.sparkSession.createDataFrame(offsets, "_gs_blk bigint, _gs_off bigint")
+    w = Window.partitionBy("_gs_blk").orderBy("_gs_h", key_col)
+    return (
+        staged.join(F.broadcast(off), "_gs_blk")
+        .withColumn("shuffle_pos", F.row_number().over(w) - 1 + F.col("_gs_off"))
+        .drop("_gs_blk", "_gs_h", "_gs_off")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_group: int,

@@ -72,6 +72,7 @@ def test_every_query_runs(spark, entry_mod):
     "pii_redaction", "lm_perplexity", "substring_dedup",
     "latest_snapshot", "snapshot_history", "host_stats", "blocked_hosts",
     "sequence_packing", "sequence_manifest", "shard_stats", "stratified_sample",
+    "global_shuffle",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()

@@ -119,3 +119,26 @@ def test_stratified_sample_two_phase_equals_naive(spark):
     a = sorted(r["doc_id"] for r in stratified_sample(df, 7, "source", "doc_id", n_salts=64).collect())
     b = sorted(r["doc_id"] for r in stratified_sample(df, 7, "source", "doc_id", n_salts=1).collect())
     assert a == b
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    from go_readability_spark.operators.sampling import global_shuffle
+
+    df = _docs(spark, n=250)
+    rows = global_shuffle(df, "doc_id", salt="ep0", n_blocks=64).collect()
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(250))  # exact 0..n-1 permutation
+    # matches the pure-Python rank by (md5 order, id)
+    order = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    want = sorted(range(250), key=lambda d: (_md5_order(d, "ep0"), d))
+    assert all(order[d] == i for i, d in enumerate(want))
+
+
+def test_global_shuffle_salt_changes_epoch_order(spark):
+    from go_readability_spark.operators.sampling import global_shuffle
+
+    df = _docs(spark, n=120)
+    a = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(df, salt="e1").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(df, salt="e2").collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values()) == list(range(120))
