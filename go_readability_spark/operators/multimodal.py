@@ -302,7 +302,6 @@ def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
-        rng = np.random.default_rng(seed * 1000 + i)
         if kind == "image":
             w, h = 8 + i % 9, 6 + i % 7
             grad = (
@@ -341,5 +340,4 @@ def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 "height": height,
             }
         )
-        del rng
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -106,8 +106,14 @@ def stratified_sample(
     if n_per_group <= 0:
         raise ValueError(f"n_per_group must be positive, got {n_per_group}")
     h = F.pmod(md5_prefix_long(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), F.lit(_BUCKETS))
-    sub = F.pmod(F.col(key_col).cast("long"), F.lit(int(n_salts)))
-    staged = df.withColumn("_ss_h", h).withColumn("_ss_sub", sub)
+    # subgroup from the hash itself, NOT a numeric cast of the key — a
+    # string key (url) would cast to NULL and silently collapse every
+    # row into one subgroup, i.e. exactly the single-task window this
+    # function exists to avoid. Any partitioning preserves correctness
+    # (top-k of per-part top-ks == global top-k), so h-residues are fine.
+    staged = df.withColumn("_ss_h", h).withColumn(
+        "_ss_sub", F.pmod(F.col("_ss_h"), F.lit(int(n_salts)))
+    )
     local = Window.partitionBy(group_col, "_ss_sub").orderBy("_ss_h", key_col)
     survivors = (
         staged.withColumn("_ss_rn", F.row_number().over(local))

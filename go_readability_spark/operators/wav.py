@@ -52,12 +52,14 @@ def decode_wav(data: bytes):
     if not is_wav(data):
         raise ValueError("not a WAV (bad RIFF/WAVE signature)")
     fmt = None
+    fmt_body = b""
     pcm = None
     for ctype, body in _chunks(data):
         if ctype == b"fmt ":
             if len(body) < 16:
                 raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif ctype == b"data":
             pcm = body
     if fmt is None:
@@ -66,11 +68,13 @@ def decode_wav(data: bytes):
         raise ValueError("WAV missing data chunk")
     tag, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if tag == _EXTENSIBLE:
-        # WAVE_FORMAT_EXTENSIBLE wraps the real tag in the first 2 bytes
-        # of the subformat GUID; re-read it from the extension if present.
-        # (The extension starts at offset 24 of fmt; GUID at offset 8 of
-        # the extension.) Fall back to PCM if absent.
-        tag = _PCM
+        # WAVE_FORMAT_EXTENSIBLE carries the real tag in the first 2
+        # bytes of the SubFormat GUID (offset 24 of the fmt body: 16
+        # base + 2 cbSize + 6 → GUID); fall back to PCM if truncated
+        if len(fmt_body) >= 26:
+            (tag,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            tag = _PCM
     if tag not in (_PCM, _FLOAT):
         raise ValueError(f"unsupported WAV format tag {tag} (PCM/float only)")
     if channels == 0 or sample_rate == 0:

@@ -142,3 +142,19 @@ def test_global_shuffle_salt_changes_epoch_order(spark):
     b = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(df, salt="e2").collect()}
     assert a != b
     assert sorted(a.values()) == sorted(b.values()) == list(range(120))
+
+
+def test_stratified_sample_string_keys(spark):
+    """String keys (urls) must still spread across subgroups — a numeric
+    cast of the key would NULL out and collapse phase 1 entirely."""
+    from go_readability_spark.operators.sampling import stratified_sample
+
+    rows = [(f"http://h{i % 3}.com/p{i}", f"src{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, "url string, source string")
+    got = stratified_sample(df, 5, "source", "url", n_salts=8)
+    assert got.count() == 10
+    # equals the naive single-subgroup spelling
+    naive = stratified_sample(df, 5, "source", "url", n_salts=1)
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in naive.collect()
+    )

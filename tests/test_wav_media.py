@@ -233,3 +233,18 @@ def test_non_wav_audio_raises_without_fake(spark):
         decode_audio(b"ID3\x04mp3-ish", fake=False)
     f = decode_audio(b"ID3\x04mp3-ish", fake=True)
     assert f["n_frames"] >= 1  # deterministic stub still works
+
+
+def test_wav_extensible_subformat():
+    """WAVE_FORMAT_EXTENSIBLE: the real tag lives in the SubFormat GUID."""
+    wave = _sine(dur=0.02)
+    pcm = wave.astype("<f4").tobytes()
+    # fmt: extensible(0xFFFE), 1ch, float32 subformat in the GUID
+    base = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 4, 4, 32)
+    ext = struct.pack("<HHI", 22, 32, 0) + struct.pack("<H", 3) + b"\x00" * 14
+    fmt = base + ext
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + \
+        b"data" + struct.pack("<I", len(pcm)) + pcm
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, samples = decode_wav(data)
+    assert np.allclose(samples[:, 0], wave)
