@@ -283,7 +283,13 @@ class _TreeBuilder(HTMLParser):
         if len(self.stack) >= self.MAX_TREE_DEPTH:
             return
         last = afe[-1]
-        if last is _MARKER or last in self.stack:
+        if last is _MARKER:
+            return
+        stack = self.stack
+        # O(1) hot path: inside an open formatting element the entry IS
+        # the current node — the full membership scan runs only when
+        # deeper content is open above it
+        if stack and (last is stack[-1] or last in stack):
             return
         i = len(afe) - 1
         while i > 0:
@@ -334,6 +340,14 @@ class _TreeBuilder(HTMLParser):
                     break
             if fmt is None:
                 self._any_other_end_tag(tag)
+                return
+            # fast path for the properly-nested close (the overwhelming
+            # majority): fmt is the current node — in scope trivially, no
+            # furthest block can exist below it → pop + drop from the list
+            # (identical outcome to the full algorithm)
+            if stack and stack[-1] is fmt:
+                stack.pop()
+                afe.pop(fmt_afe_idx)
                 return
             if fmt not in stack:
                 afe.pop(fmt_afe_idx)
