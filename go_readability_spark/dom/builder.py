@@ -449,6 +449,27 @@ class _TreeBuilder(HTMLParser):
 
     # ------------------------------------------------------------ tokenizer cb
 
+    def parse_endtag(self, i):
+        """HTML5 end-tag-open: '</' must be followed by an ASCII letter.
+        stdlib HTMLParser accepts '</ p>' as an end tag (its endtagfind
+        allows whitespace); the spec makes it a BOGUS COMMENT in data
+        state and plain TEXT inside script/rawtext — so '</ script>'
+        must not close a script. Both matter on crawl markup."""
+        rawdata = self.rawdata
+        c = rawdata[i + 2:i + 3]
+        if c and not ("a" <= c <= "z" or "A" <= c <= "Z"):
+            if c == ">":
+                return i + 3  # '</>' is ignored entirely
+            j = rawdata.find(">", i + 2)
+            if j < 0:
+                return -1  # incomplete: wait for more data
+            if self.cdata_elem is not None:
+                self.handle_data(rawdata[i:j + 1])  # stays script text
+            else:
+                self.handle_comment(rawdata[i + 2:j])
+            return j + 1
+        return super().parse_endtag(i)
+
     def handle_starttag(self, tag, attrs):
         self._start_tag(tag, attrs, explicit_self_closing=False)
 

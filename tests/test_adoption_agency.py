@@ -104,3 +104,23 @@ def test_formatting_inside_raw_text_untouched():
     out = body_of("<div><b>x</div><script>a < b</script>t")
     assert "<script>a < b</script>" in out
     assert out.endswith("<b>t</b>")
+
+
+def test_end_tag_open_requires_alpha():
+    """HTML5: '</' not followed by an ASCII letter is a bogus comment in
+    data state ('</ p>' does NOT close the p), '</>' is ignored."""
+    assert body_of("<p>a</ p>b") == "<p>a<!-- p-->b</p>"
+    assert body_of("<p>a</>b") == "<p>ab</p>"
+    assert body_of("<p>a</ b c>d") == "<p>a<!-- b c-->d</p>"
+
+
+def test_whitespace_end_tag_inside_script_stays_text():
+    """'</ script>' in script data is TEXT per the spec — stdlib's
+    tokenizer would have closed the script there and spilled the rest of
+    the source into the DOM."""
+    from go_readability_spark.dom.builder import parse_html
+    from go_readability_spark.dom.serialize import render
+
+    out = render(parse_html("<p>z</p><script>a='</ script>';b</script><p>t</p>"))
+    assert "<script>a='</ script>';b</script>" in out
+    assert out.endswith("<p>t</p></body></html>")
