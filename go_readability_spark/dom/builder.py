@@ -106,6 +106,57 @@ NO_RECONSTRUCT = (CLOSE_P - {"xmp"}) | frozenset(
 
 _MARKER = object()  # active-formatting-list marker sentinel
 
+# ---- HTML5 attribute-value character references -----------------------------
+# In ATTRIBUTE values (only), a named reference not terminated by ';' whose
+# next character is alphanumeric or '=' is NOT expanded (the legacy rule that
+# keeps hrefs like '?a=1&ampb=2' and '&copy=2020' intact). Python's
+# html.unescape applies data-state semantics everywhere, so stdlib
+# HTMLParser corrupts such URLs; x/net/html implements the spec rule.
+import re as _re_mod
+from html.entities import html5 as _HTML5_ENTITIES
+
+_CHARREF_RX = _re_mod.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)"
+)
+_ALNUM_EQ = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789="
+)
+
+
+def _unescape_attr(s: str) -> str:
+    """html.unescape with the attribute-state legacy restriction."""
+    if "&" not in s:
+        return s
+    out = []
+    pos = 0
+    for m in _CHARREF_RX.finditer(s):
+        out.append(s[pos:m.start()])
+        pos = m.end()
+        body = m.group(1)
+        if body[0] == "#":
+            out.append(_htmlmod.unescape(m.group(0)))
+            continue
+        # longest entity-name prefix (the html5 table keys both 'amp'
+        # and 'amp;')
+        match = None
+        for ln in range(len(body), 0, -1):
+            if body[:ln] in _HTML5_ENTITIES:
+                match = body[:ln]
+                break
+        if match is None:
+            out.append("&" + body)
+            continue
+        rest = body[len(match):]
+        if not match.endswith(";"):
+            nxt = rest[:1] or s[m.end():m.end() + 1]
+            if nxt and nxt in _ALNUM_EQ:
+                out.append("&" + body)  # legacy rule: leave literal
+                continue
+        out.append(_HTML5_ENTITIES[match])
+        out.append(rest)
+    out.append(s[pos:])
+    return "".join(out)
+
 # WHATWG foreign-content case adjustments (x/net/html foreign.go): the HTML
 # tokenizer lowercases names; inside <svg>/<math> these get their canonical
 # mixed case back.
@@ -448,6 +499,21 @@ class _TreeBuilder(HTMLParser):
                 return
 
     # ------------------------------------------------------------ tokenizer cb
+
+    def parse_starttag(self, i):
+        """Route stdlib's attribute unescaping (html.parser module-level
+        `unescape`, used at exactly one call site inside parse_starttag)
+        through the attribute-state rule. Data-state text goes through
+        goahead's own unescape calls, outside this window, and keeps
+        full html.unescape semantics — which IS the data-state spec."""
+        import html.parser as _hp
+
+        orig = _hp.unescape
+        _hp.unescape = _unescape_attr
+        try:
+            return super().parse_starttag(i)
+        finally:
+            _hp.unescape = orig
 
     def parse_endtag(self, i):
         """HTML5 end-tag-open: '</' must be followed by an ASCII letter.

@@ -124,3 +124,13 @@ def test_whitespace_end_tag_inside_script_stays_text():
     out = render(parse_html("<p>z</p><script>a='</ script>';b</script><p>t</p>"))
     assert "<script>a='</ script>';b</script>" in out
     assert out.endswith("<p>t</p></body></html>")
+
+
+def test_attribute_charref_legacy_rule():
+    """Named refs without ';' followed by alnum/'=' must NOT expand in
+    ATTRIBUTE values (x/net/html implements this; html.unescape would
+    turn '?a=1&ampb=2' into '?a=1&b=2' and '&copy=2020' into '©=2020'),
+    while data-state text keeps full expansion."""
+    out = body_of('<a href="?a=1&ampb=2&amp;c=3">t</a><p>&copy=1 &amp;x</p>')
+    assert 'href="?a=1&amp;ampb=2&amp;c=3"' in out
+    assert "<p>©=1 &amp;x</p>" in out
