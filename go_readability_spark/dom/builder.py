@@ -195,8 +195,10 @@ MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
 
 class _TreeBuilder(HTMLParser):
     # extend stdlib CDATA handling (script/style) to all HTML5 raw-text
-    # and RCDATA elements so their content is never tokenized as markup
-    CDATA_CONTENT_ELEMENTS = tuple(RAW_TEXT | RCDATA)
+    # and RCDATA elements so their content is never tokenized as markup;
+    # plaintext swallows the rest of the document (no end tag exists, so
+    # cdata mode simply runs to EOF, which is the spec behavior)
+    CDATA_CONTENT_ELEMENTS = tuple(RAW_TEXT | RCDATA | {"plaintext"})
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -499,6 +501,18 @@ class _TreeBuilder(HTMLParser):
                 return
 
     # ------------------------------------------------------------ tokenizer cb
+
+    def close(self):
+        # stdlib goahead BREAKS (emitting nothing) when a raw-text/RCDATA
+        # element is unterminated at EOF; HTML5 emits the remaining input
+        # as the element's text (Chrome: '<script>x' EOF -> script
+        # containing 'x'; likewise plaintext, which never terminates)
+        if self.cdata_elem is not None and self.rawdata:
+            data = self.rawdata
+            self.rawdata = ""
+            self.handle_data(data)
+            self.clear_cdata_mode()
+        super().close()
 
     def parse_starttag(self, i):
         """Route stdlib's attribute unescaping (html.parser module-level

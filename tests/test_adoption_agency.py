@@ -134,3 +134,17 @@ def test_attribute_charref_legacy_rule():
     out = body_of('<a href="?a=1&ampb=2&amp;c=3">t</a><p>&copy=1 &amp;x</p>')
     assert 'href="?a=1&amp;ampb=2&amp;c=3"' in out
     assert "<p>©=1 &amp;x</p>" in out
+
+
+def test_plaintext_swallows_rest():
+    out = body_of("<p>a</p><plaintext><p>not markup</p> raw")
+    assert out == "<p>a</p><plaintext><p>not markup</p> raw</plaintext>"
+
+
+def test_unterminated_rawtext_emitted_at_eof():
+    """HTML5 emits unterminated script/rcdata content as text; stdlib's
+    goahead silently dropped it."""
+    assert body_of("<p>a</p><script>unterminated = 1") == (
+        "<p>a</p><script>unterminated = 1</script>"
+    )
+    assert body_of("<p>a</p><textarea>tail") == "<p>a</p><textarea>tail</textarea>"
