@@ -502,6 +502,57 @@ class _TreeBuilder(HTMLParser):
 
     # ------------------------------------------------------------ tokenizer cb
 
+    def parse_comment(self, i, report=1):
+        """HTML5 comment tokenization. stdlib's close regex `--\\s*>`
+        accepts "-- >" (spec says the comment continues), rejects the
+        spec's "--!>" close, and turns the abrupt "<!-->"/"<!--->"
+        (empty comments) into literal text."""
+        rawdata = self.rawdata
+        if rawdata.startswith("<!-->", i):
+            if report:
+                self.handle_comment("")
+            return i + 5
+        if rawdata.startswith("<!--->", i):
+            if report:
+                self.handle_comment("")
+            return i + 6
+        pos = i + 4
+        while True:
+            j = rawdata.find("--", pos)
+            if j < 0:
+                return -1  # incomplete: wait for more data
+            k = j + 2
+            if rawdata.startswith(">", k):
+                if report:
+                    self.handle_comment(rawdata[i + 4:j])
+                return k + 1
+            if rawdata.startswith("!>", k):
+                if report:
+                    self.handle_comment(rawdata[i + 4:j])
+                return k + 2
+            if k >= len(rawdata):
+                return -1
+            pos = j + 1
+
+    def parse_marked_section(self, i, report=1):
+        """'<![...' — real CDATA only in foreign content (ends at ']]>');
+        in HTML content it is a bogus comment ending at the FIRST '>'
+        (stdlib's `]\\s*]\\s*>` close diverges on both counts)."""
+        rawdata = self.rawdata
+        if self.foreign_depth > 0 and rawdata.startswith("<![CDATA[", i):
+            j = rawdata.find("]]>", i + 9)
+            if j < 0:
+                return -1
+            if report:
+                self.handle_data(rawdata[i + 9:j])
+            return j + 3
+        j = rawdata.find(">", i + 2)
+        if j < 0:
+            return -1
+        if report:
+            self.handle_comment(rawdata[i + 2:j])
+        return j + 1
+
     def close(self):
         # stdlib goahead BREAKS (emitting nothing) when a raw-text/RCDATA
         # element is unterminated at EOF; HTML5 emits the remaining input

@@ -148,3 +148,18 @@ def test_unterminated_rawtext_emitted_at_eof():
         "<p>a</p><script>unterminated = 1</script>"
     )
     assert body_of("<p>a</p><textarea>tail") == "<p>a</p><textarea>tail</textarea>"
+
+
+def test_comment_tokenization_spec_cases():
+    assert body_of("<p>a<!-->b</p>") == "<p>a<!---->b</p>"
+    assert body_of("<p>a<!--->b</p>") == "<p>a<!---->b</p>"
+    assert body_of("<p>a<!-- x --!>b</p>") == "<p>a<!-- x -->b</p>"
+    # '-- >' does NOT close a comment (stdlib's --\\s*> regex did)
+    assert body_of("<p>a<!-- x -- >in -->b</p>") == "<p>a<!-- x -- >in -->b</p>"
+
+
+def test_cdata_section_is_bogus_comment_in_html():
+    # ends at the FIRST '>' in HTML content; real CDATA only in foreign
+    assert body_of("<p>a<![CDATA[x]]>b</p>") == "<p>a<!--[CDATA[x]]-->b</p>"
+    assert body_of("<p>a<![CDATA[a>b]]>c</p>") == "<p>a<!--[CDATA[a-->b]]&gt;c</p>"
+    assert body_of("<svg><![CDATA[a>b]]></svg>t") == "<svg>a&gt;b</svg>t"
