@@ -24,6 +24,7 @@ readability corpus exercises:
 from __future__ import annotations
 
 import html as _htmlmod
+import re as _re_mod
 from html.parser import HTMLParser
 
 from .node import (
@@ -106,13 +107,119 @@ NO_RECONSTRUCT = (CLOSE_P - {"xmp"}) | frozenset(
 
 _MARKER = object()  # active-formatting-list marker sentinel
 
+# WHATWG 13.2.6.4.1: public identifier prefixes that trigger quirks mode
+# (the same table x/net/html compiles as quirkyIDs)
+_QUIRKY_PUBLIC_PREFIXES = (
+    "+//silmaril//dtd html pro v0r11 19970101//",
+    "-//advasoft ltd//dtd html 3.0 aswedit + extensions//",
+    "-//as//dtd html 3.0 aswedit + extensions//",
+    "-//ietf//dtd html 2.0 level 1//",
+    "-//ietf//dtd html 2.0 level 2//",
+    "-//ietf//dtd html 2.0 strict level 1//",
+    "-//ietf//dtd html 2.0 strict level 2//",
+    "-//ietf//dtd html 2.0 strict//",
+    "-//ietf//dtd html 2.0//",
+    "-//ietf//dtd html 2.1e//",
+    "-//ietf//dtd html 3.0//",
+    "-//ietf//dtd html 3.2 final//",
+    "-//ietf//dtd html 3.2//",
+    "-//ietf//dtd html 3//",
+    "-//ietf//dtd html level 0//",
+    "-//ietf//dtd html level 1//",
+    "-//ietf//dtd html level 2//",
+    "-//ietf//dtd html level 3//",
+    "-//ietf//dtd html strict level 0//",
+    "-//ietf//dtd html strict level 1//",
+    "-//ietf//dtd html strict level 2//",
+    "-//ietf//dtd html strict level 3//",
+    "-//ietf//dtd html strict//",
+    "-//ietf//dtd html//",
+    "-//metrius//dtd metrius presentational//",
+    "-//microsoft//dtd internet explorer 2.0 html strict//",
+    "-//microsoft//dtd internet explorer 2.0 html//",
+    "-//microsoft//dtd internet explorer 2.0 tables//",
+    "-//microsoft//dtd internet explorer 3.0 html strict//",
+    "-//microsoft//dtd internet explorer 3.0 html//",
+    "-//microsoft//dtd internet explorer 3.0 tables//",
+    "-//netscape comm. corp.//dtd html//",
+    "-//netscape comm. corp.//dtd strict html//",
+    "-//o'reilly and associates//dtd html 2.0//",
+    "-//o'reilly and associates//dtd html extended 1.0//",
+    "-//o'reilly and associates//dtd html extended relaxed 1.0//",
+    "-//softquad software//dtd hotmetal pro 6.0::19990601::extensions to html 4.0//",
+    "-//softquad//dtd hotmetal pro 4.0::19971010::extensions to html 4.0//",
+    "-//spyglass//dtd html 2.0 extended//",
+    "-//sq//dtd html 2.0 hotmetal + extensions//",
+    "-//sun microsystems corp.//dtd hotjava html//",
+    "-//sun microsystems corp.//dtd hotjava strict html//",
+    "-//w3c//dtd html 3 1995-03-24//",
+    "-//w3c//dtd html 3.2 draft//",
+    "-//w3c//dtd html 3.2 final//",
+    "-//w3c//dtd html 3.2//",
+    "-//w3c//dtd html 3.2s draft//",
+    "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//",
+    "-//w3c//dtd html experimental 19960712//",
+    "-//w3c//dtd html experimental 970421//",
+    "-//w3c//dtd w3 html//",
+    "-//w3o//dtd w3 html 3.0//",
+    "-//webtechs//dtd mozilla html 2.0//",
+    "-//webtechs//dtd mozilla html//",
+)
+_QUIRKY_PUBLIC_EXACT = frozenset((
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+))
+_NO_SYSTEM_QUIRKY_PREFIXES = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+
+_DOCTYPE_RX = _re_mod.compile(
+    r"""doctype[\t\n\f\r ]+([^\t\n\f\r >]+)"""
+    r"""(?:[\t\n\f\r ]+(public|system)[\t\n\f\r ]+"""
+    r"""(?:"([^"]*)"|'([^']*)')"""
+    r"""(?:[\t\n\f\r ]+(?:"([^"]*)"|'([^']*)'))?)?""",
+    _re_mod.I,
+)
+
+
+def _doctype_is_quirky(decl: str) -> bool:
+    """decl is the text between '<!' and '>'."""
+    m = _DOCTYPE_RX.match(decl.strip())
+    if m is None:
+        return True  # malformed doctype: force-quirks
+    name = m.group(1).lower()
+    if name != "html":
+        return True
+    kind = (m.group(2) or "").lower()
+    public = ""
+    system = None
+    if kind == "public":
+        public = (m.group(3) or m.group(4) or "").lower()
+        if m.group(5) is not None or m.group(6) is not None:
+            system = (m.group(5) or m.group(6) or "").lower()
+    elif kind == "system":
+        system = (m.group(3) or m.group(4) or "").lower()
+    if public in _QUIRKY_PUBLIC_EXACT:
+        return True
+    if system == "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd":
+        return True
+    if any(public.startswith(p) for p in _QUIRKY_PUBLIC_PREFIXES):
+        return True
+    if system is None and any(
+        public.startswith(p) for p in _NO_SYSTEM_QUIRKY_PREFIXES
+    ):
+        return True
+    return False
+
 # ---- HTML5 attribute-value character references -----------------------------
 # In ATTRIBUTE values (only), a named reference not terminated by ';' whose
 # next character is alphanumeric or '=' is NOT expanded (the legacy rule that
 # keeps hrefs like '?a=1&ampb=2' and '&copy=2020' intact). Python's
 # html.unescape applies data-state semantics everywhere, so stdlib
 # HTMLParser corrupts such URLs; x/net/html implements the spec rule.
-import re as _re_mod
 from html.entities import html5 as _HTML5_ENTITIES
 
 _CHARREF_RX = _re_mod.compile(
@@ -216,6 +323,7 @@ class _TreeBuilder(HTMLParser):
         self.form_open = False
         self.strip_leading_newline = False
         self.frameset_mode = False
+        self.quirks = True  # no doctype -> quirks, per spec
 
     # ------------------------------------------------------------ insertion
 
@@ -699,7 +807,11 @@ class _TreeBuilder(HTMLParser):
             return
 
         if tag in CLOSE_P:
-            self._close_p()
+            # quirks mode: <table> does NOT close an open <p> (the one
+            # in-body rule x/net/html gates on the doctype-derived
+            # quirks flag — old web pages rely on tables inside p)
+            if tag != "table" or not self.quirks:
+                self._close_p()
         if tag in HEADINGS and self.stack and self.stack[-1].tag in HEADINGS:
             self.stack.pop()
         if tag == "li":
@@ -951,8 +1063,12 @@ class _TreeBuilder(HTMLParser):
             self._current().append_child(node)
 
     def handle_decl(self, decl):
-        # <!DOCTYPE ...> — recorded nowhere; readability ignores doctype
-        pass
+        # <!DOCTYPE ...> — not kept in the tree, but it decides quirks
+        # mode (only the one arriving before any content counts; later
+        # doctypes are ignored per the spec)
+        if self.mode == "initial" and not self.stack:
+            if decl.lower().lstrip().startswith("doctype"):
+                self.quirks = _doctype_is_quirky(decl)
 
     def unknown_decl(self, data):
         # bogus <![ ... ]> markup becomes a comment per HTML5 (except in

@@ -163,3 +163,29 @@ def test_cdata_section_is_bogus_comment_in_html():
     assert body_of("<p>a<![CDATA[x]]>b</p>") == "<p>a<!--[CDATA[x]]-->b</p>"
     assert body_of("<p>a<![CDATA[a>b]]>c</p>") == "<p>a<!--[CDATA[a-->b]]&gt;c</p>"
     assert body_of("<svg><![CDATA[a>b]]></svg>t") == "<svg>a&gt;b</svg>t"
+
+
+def test_quirks_mode_table_in_p():
+    """Quirks mode (no or legacy doctype): <table> does NOT close an
+    open <p> — the one tree-construction rule the doctype controls."""
+    q = body_of("<p>a<table><tr><td>x</td></tr></table>b")
+    assert q == "<p>a<table><tbody><tr><td>x</td></tr></tbody></table>b</p>"
+    s = body_of("<!DOCTYPE html><p>a<table><tr><td>x</td></tr></table>b")
+    assert s == "<p>a</p><table><tbody><tr><td>x</td></tr></tbody></table>b"
+
+
+def test_doctype_quirks_classification():
+    from go_readability_spark.dom.builder import _doctype_is_quirky
+
+    assert not _doctype_is_quirky("DOCTYPE html")
+    assert not _doctype_is_quirky('DOCTYPE html SYSTEM "about:legacy-compat"')
+    assert not _doctype_is_quirky(
+        'DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+        '"http://www.w3.org/TR/html4/loose.dtd"'
+    )
+    # 4.01 Transitional WITHOUT a system id IS quirky
+    assert _doctype_is_quirky('DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN"')
+    assert _doctype_is_quirky('DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2 Final//EN"')
+    assert _doctype_is_quirky('DOCTYPE HTML PUBLIC "HTML"')
+    assert _doctype_is_quirky("DOCTYPE svg")
+    assert _doctype_is_quirky("DOCTYPE")
