@@ -252,7 +252,21 @@ def cmd_curate(args) -> int:
             redact_pii=args.redact_pii,
             max_lm_nll_per_bigram=args.max_lm_nll,
         )
-        curated.write.mode("overwrite").parquet(args.output)
+        if args.shard_bytes:
+            from pyspark.sql import functions as F
+
+            from .operators.sharding import write_sharded
+
+            staged = curated.withColumn(
+                "_shard_key", F.xxhash64(F.col("url"))
+            ).withColumn("_n_bytes", F.octet_length(F.col("text_content")))
+            write_sharded(
+                staged, args.output,
+                bytes_col="_n_bytes", id_col="_shard_key",
+                target_bytes=args.shard_bytes,
+            )
+        else:
+            curated.write.mode("overwrite").parquet(args.output)
     finally:
         spark.stop()
     return 0
@@ -313,6 +327,10 @@ def main(argv=None) -> int:
     c.add_argument("--max-lm-nll", type=float, default=None,
                    help="CCNet-style per-bigram NLL cap (nats); unset = off")
     c.add_argument("--partitions", type=int, default=None)
+    c.add_argument("--shard-bytes", type=int, default=None,
+                   help="write ~N-byte balanced output shards "
+                        "(shard_id=K/ dirs, one file each) instead of a "
+                        "flat parquet dir")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=cmd_curate)
 

@@ -382,3 +382,42 @@ def test_curate_dedups_recrawled_url(spark):
     urls = [r.url for r in curated.select("url").collect()]
     assert len(urls) == len(set(urls))
     assert urls.count(rows[0]["url"]) <= 1
+
+
+def test_cli_curate_sharded_output(tmp_path):
+    """--shard-bytes writes byte-balanced shard_id=K/ directories with
+    one file each, preserving every curated row."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    rows = synth_corpus_rows(30, seed=9, skew=False)
+    src = tmp_path / "pages"
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.builder.master("local[2]").getOrCreate()
+    try:
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.parquet(str(src))
+    finally:
+        spark.stop()
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [_sys.executable, "-m", "go_readability_spark", "curate",
+         "--input", str(src), "--output", str(out),
+         "--min-length", "100", "--min-quality", "0.0",
+         "--languages", "en,und", "--shard-bytes", "20000",
+         "--partitions", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    shards = [d for d in os.listdir(out) if d.startswith("shard_id=")]
+    assert len(shards) >= 2, shards
+    import duckdb
+
+    (n, d) = duckdb.sql(
+        f"select count(*), count(distinct url) from '{out}/*/*.parquet'"
+    ).fetchone()
+    assert n > 0 and n == d
