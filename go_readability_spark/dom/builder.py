@@ -806,6 +806,39 @@ class _TreeBuilder(HTMLParser):
         ) and not any(n.tag == "table" for n in self.stack):
             return
 
+        # ---- "in select" insertion mode (WHATWG 13.2.6.4.16): with an
+        # open <select>, only option/optgroup/hr/script/template content
+        # is allowed; input/keygen/textarea (and, when the select sits
+        # inside a table, table-structure tags) close the select and
+        # reprocess; a nested <select> start acts as </select>; anything
+        # else is IGNORED. stdlib-naive nesting diverged from x/net/html.
+        sel_i = self._find_in_scope("select", SCOPE_BOUNDARY)
+        if sel_i != -1:
+            if tag == "select":
+                self._pop_through(sel_i)
+                return
+            if tag in ("input", "keygen", "textarea"):
+                self._pop_through(sel_i)  # close select, reprocess below
+            elif tag in (
+                "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
+            ):
+                if any(n.tag == "table" for n in self.stack[:sel_i]):
+                    self._pop_through(sel_i)  # "in select in table"
+                else:
+                    return  # plain in-select: ignored
+            elif tag == "hr":
+                # spec hr-in-select: pop option/optgroup, insert inside
+                # the select (the generic CLOSE_P path would close an
+                # outer <p> straight through the select)
+                while self.stack and self.stack[-1].tag in ("option", "optgroup"):
+                    self.stack.pop()
+                self._current().append_child(
+                    Node(ELEMENT, "hr", "", self._dedupe_attrs(attrs))
+                )
+                return
+            elif tag not in ("option", "optgroup", "script", "template"):
+                return  # ignored in select
+
         if tag in CLOSE_P:
             # quirks mode: <table> does NOT close an open <p> (the one
             # in-body rule x/net/html gates on the doctype-derived
@@ -990,6 +1023,8 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             return
         if tag == "p":
+            if self._find_in_scope("select", SCOPE_BOUNDARY) != -1:
+                return  # in-select mode ignores stray end tags
             i = self._find_in_scope("p", BUTTON_SCOPE_BOUNDARY)
             if i == -1:
                 # </p> with no open <p>: insert an empty one

@@ -189,3 +189,31 @@ def test_doctype_quirks_classification():
     assert _doctype_is_quirky('DOCTYPE HTML PUBLIC "HTML"')
     assert _doctype_is_quirky("DOCTYPE svg")
     assert _doctype_is_quirky("DOCTYPE")
+
+
+def test_in_select_mode():
+    """WHATWG in-select: disallowed start tags are IGNORED, a nested
+    <select> acts as </select>, input/keygen/textarea close the select
+    and reprocess, hr inserts inside it, stray end tags are ignored."""
+    assert body_of("<select><div>x</div></select>after") == "<select>x</select>after"
+    assert body_of("<select><option>a<div>b</select>c") == (
+        "<select><option>ab</option></select>c"
+    )
+    assert body_of("<select><select>x") == "<select></select>x"
+    assert body_of("<select><option>a<input>b") == (
+        "<select><option>a</option></select><input/>b"
+    )
+    assert body_of("<p>t<select><hr><option>o</select>u") == (
+        "<p>t<select><hr/><option>o</option></select>u</p>"
+    )
+    assert body_of("<select><option>a</p>b</select>") == (
+        "<select><option>ab</option></select>"
+    )
+
+
+def test_in_select_in_table():
+    # a select opened inside a table: table-structure tags close it
+    out = body_of("<table><tr><td><select><td>x")
+    assert out == (
+        "<table><tbody><tr><td><select></select></td><td>x</td></tr></tbody></table>"
+    )
