@@ -1004,6 +1004,14 @@ class _TreeBuilder(HTMLParser):
                     return
             return
 
+        # in-select mode processes only its own end tags; everything else
+        # (including formatting end tags, which would otherwise run the
+        # adoption agency across the select) is ignored
+        if tag not in ("option", "optgroup", "select", "template") and (
+            self._find_in_scope("select", SCOPE_BOUNDARY) != -1
+        ):
+            return
+
         if tag == "br":
             # spec: </br> acts like <br>
             self._start_tag("br", [], False)
@@ -1023,8 +1031,6 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             return
         if tag == "p":
-            if self._find_in_scope("select", SCOPE_BOUNDARY) != -1:
-                return  # in-select mode ignores stray end tags
             i = self._find_in_scope("p", BUTTON_SCOPE_BOUNDARY)
             if i == -1:
                 # </p> with no open <p>: insert an empty one

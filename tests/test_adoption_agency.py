@@ -217,3 +217,10 @@ def test_in_select_in_table():
     assert out == (
         "<table><tbody><tr><td><select></select></td><td>x</td></tr></tbody></table>"
     )
+
+
+def test_formatting_end_tag_ignored_in_select():
+    # </b> inside a select must not run the adoption agency across it
+    assert body_of("<b>x<select></b>y</select>z") == (
+        "<b>x<select>y</select>z</b>"
+    )
