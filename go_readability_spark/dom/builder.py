@@ -244,9 +244,10 @@ def _unescape_attr(s: str) -> str:
             out.append(_htmlmod.unescape(m.group(0)))
             continue
         # longest entity-name prefix (the html5 table keys both 'amp'
-        # and 'amp;')
+        # and 'amp;'); scan capped at the longest real entity name
+        # (31 chars + ';') so a hostile '&aaaa...' run can't go quadratic
         match = None
-        for ln in range(len(body), 0, -1):
+        for ln in range(min(len(body), 33), 0, -1):
             if body[:ln] in _HTML5_ENTITIES:
                 match = body[:ln]
                 break

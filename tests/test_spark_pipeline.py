@@ -384,7 +384,7 @@ def test_curate_dedups_recrawled_url(spark):
     assert urls.count(rows[0]["url"]) <= 1
 
 
-def test_cli_curate_sharded_output(tmp_path):
+def test_cli_curate_sharded_output(spark, tmp_path):
     """--shard-bytes writes byte-balanced shard_id=K/ directories with
     one file each, preserving every curated row."""
     import os
@@ -396,13 +396,9 @@ def test_cli_curate_sharded_output(tmp_path):
 
     rows = synth_corpus_rows(30, seed=9, skew=False)
     src = tmp_path / "pages"
-    import pyspark.sql
-
-    spark = pyspark.sql.SparkSession.builder.master("local[2]").getOrCreate()
-    try:
-        spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.parquet(str(src))
-    finally:
-        spark.stop()
+    # NB: use the shared fixture session — getOrCreate() here would
+    # return that same session and stopping it kills every later test
+    spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.parquet(str(src))
     out = tmp_path / "curated"
     r = subprocess.run(
         [_sys.executable, "-m", "go_readability_spark", "curate",
