@@ -224,3 +224,46 @@ def test_formatting_end_tag_ignored_in_select():
     assert body_of("<b>x<select></b>y</select>z") == (
         "<b>x<select>y</select>z</b>"
     )
+
+
+def _check_tree_integrity(node, seen=None):
+    """Every child's parent/prev/next/last_child pointer is consistent
+    and the structure is acyclic — the adoption agency does manual
+    surgery on all of these."""
+    if seen is None:
+        seen = set()
+    assert id(node) not in seen, "cycle"
+    seen.add(id(node))
+    c = node.first_child
+    prev = None
+    while c is not None:
+        assert c.parent is node
+        assert c.prev is prev
+        if prev is not None:
+            assert prev.next is c
+        _check_tree_integrity(c, seen)
+        prev = c
+        c = c.next
+    assert node.last_child is prev
+
+
+def test_tree_integrity_under_fuzz():
+    import random
+
+    from go_readability_spark.dom.builder import parse_html
+
+    tags = ["p", "div", "b", "i", "a", "em", "table", "tr", "td", "ul",
+            "li", "select", "option", "marquee", "nobr", "span", "object"]
+    for trial in range(800):
+        rng = random.Random(77_000 + trial)
+        parts = []
+        for _ in range(rng.randint(2, 28)):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(f"<{rng.choice(tags)}>")
+            elif r < 0.75:
+                parts.append(f"</{rng.choice(tags)}>")
+            else:
+                parts.append(rng.choice(["x", " ", "a b", "1"]))
+        doc = parse_html("".join(parts))
+        _check_tree_integrity(doc)
