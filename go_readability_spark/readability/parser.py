@@ -69,6 +69,9 @@ def _WS_ONLY(s: str) -> bool:
     return not go_trim_space(s)
 
 
+_PRESENTATIONAL_SET = frozenset(rx.PRESENTATIONAL_ATTRIBUTES)
+_PRESENTATIONAL_PLUS_SIZE = _PRESENTATIONAL_SET | {"width", "height"}
+
 _CLEAN_COND_TAGS = frozenset(
     ("ul", "ol", "p", "img", "li", "input", "object", "embed", "iframe",
      "h1", "h2", "h3", "h4", "h5", "h6")
@@ -991,11 +994,16 @@ class Parser:
             n = pending.pop()
             if n.type == ELEMENT and n.tag == "svg":
                 continue
-            for attr in rx.PRESENTATIONAL_ATTRIBUTES:
-                remove_attribute(n, attr)
-            if n.tag in rx.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-                remove_attribute(n, "width")
-                remove_attribute(n, "height")
+            # single filter pass == removing each name independently
+            # (12 separate remove_attribute scans per element was the
+            # hottest call site on table-heavy pages)
+            attrs = n.attrs
+            if attrs:
+                drop = _PRESENTATIONAL_SET
+                if n.tag in rx.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                    drop = _PRESENTATIONAL_PLUS_SIZE
+                if any(a[0] in drop for a in attrs):
+                    n.attrs = [a for a in attrs if a[0] not in drop]
             child = n.first_element_child()
             while child is not None:
                 pending.append(child)
