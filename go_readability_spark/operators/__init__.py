@@ -43,3 +43,4 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_topk,
     with_unit_vectors,
 )
+from .image_probe import probe_image, probe_media_dimensions  # noqa: F401
