@@ -151,3 +151,49 @@ def probe_media_dimensions(media, payload_col: str = "payload",
     return media.mapInPandas(
         probe, schema=f"{id_col} long, format string, width int, height int, ok boolean"
     )
+
+
+# ---------------------------------------------------------------- audio probe
+
+# MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables — public
+# frame-header layout; index 0 and 15 are invalid
+_MP3_BITRATE = {
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+}
+_MP3_SAMPLERATE = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                   25: (11025, 12000, 8000)}
+
+
+def probe_mp3(data: bytes):
+    """-> (sample_rate, bitrate_kbps, channels, est_duration_s) from the
+    first MPEG Layer III frame header (ID3v2 tags skipped). Duration is
+    the CBR estimate payload/byterate — honest for CBR, approximate for
+    VBR. Raises ValueError when no valid frame is found."""
+    data = bytes(data or b"")
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit tag size
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    end = min(len(data) - 4, pos + 64 * 1024)  # bounded sync search
+    while pos <= end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+            ver_bits = (b1 >> 3) & 0x3
+            layer_bits = (b1 >> 1) & 0x3
+            if ver_bits != 0x1 and layer_bits == 0x1:  # Layer III only
+                version = {0x3: 1, 0x2: 2, 0x0: 25}[ver_bits]
+                br_idx = (b2 >> 4) & 0xF
+                sr_idx = (b2 >> 2) & 0x3
+                if 0 < br_idx < 15 and sr_idx < 3:
+                    table = _MP3_BITRATE[(1 if version == 1 else 2, 3)]
+                    bitrate = table[br_idx]
+                    sample_rate = _MP3_SAMPLERATE[version][sr_idx]
+                    channels = 1 if ((b3 >> 6) & 0x3) == 0x3 else 2
+                    payload = len(data) - pos
+                    duration = payload * 8.0 / (bitrate * 1000.0)
+                    return sample_rate, bitrate, channels, duration
+        pos += 1
+    raise ValueError("no MPEG Layer III frame found")

@@ -81,3 +81,38 @@ def test_probe_operator(spark):
     assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("gif", 5, 6)
     assert got[2]["ok"] is False and got[2]["format"] is None
     assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("png", 3, 2)
+
+
+def _mp3_frame(version=1, bitrate_idx=9, sr_idx=0, mono=False, n_frames=4):
+    ver_bits = {1: 0x3, 2: 0x2}[version]
+    b1 = 0xE0 | (ver_bits << 3) | (0x1 << 1) | 0x1  # sync+ver+layerIII
+    b2 = (bitrate_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    # frame size for layer III: 144 * bitrate / samplerate (v1)
+    from go_readability_spark.operators.image_probe import (
+        _MP3_BITRATE, _MP3_SAMPLERATE,
+    )
+    br = _MP3_BITRATE[(1 if version == 1 else 2, 3)][bitrate_idx] * 1000
+    sr = _MP3_SAMPLERATE[version][sr_idx]
+    size = (144 if version == 1 else 72) * br // sr
+    frame = bytes([0xFF, b1, b2, b3]) + b"\x00" * (size - 4)
+    return frame * n_frames
+
+
+def test_probe_mp3():
+    from go_readability_spark.operators.image_probe import probe_mp3
+
+    data = _mp3_frame(bitrate_idx=9, sr_idx=0)  # 128 kbps, 44100 Hz
+    sr, br, ch, dur = probe_mp3(data)
+    assert (sr, br, ch) == (44100, 128, 2)
+    assert abs(dur - len(data) * 8 / 128000) < 1e-9
+    # ID3v2 tag skipped
+    tag = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"x" * 10
+    sr2, br2, ch2, _ = probe_mp3(tag + _mp3_frame(bitrate_idx=5, sr_idx=1, mono=True))
+    assert (sr2, br2, ch2) == (48000, 64, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_mp3(b"not audio at all")
+    with _pytest.raises(ValueError):
+        probe_mp3(b"")
