@@ -43,4 +43,4 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_topk,
     with_unit_vectors,
 )
-from .image_probe import probe_image, probe_media_dimensions  # noqa: F401
+from .media_probe import probe_image, probe_media_dimensions  # noqa: F401

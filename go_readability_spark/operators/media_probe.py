@@ -1,4 +1,4 @@
-"""Header-only image metadata probing: format + dimensions WITHOUT pixel
+"""Header-only media metadata probing: format + dimensions WITHOUT pixel
 decode, from the public container layouts (PNG IHDR, JPEG SOF markers,
 GIF logical screen descriptor, BMP BITMAPINFOHEADER, WebP VP8/VP8L/VP8X).
 

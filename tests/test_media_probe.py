@@ -6,7 +6,7 @@ import struct
 import numpy as np
 import pytest
 
-from go_readability_spark.operators.image_probe import probe_image
+from go_readability_spark.operators.media_probe import probe_image
 from go_readability_spark.operators.png import encode_png
 
 
@@ -67,7 +67,7 @@ def test_probe_corrupt_and_unknown():
 
 
 def test_probe_operator(spark):
-    from go_readability_spark.operators.image_probe import probe_media_dimensions
+    from go_readability_spark.operators.media_probe import probe_media_dimensions
 
     rows = [
         (0, bytearray(_jpeg(10, 20))),
@@ -89,7 +89,7 @@ def _mp3_frame(version=1, bitrate_idx=9, sr_idx=0, mono=False, n_frames=4):
     b2 = (bitrate_idx << 4) | (sr_idx << 2)
     b3 = 0xC0 if mono else 0x00
     # frame size for layer III: 144 * bitrate / samplerate (v1)
-    from go_readability_spark.operators.image_probe import (
+    from go_readability_spark.operators.media_probe import (
         _MP3_BITRATE, _MP3_SAMPLERATE,
     )
     br = _MP3_BITRATE[(1 if version == 1 else 2, 3)][bitrate_idx] * 1000
@@ -100,7 +100,7 @@ def _mp3_frame(version=1, bitrate_idx=9, sr_idx=0, mono=False, n_frames=4):
 
 
 def test_probe_mp3():
-    from go_readability_spark.operators.image_probe import probe_mp3
+    from go_readability_spark.operators.media_probe import probe_mp3
 
     data = _mp3_frame(bitrate_idx=9, sr_idx=0)  # 128 kbps, 44100 Hz
     sr, br, ch, dur = probe_mp3(data)
