@@ -918,6 +918,14 @@ class _TreeBuilder(HTMLParser):
         if self._in_table_context():
             if tag not in TABLE_ALLOWED and tag != "table":
                 foster = True
+                # spec "in table" input special case: type=hidden inputs
+                # stay INSIDE the table (old-web form plumbing relies on
+                # it); every other input fosters like any other content
+                if tag == "input" and any(
+                    k == "type" and (v or "").lower() == "hidden"
+                    for k, v in attrs
+                ):
+                    foster = False
 
         el_attrs = self._dedupe_attrs(attrs)
         if tag in FOREIGN_ROOTS:

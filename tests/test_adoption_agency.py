@@ -267,3 +267,14 @@ def test_tree_integrity_under_fuzz():
                 parts.append(rng.choice(["x", " ", "a b", "1"]))
         doc = parse_html("".join(parts))
         _check_tree_integrity(doc)
+
+
+def test_hidden_input_stays_inside_table():
+    """Spec 'in table' special case: type=hidden inputs are inserted
+    inside the table; any other input foster-parents like other content."""
+    assert body_of('<table><input type=hidden name=x><tr><td>a</td></tr></table>') == (
+        '<table><input type="hidden" name="x"/><tbody><tr><td>a</td></tr></tbody></table>'
+    )
+    assert body_of('<table><input type=text><tr><td>a</td></tr></table>') == (
+        '<input type="text"/><table><tbody><tr><td>a</td></tr></tbody></table>'
+    )
