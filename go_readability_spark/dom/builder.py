@@ -903,7 +903,18 @@ class _TreeBuilder(HTMLParser):
             if i != -1:
                 self._pop_through(i)
         elif tag == "caption" or tag == "colgroup":
-            self._clear_to_table_context()
+            # caption/colgroup sit directly under the table: close any
+            # open cell/row/section first
+            self._clear_to_table_root()
+        elif tag == "col":
+            # a <col> directly in a table implies <colgroup>; consecutive
+            # cols share the implied one
+            if self._current().tag != "colgroup":
+                self._clear_to_table_root()
+                if self._current().tag == "table":
+                    cg = create_element("colgroup")
+                    self._current().append_child(cg)
+                    self.stack.append(cg)
         elif tag == "table":
             # <table> while already directly in table context -> close it
             if self._in_table_context():
@@ -973,13 +984,25 @@ class _TreeBuilder(HTMLParser):
         stack = self.stack
         if not any(n.tag == "table" for n in stack):
             return
+        # caption is NOT in the keep set: every table-structure tag ends
+        # an open caption and reprocesses ("in caption" mode rules)
         i = len(stack)
         while i > 0 and stack[i - 1].tag not in (
-            "table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption",
+            "table", "tbody", "thead", "tfoot", "tr", "td", "th",
         ):
             i -= 1
         if i < len(stack):
             self._pop_through(i)
+
+    def _clear_to_table_root(self):
+        """Pop back to the nearest open <table> itself (caption/colgroup/
+        col belong directly under it, closing any open cell or row)."""
+        stack = self.stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == "table":
+                if i + 1 < len(stack):
+                    self._pop_through(i + 1)
+                return
 
     def _ensure_section(self):
         """Imply <tbody> for a <tr> appearing directly inside <table>."""

@@ -278,3 +278,19 @@ def test_hidden_input_stays_inside_table():
     assert body_of('<table><input type=text><tr><td>a</td></tr></table>') == (
         '<input type="text"/><table><tbody><tr><td>a</td></tr></tbody></table>'
     )
+
+
+def test_caption_and_colgroup_structure():
+    assert body_of('<table><caption>cap<td>x</td></table>') == (
+        '<table><caption>cap</caption><tbody><tr><td>x</td></tr></tbody></table>'
+    )
+    # <col> implies a shared <colgroup>
+    assert body_of('<table><col span=2><col><tr><td>x</td></tr></table>') == (
+        '<table><colgroup><col span="2"/><col/></colgroup>'
+        '<tbody><tr><td>x</td></tr></tbody></table>'
+    )
+    # a caption inside a cell closes the cell; the next td starts a new row
+    assert body_of('<table><tr><td>a<caption>c</caption><td>b</table>') == (
+        '<table><tbody><tr><td>a</td></tr></tbody><caption>c</caption>'
+        '<tbody><tr><td>b</td></tr></tbody></table>'
+    )
