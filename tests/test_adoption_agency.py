@@ -252,8 +252,10 @@ def test_tree_integrity_under_fuzz():
 
     from go_readability_spark.dom.builder import parse_html
 
-    tags = ["p", "div", "b", "i", "a", "em", "table", "tr", "td", "ul",
-            "li", "select", "option", "marquee", "nobr", "span", "object"]
+    tags = ["p", "div", "b", "i", "a", "em", "table", "tr", "td", "th",
+            "ul", "li", "select", "option", "marquee", "nobr", "span",
+            "object", "caption", "col", "colgroup", "form", "input",
+            "tbody", "thead", "template", "hr", "button"]
     for trial in range(800):
         rng = random.Random(77_000 + trial)
         parts = []
