@@ -324,6 +324,7 @@ class _TreeBuilder(HTMLParser):
         self.form_open = False
         self.strip_leading_newline = False
         self.frameset_mode = False
+        self.frameset_stack: list[Node] = []
         self.quirks = True  # no doctype -> quirks, per spec
 
     # ------------------------------------------------------------ insertion
@@ -757,6 +758,38 @@ class _TreeBuilder(HTMLParser):
                 self._push(el)
             return
 
+        # ---- frameset pages (WHATWG in-frameset/after-frameset modes):
+        # a <frameset> arriving while the body is still empty REPLACES the
+        # body (x/net/html trees for frameset pages have no body at all,
+        # which is what makes the reference yield empty content for them);
+        # inside frameset mode only frameset/frame/noframes exist
+        if self.frameset_mode:
+            if tag == "frameset":
+                el = Node(ELEMENT, "frameset", "", self._dedupe_attrs(attrs))
+                self.frameset_stack[-1].append_child(el)
+                self.frameset_stack.append(el)
+            elif tag == "frame":
+                self.frameset_stack[-1].append_child(
+                    Node(ELEMENT, "frame", "", self._dedupe_attrs(attrs))
+                )
+            elif tag == "noframes":
+                el = Node(ELEMENT, "noframes", "", self._dedupe_attrs(attrs))
+                self.frameset_stack[-1].append_child(el)
+                self.stack.append(el)
+            return
+        if tag == "frameset":
+            if self.mode in ("initial", "in_head", "after_head"):
+                self.mode = "in_body"
+            if self._body_is_empty():
+                self.html.remove_child(self.body)
+                el = Node(ELEMENT, "frameset", "", self._dedupe_attrs(attrs))
+                self.html.append_child(el)
+                self.frameset_mode = True
+                self.frameset_stack = [el]
+                self.stack.clear()
+            # frameset-ok false (body has content): parse error, ignore
+            return
+
         if tag == "image":
             tag = "img"
 
@@ -994,6 +1027,18 @@ class _TreeBuilder(HTMLParser):
         if i < len(stack):
             self._pop_through(i)
 
+    def _body_is_empty(self) -> bool:
+        """frameset-ok approximation: no element children and only
+        whitespace text so far."""
+        c = self.body.first_child
+        while c is not None:
+            if c.type == ELEMENT:
+                return False
+            if c.type == TEXT and c.data.strip("\t\n\f\r ") != "":
+                return False
+            c = c.next
+        return True
+
     def _clear_to_table_root(self):
         """Pop back to the nearest open <table> itself (caption/colgroup/
         col belong directly under it, closing any open cell or row)."""
@@ -1034,6 +1079,13 @@ class _TreeBuilder(HTMLParser):
                             self.foreign_depth -= 1
                     self._pop_through(i)
                     return
+            return
+
+        if self.frameset_mode:
+            if tag == "frameset" and len(self.frameset_stack) > 1:
+                self.frameset_stack.pop()
+            elif tag == "noframes" and self.stack and self.stack[-1].tag == "noframes":
+                self.stack.pop()
             return
 
         # in-select mode processes only its own end tags; everything else
@@ -1101,6 +1153,14 @@ class _TreeBuilder(HTMLParser):
             return
         if self.cdata_elem is not None and self.cdata_elem in RCDATA:
             data = _htmlmod.unescape(data)
+        if self.frameset_mode and self.cdata_elem is None:
+            # in-frameset keeps only whitespace characters
+            ws = "".join(c for c in data if c in "\t\n\f\r ")
+            if ws and not self.stack:
+                self._append_text(self.frameset_stack[-1], ws)
+            elif ws and self.stack:
+                self._append_text(self.stack[-1], ws)
+            return
         if self.strip_leading_newline:
             self.strip_leading_newline = False
             if data.startswith("\n"):

@@ -296,3 +296,31 @@ def test_caption_and_colgroup_structure():
         '<table><tbody><tr><td>a</td></tr></tbody><caption>c</caption>'
         '<tbody><tr><td>b</td></tr></tbody></table>'
     )
+
+
+def test_frameset_replaces_empty_body():
+    """Frameset pages parse like x/net/html: NO body element (so
+    extraction yields empty content, as the reference does), nested
+    framesets and noframes rawtext intact, metadata still available."""
+    from go_readability_spark.dom import body_element
+    from go_readability_spark.dom.builder import parse_html
+    from go_readability_spark.dom.serialize import render
+
+    src = (
+        "<html><head><title>F</title></head><frameset cols='50%,50%'>"
+        "<frame src=a.html><frameset rows='1,2'><frame src=b.html></frameset>"
+        "<noframes><p>no frames</p></noframes></frameset></html>"
+    )
+    doc = parse_html(src)
+    assert body_element(doc) is None
+    out = render(doc)
+    assert '<frameset cols="50%,50%"><frame src="a.html"/>' in out
+    assert "<noframes><p>no frames</p></noframes>" in out
+    from go_readability_spark.readability.parser import Parser
+
+    art = Parser().parse(src, page_url="http://x/f.html")
+    assert art.title == "F" and art.content == "" and art.text_content == ""
+
+
+def test_frameset_ignored_when_body_has_content():
+    assert body_of("<p>real</p><frameset><frame></frameset>") == "<p>real</p>"
