@@ -3,22 +3,35 @@
 The reference parses documents with golang.org/x/net/html, a WHATWG-HTML5
 tree builder (`/root/reference/parser-parse.go:18` via go-shiori/dom). No
 third-party HTML library is available in this environment, so this module
-implements the subset of the HTML5 tree-construction rules that the
-readability corpus exercises:
+implements the HTML5 tree-construction rules that crawl extraction
+exercises:
 
-* implied <html>/<head>/<body> structure
-* raw-text elements (script/style/iframe/noscript/xmp/noembed/noframes)
-  and RCDATA (title/textarea) with entity decoding
+* implied <html>/<head>/<body> structure; quirks-mode doctype
+  classification (in quirks mode <table> does not close an open <p>)
+* raw-text elements (script/style/iframe/noscript/xmp/noembed/noframes/
+  plaintext) and RCDATA (title/textarea) with entity decoding;
+  unterminated raw-text content emitted at EOF
+* HTML5 tokenization fixes over stdlib HTMLParser: end-tag-open requires
+  an ASCII letter ('</ p>' is a bogus comment, '</ script>' is script
+  TEXT), attribute-state character references (the '&copy=2020' legacy
+  lookahead rule), comment states (abrupt <!-->, --!> closes, '-- >'
+  does not), CDATA sections (bogus comment in HTML, real in foreign)
 * auto-closing: <p> before blocks, li/dd/dt, td/th/tr/table sections,
-  option/optgroup, nested <a>
+  option/optgroup; the active formatting elements list (reconstruction,
+  Noah's Ark, markers) and the full adoption agency algorithm (WHATWG
+  §13.2.6.4.7), so ``<b>1<p>2</b>3</p>`` builds x/net/html's tree
+* table modes: foster-parenting, clear-to-table-context, hidden-input
+  exception, caption/colgroup/implied-colgroup structure
+* in-select (+ in-select-in-table) and in-frameset/after-frameset modes
+  (frameset replaces an empty body: frameset pages have NO body element,
+  matching the reference's empty-content outcome)
 * void elements; ``<tag/>`` self-closing honored only in foreign content
-* table foster-parenting of misplaced content
 * </p> with no open p inserts an empty <p>; </br> acts as <br>
-* \r\n -> \n normalization and leading-newline stripping after <pre>
-* the active formatting elements list — reconstruction, Noah's Ark
-  clause, markers — and the adoption agency algorithm (WHATWG
-  §13.2.6.4.7), so misnested formatting like ``<b>1<p>2</b>3</p>``
-  builds the same tree x/net/html produces
+* \r\n -> \n normalization, U+00AD strip (reference-chain behavior),
+  leading-newline stripping after <pre>
+
+Hostile-input bounds: 512 element depth cap, 64 active-formatting
+entries, bounded entity scans — formatting/nesting floods stay linear.
 """
 
 from __future__ import annotations
