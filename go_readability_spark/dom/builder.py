@@ -98,6 +98,15 @@ TABLE_ALLOWED = frozenset(
 
 FOREIGN_ROOTS = frozenset(("svg", "math"))
 
+# HTML start tags that BREAK OUT of foreign content (WHATWG §13.2.6.5
+# "any other start tag" in foreign content): pop the foreign elements and
+# reprocess as HTML — an unclosed <svg> icon must not swallow the page
+FOREIGN_BREAKOUT = frozenset(
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
+    "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
+    "small span strong strike sub sup table tt u ul var".split()
+)
+
 # WHATWG formatting elements: tracked in the active-formatting list and
 # subject to the adoption agency algorithm on their end tags
 FORMATTING = frozenset(
@@ -333,7 +342,6 @@ class _TreeBuilder(HTMLParser):
         self.mode = "initial"  # initial | in_head | after_head | in_body
         self.stack: list[Node] = []  # open elements below body (or head)
         self.afe: list = []  # active formatting elements (+ _MARKER entries)
-        self.foreign_depth = 0
         self.form_open = False
         self.strip_leading_newline = False
         self.frameset_mode = False
@@ -662,7 +670,7 @@ class _TreeBuilder(HTMLParser):
         in HTML content it is a bogus comment ending at the FIRST '>'
         (stdlib's `]\\s*]\\s*>` close diverges on both counts)."""
         rawdata = self.rawdata
-        if self.foreign_depth > 0 and rawdata.startswith("<![CDATA[", i):
+        if self._foreign_state() == "foreign" and rawdata.startswith("<![CDATA[", i):
             j = rawdata.find("]]>", i + 9)
             if j < 0:
                 return -1
@@ -735,7 +743,7 @@ class _TreeBuilder(HTMLParser):
         # '<script src=x/>' swallows everything to the next </script>;
         # without this, following article markup was parsed as real
         # elements INSIDE <script> and deleted by removeScripts.
-        if self.foreign_depth == 0 and tag in ("script", "style"):
+        if self._foreign_state() != "foreign" and tag in ("script", "style"):
             self.handle_starttag(tag, attrs)
             self.set_cdata_mode(tag)
             return
@@ -751,25 +759,69 @@ class _TreeBuilder(HTMLParser):
             out.append([k, v if v is not None else ""])
         return out
 
-    def _start_tag(self, tag, attrs, explicit_self_closing):
-        if self.foreign_depth > 0:
-            adj = [
-                [SVG_ATTR_ADJUST.get(k, MATHML_ATTR_ADJUST.get(k, k)), v]
-                for k, v in self._dedupe_attrs(attrs)
-            ]
-            el = Node(ELEMENT, SVG_TAG_ADJUST.get(tag, tag), "", adj)
-            self._current().append_child(el)
-            # foreign content acknowledges the self-closing flag for EVERY
-            # element (HTML5 §13.2.6.5) — a nested <svg/> left open would
-            # deepen foreign mode for the rest of the document
-            if explicit_self_closing:
-                return
-            if tag in FOREIGN_ROOTS:
-                self.foreign_depth += 1
-                self.stack.append(el)
-            else:
-                self._push(el)
+    def _foreign_state(self) -> str:
+        """Namespace context of the current node: 'html', 'foreign',
+        'html_ip' (HTML integration point: svg foreignObject/desc/title,
+        math annotation-xml with an HTML encoding), or 'mathml_text'
+        (mi/mo/mn/ms/mtext — children parse as HTML except mglyph/
+        malignmark)."""
+        stack = self.stack
+        if not stack:
+            return "html"
+        cur = stack[-1]
+        ns = cur.ns
+        if ns is None:
+            return "html"
+        if ns == "svg" and cur.tag in ("foreignObject", "desc", "title"):
+            return "html_ip"
+        if ns == "math":
+            if cur.tag in ("mi", "mo", "mn", "ms", "mtext"):
+                return "mathml_text"
+            if cur.tag == "annotation-xml":
+                for k, v in cur.attrs or ():
+                    if k == "encoding" and v.lower() in (
+                        "text/html", "application/xhtml+xml",
+                    ):
+                        return "html_ip"
+        return "foreign"
+
+    def _insert_foreign(self, tag, attrs, explicit_self_closing):
+        adj = [
+            [SVG_ATTR_ADJUST.get(k, MATHML_ATTR_ADJUST.get(k, k)), v]
+            for k, v in self._dedupe_attrs(attrs)
+        ]
+        if tag in FOREIGN_ROOTS:
+            ns = tag
+        else:
+            ns = self.stack[-1].ns if self.stack else "svg"
+        el = Node(ELEMENT, SVG_TAG_ADJUST.get(tag, tag), "", adj, ns=ns)
+        self._current().append_child(el)
+        # foreign content acknowledges the self-closing flag for EVERY
+        # element (HTML5 §13.2.6.5) — a nested <svg/> left open would
+        # deepen foreign mode for the rest of the document
+        if explicit_self_closing:
             return
+        self._push(el)
+
+    def _start_tag(self, tag, attrs, explicit_self_closing):
+        state = self._foreign_state()
+        if state != "html":
+            if state == "foreign":
+                if tag in FOREIGN_BREAKOUT or (
+                    tag == "font"
+                    and any(k in ("color", "face", "size") for k, _v in attrs)
+                ):
+                    # break out of foreign content: pop foreign elements,
+                    # then reprocess the tag with the HTML rules below
+                    while self.stack and self._foreign_state() == "foreign":
+                        self.stack.pop()
+                else:
+                    self._insert_foreign(tag, attrs, explicit_self_closing)
+                    return
+            elif state == "mathml_text" and tag in ("mglyph", "malignmark"):
+                self._insert_foreign(tag, attrs, explicit_self_closing)
+                return
+            # html_ip / mathml_text(other tags) / post-breakout: HTML rules
 
         # ---- frameset pages (WHATWG in-frameset/after-frameset modes):
         # a <frameset> arriving while the body is still empty REPLACES the
@@ -1005,8 +1057,8 @@ class _TreeBuilder(HTMLParser):
             # <svg/> / <math/>: the self-closing flag is acknowledged for
             # foreign roots — leaving it open swallowed the whole rest of
             # the document into the svg subtree
+            el.ns = tag
             if not explicit_self_closing:
-                self.foreign_depth += 1
                 self.stack.append(el)
             return
         self._push(el)
@@ -1083,16 +1135,21 @@ class _TreeBuilder(HTMLParser):
     # ------------------------------------------------------------ end tags
 
     def handle_endtag(self, tag):
-        if self.foreign_depth > 0:
+        if self.stack and self.stack[-1].ns is not None:
+            # foreign end tag: walk down the foreign run for a (case-
+            # insensitive) match; an HTML-namespace element below means
+            # the tag is processed with the HTML rules instead
+            fell_to_html = False
             for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
+                if node.ns is None:
+                    fell_to_html = True
+                    break
                 if node.tag.lower() == tag:
-                    for j in range(len(self.stack) - 1, i - 1, -1):
-                        if self.stack[j].tag in FOREIGN_ROOTS:
-                            self.foreign_depth -= 1
                     self._pop_through(i)
                     return
-            return
+            if not fell_to_html:
+                return
 
         if self.frameset_mode:
             if tag == "frameset" and len(self.frameset_stack) > 1:
@@ -1188,8 +1245,9 @@ class _TreeBuilder(HTMLParser):
             self.mode = "in_body"
         self.strip_leading_newline = False
         # character tokens in body reconstruct the active formatting
-        # elements (raw-text/RCDATA content and foreign content do not)
-        if self.cdata_elem is None and self.foreign_depth == 0:
+        # elements (raw-text/RCDATA content and foreign content do not;
+        # HTML integration points DO — their children are HTML)
+        if self.cdata_elem is None and self._foreign_state() != "foreign":
             self._reconstruct_afe()
         if self._in_table_context() and data.strip() != "":
             parent, ref = self._foster_target()
@@ -1219,7 +1277,7 @@ class _TreeBuilder(HTMLParser):
     def unknown_decl(self, data):
         # bogus <![ ... ]> markup becomes a comment per HTML5 (except in
         # foreign content, where CDATA sections are text)
-        if self.foreign_depth > 0 and data.startswith("CDATA["):
+        if self._foreign_state() == "foreign" and data.startswith("CDATA["):
             self.handle_data(data[6:])
         else:
             self.handle_comment("[" + data + "]")

@@ -30,13 +30,16 @@ class Node:
         "next",
         "first_child",
         "last_child",
+        "ns",
     )
 
-    def __init__(self, type_: int, tag: str = "", data: str = "", attrs=None):
+    def __init__(self, type_: int, tag: str = "", data: str = "", attrs=None,
+                 ns=None):
         self.type = type_
         self.tag = tag          # element tag name (lowercase) or "" for non-elements
         self.data = data        # text/comment payload
         self.attrs = attrs      # list[[name, value]] for elements, else None
+        self.ns = ns            # None = HTML namespace; "svg"/"math" = foreign
         self.parent = None
         self.prev = None
         self.next = None
@@ -144,7 +147,8 @@ class Node:
 
     def clone(self, deep: bool = True) -> "Node":
         n = Node(self.type, self.tag, self.data,
-                 [a[:] for a in self.attrs] if self.attrs is not None else None)
+                 [a[:] for a in self.attrs] if self.attrs is not None else None,
+                 ns=self.ns)
         if not deep:
             return n
         # iterative deep copy (hostile web pages nest thousands deep)
@@ -157,7 +161,8 @@ class Node:
                 c = c.next
                 continue
             cc = Node(c.type, c.tag, c.data,
-                      [a[:] for a in c.attrs] if c.attrs is not None else None)
+                      [a[:] for a in c.attrs] if c.attrs is not None else None,
+                      ns=c.ns)
             dst.append_child(cc)
             if c.first_child is not None:
                 stack.append((c, dst))

@@ -324,3 +324,34 @@ def test_frameset_replaces_empty_body():
 
 def test_frameset_ignored_when_body_has_content():
     assert body_of("<p>real</p><frameset><frame></frameset>") == "<p>real</p>"
+
+
+def test_foreign_breakout():
+    """HTML start tags inside foreign content break out (pop the foreign
+    run) — an unclosed <svg> icon must not swallow the page."""
+    assert body_of("<svg><circle/><p>text</p>") == (
+        "<svg><circle></circle></svg><p>text</p>"
+    )
+    # non-breakout tags stay foreign
+    assert body_of("<svg><circle><line></svg>t") == (
+        "<svg><circle><line></line></circle></svg>t"
+    )
+    # font breaks out only with color/face/size
+    assert body_of("<svg><font>f</svg>x") == "<svg><font>f</font></svg>x"
+    assert body_of("<svg><font color=red>f</font>x") == (
+        '<svg></svg><font color="red">f</font>x'
+    )
+
+
+def test_foreign_integration_points():
+    """svg foreignObject/desc/title and MathML text elements parse their
+    children as HTML."""
+    assert body_of(
+        "<svg><foreignObject><p>html here</p></foreignObject><circle/></svg>after"
+    ) == (
+        "<svg><foreignObject><p>html here</p></foreignObject>"
+        "<circle></circle></svg>after"
+    )
+    assert body_of("<math><mi><b>bold</b></mi></math>done") == (
+        "<math><mi><b>bold</b></mi></math>done"
+    )
