@@ -128,7 +128,19 @@ def _q_fixture_parity(spark, sf_dir):
     return arts.select(
         "url",
         F.md5(normalize_parity_col(F.col("text_content"))).alias("text_md5"),
+        F.md5(F.col("content")).alias("content_md5"),
         "title", "byline", "excerpt", "site_name", "lang", "readerable",
+        "image", "favicon",
+        # formatted strings with '' for null: dodges both the None-vs-NaT
+        # representation skew and any session-timezone epoch reinterpretation
+        F.coalesce(
+            F.date_format(F.col("published_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit(""),
+        ).alias("published_iso"),
+        F.coalesce(
+            F.date_format(F.col("modified_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit(""),
+        ).alias("modified_iso"),
     )
 
 
@@ -934,7 +946,10 @@ def _fixture_parity_oracle() -> dict[str, str]:
         return {}
     return {
         "fixture_parity": f"""
-            SELECT url, text_md5, title, byline, excerpt, site_name, lang, readerable
+            SELECT url, text_md5, content_md5, title, byline, excerpt,
+                   site_name, lang, readerable, image, favicon,
+                   coalesce(strftime(published_time, '%Y-%m-%d %H:%M:%S.%f'), '') AS published_iso,
+                   coalesce(strftime(modified_time, '%Y-%m-%d %H:%M:%S.%f'), '') AS modified_iso
             FROM read_parquet('{golden_path}')
         """,
     }

@@ -264,6 +264,11 @@ def cmd_curate(args) -> int:
                 staged, args.output,
                 bytes_col="_n_bytes", id_col="_shard_key",
                 target_bytes=args.shard_bytes,
+                # duplicate URLs hash to tied keys — url tiebreak keeps
+                # row→shard assignment deterministic across retries
+                tiebreak_col="url",
+                # keep the sharded schema = curated schema + shard_id
+                drop_cols=("_shard_key", "_n_bytes"),
             )
         else:
             curated.write.mode("overwrite").parquet(args.output)

@@ -697,19 +697,56 @@ class _TreeBuilder(HTMLParser):
         super().close()
 
     def parse_starttag(self, i):
-        """Route stdlib's attribute unescaping (html.parser module-level
-        `unescape`, used at exactly one call site inside parse_starttag)
-        through the attribute-state rule. Data-state text goes through
-        goahead's own unescape calls, outside this window, and keeps
-        full html.unescape semantics — which IS the data-state spec."""
+        """Attribute values unescape via the attribute-state rule
+        (_unescape_attr); data-state text still goes through goahead's
+        full html.unescape, which IS the data-state spec. This is the
+        stdlib HTMLParser.parse_starttag loop verbatim with that single
+        call-site changed — reimplemented here (r2 ADVICE) instead of
+        temporarily swapping the module-global html.parser.unescape,
+        which leaked attribute-state semantics to any other HTMLParser
+        running concurrently in the process."""
         import html.parser as _hp
 
-        orig = _hp.unescape
-        _hp.unescape = _unescape_attr
-        try:
-            return super().parse_starttag(i)
-        finally:
-            _hp.unescape = orig
+        self._HTMLParser__starttag_text = None
+        endpos = self.check_for_whole_start_tag(i)
+        if endpos < 0:
+            return endpos
+        rawdata = self.rawdata
+        self._HTMLParser__starttag_text = rawdata[i:endpos]
+
+        attrs = []
+        match = _hp.tagfind_tolerant.match(rawdata, i + 1)
+        assert match, "unexpected call to parse_starttag()"
+        k = match.end()
+        self.lasttag = tag = match.group(1).lower()
+        while k < endpos:
+            m = _hp.attrfind_tolerant.match(rawdata, k)
+            if not m:
+                break
+            attrname, rest, attrvalue = m.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif (
+                attrvalue[:1] == "'" == attrvalue[-1:]
+                or attrvalue[:1] == '"' == attrvalue[-1:]
+            ):
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = _unescape_attr(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+            k = m.end()
+
+        end = rawdata[k:endpos].strip()
+        if end not in (">", "/>"):
+            self.handle_data(rawdata[i:endpos])
+            return endpos
+        if end.endswith("/>"):
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return endpos
 
     def parse_endtag(self, i):
         """HTML5 end-tag-open: '</' must be followed by an ASCII letter.
@@ -1160,11 +1197,19 @@ class _TreeBuilder(HTMLParser):
 
         # in-select mode processes only its own end tags; everything else
         # (including formatting end tags, which would otherwise run the
-        # adoption agency across the select) is ignored
-        if tag not in ("option", "optgroup", "select", "template") and (
-            self._find_in_scope("select", SCOPE_BOUNDARY) != -1
-        ):
-            return
+        # adoption agency across the select) is ignored — EXCEPT the
+        # "in select in table" rule: table-structure end tags close the
+        # select and are reprocessed (mirrors the start-tag branch above;
+        # r2 ADVICE: '<table><tr><td><select></table>' must close both)
+        if tag not in ("option", "optgroup", "select", "template"):
+            sel_i = self._find_in_scope("select", SCOPE_BOUNDARY)
+            if sel_i != -1:
+                if tag in (
+                    "caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th",
+                ) and any(n.tag == "table" for n in self.stack[:sel_i]):
+                    self._pop_through(sel_i)  # fall through: reprocess tag
+                else:
+                    return
 
         if tag == "br":
             # spec: </br> acts like <br>

@@ -35,11 +35,29 @@ def resize_nearest(pixels, out_w: int, out_h: int):
     return arr[ys[:, None], xs[None, :]]
 
 
+def _box_reduce_axis(arr, out_n: int, axis: int):
+    """1-D box-average (out_n < src size) along one axis, same ceil-split
+    bucket edges and round-half-up integer rounding as the 2-D path."""
+    import numpy as np
+
+    moved = np.moveaxis(arr, axis, 0)
+    n = moved.shape[0]
+    integ = np.zeros((n + 1,) + moved.shape[1:], dtype=np.int64)
+    np.cumsum(moved, axis=0, dtype=np.int64, out=integ[1:])
+    edges = (np.arange(out_n + 1) * n + out_n - 1) // out_n
+    e0, e1 = edges[:-1], edges[1:]
+    sums = integ[e1] - integ[e0]
+    lens = (e1 - e0).reshape((-1,) + (1,) * (moved.ndim - 1))
+    out = ((sums + lens // 2) // lens).astype(np.uint8)
+    return np.moveaxis(out, 0, axis)
+
+
 def resize_box(pixels, out_w: int, out_h: int):
     """Box-filter (area-average) downscale: each output pixel is the mean
-    of its source box. For upscale directions it degrades to nearest
-    (box smaller than one pixel). Uses an integral image so cost is
-    O(h*w) regardless of box size."""
+    of its source box. Any upscaled AXIS degrades to nearest independently
+    (box smaller than one pixel), so mixed-direction resizes like
+    10x2 -> 5x4 are valid. Uses an integral image so cost is O(h*w)
+    regardless of box size."""
     import numpy as np
 
     arr = np.asarray(pixels)
@@ -51,6 +69,17 @@ def resize_box(pixels, out_w: int, out_h: int):
     h, w, c = arr.shape
     if out_h >= h and out_w >= w:
         out = resize_nearest(arr, out_w, out_h)
+        return out[:, :, 0] if squeeze else out
+    if out_h >= h or out_w >= w:
+        # mixed direction: box-average the downscaled axis, nearest the other
+        if out_h < h:
+            out = _box_reduce_axis(arr, out_h, axis=0)
+            xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+            out = out[:, xs, :]
+        else:
+            out = _box_reduce_axis(arr, out_w, axis=1)
+            ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+            out = out[ys, :, :]
         return out[:, :, 0] if squeeze else out
     # integral image with a zero row/col prepended: sum of any box in O(1)
     integ = np.zeros((h + 1, w + 1, c), dtype=np.int64)

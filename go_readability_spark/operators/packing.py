@@ -35,10 +35,17 @@ def with_token_offsets(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     block_size: int = 100_000,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Adds `start_offset` / `end_offset`: the half-open global token span
     [start, end) of each document when the corpus is concatenated in
-    ascending `id_col` order. Exact (integer prefix sums)."""
+    ascending `id_col` order. Exact (integer prefix sums).
+
+    `id_col` must be unique for the layout to be deterministic; when it
+    can collide (e.g. a hash of a crawl URL), pass `tiebreak_col` — the
+    within-block cumsum then orders by (id, tiebreak) so tied ids get a
+    stable order across runs/retries instead of whatever the shuffle
+    delivered."""
     if block_size <= 0:
         raise ValueError(f"block_size must be positive, got {block_size}")
     # integer `div` (monotonic in id, exact for 63-bit hash-derived ids
@@ -59,9 +66,12 @@ def with_token_offsets(
     spark = df.sparkSession
     off = spark.createDataFrame(offsets, "_pk_blk bigint, _pk_off bigint")
 
+    order = [F.col(id_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
     w = (
         Window.partitionBy("_pk_blk")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (

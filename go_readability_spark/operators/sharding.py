@@ -30,13 +30,17 @@ def shard_assignments(
     id_col: str = "doc_id",
     target_bytes: int = 256 * 1024 * 1024,
     block_size: int = 100_000,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Adds `shard_id`: the ~target_bytes output shard of each document
-    when the corpus is laid out in ascending `id_col` order."""
+    when the corpus is laid out in ascending `id_col` order. Pass
+    `tiebreak_col` when `id_col` can collide (hash-derived keys over
+    duplicate crawl URLs) so assignment stays deterministic."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     staged = with_token_offsets(
-        df, tokens_col=bytes_col, id_col=id_col, block_size=block_size
+        df, tokens_col=bytes_col, id_col=id_col, block_size=block_size,
+        tiebreak_col=tiebreak_col,
     )
     return staged.withColumn(
         "shard_id", F.expr(f"start_offset div {int(target_bytes)}")
@@ -72,13 +76,22 @@ def write_sharded(
     target_bytes: int = 256 * 1024 * 1024,
     block_size: int = 100_000,
     format: str = "parquet",
+    tiebreak_col: str | None = None,
+    drop_cols: tuple = (),
 ) -> None:
     """Write one directory per shard (shard_id=N/...), one file each:
     repartition on shard_id so each output task owns exactly one shard's
     rows. At 10^12 docs the shard count is input_bytes/target — the
     shuffle is by a dense integer key with bounded per-key volume
-    (~target_bytes), so no skew mitigation is needed."""
-    assigned = shard_assignments(df, bytes_col, id_col, target_bytes, block_size)
+    (~target_bytes), so no skew mitigation is needed.
+
+    The working columns (start/end_offset, plus any caller-synthesized
+    key/size columns named in `drop_cols`) are dropped before the write
+    so the sharded output schema is the input schema + shard_id."""
+    assigned = shard_assignments(
+        df, bytes_col, id_col, target_bytes, block_size, tiebreak_col=tiebreak_col
+    )
+    assigned = assigned.drop("start_offset", "end_offset", *drop_cols)
     (
         assigned.repartition(F.col("shard_id"))
         .write.partitionBy("shard_id")

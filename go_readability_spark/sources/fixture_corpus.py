@@ -100,10 +100,45 @@ def normalize_parity_col(col):
     )
 
 
+# The 4 goldens imported verbatim from mozilla/readability are js-beautified
+# (whitespace reflowed) — byte identity against expected.html is impossible
+# even for the reference itself; their content_md5 golden comes from the
+# pins file below instead (tests/conftest.py:16 documents the same set).
+BEAUTIFIED_GOLDENS = {"theverge", "videos-2", "visibility-hidden", "wapo-2"}
+
+# Pinned regression values checked into the repo
+# (sources/fixture_pins.json): `image` and `favicon` per fixture, plus
+# content_md5 for the 4 beautified goldens. The reference publishes no
+# goldens for image/favicon (its harness, parser_test.go:77-107, checks
+# title/byline/excerpt/siteName/language/readerable/times only), so these
+# two columns are honest regression pins — generated once from the
+# metadata extractor that the parity suite verifies indirectly, and
+# frozen in git so any behavior drift turns the driver oracle red.
+_PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixture_pins.json")
+
+
+def fixture_url(case: str) -> str:
+    """Driver-corpus URL for a fixture case. The case id rides the QUERY
+    string so every row's url is unique (it is the join key) while the
+    PATH stays exactly the base URL the reference harness parses with —
+    RFC 3986 merge ignores the base's query, so relative-href resolution
+    (and therefore content bytes) match expected.html exactly."""
+    return f"http://fakehost/test/page.html?case={case}"
+
+
 def ensure_parity_parquets(out_dir: str | None = None,
                            test_pages: str = TEST_PAGES) -> tuple[str, str]:
     """Build (once, cached on disk) and return the paths of
-    (fixture_pages.parquet, fixture_goldens.parquet)."""
+    (fixture_pages.parquet, fixture_goldens.parquet).
+
+    v2 goldens carry the FULL Article surface the driver hash-verifies:
+    normalized-text md5, title/byline/excerpt/site_name/lang/readerable,
+    published_time/modified_time (re-parsed from expected-metadata.json the
+    way parser_test.go:267-279 does), content_md5 (md5 of the raw
+    expected.html bytes — byte identity — for the 114 generator-produced
+    goldens; pinned for the 4 beautified imports), and the image/favicon
+    regression pins."""
     import hashlib as _hashlib
     import json
 
@@ -115,37 +150,54 @@ def ensure_parity_parquets(out_dir: str | None = None,
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             "dist", "fixtures",
         )
-    pages_path = os.path.join(out_dir, "fixture_pages.parquet")
-    golden_path = os.path.join(out_dir, "fixture_goldens.parquet")
+    pages_path = os.path.join(out_dir, "fixture_pages_v2.parquet")
+    golden_path = os.path.join(out_dir, "fixture_goldens_v2.parquet")
     if os.path.exists(pages_path) and os.path.exists(golden_path):
         return pages_path, golden_path
 
     from ..dom import body_element, parse_html, text_content
+    from ..readability.metadata import parse_date
+
+    def _utc_naive(dt):
+        from datetime import timezone
+
+        if dt is None:
+            return None
+        if dt.tzinfo is None:
+            return dt
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
     cases = fixture_case_ids(test_pages)
     if not cases:
         raise FileNotFoundError(f"no fixtures under {test_pages}")
+    pins = json.load(open(_PINS_PATH))
 
     pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     golden = {
-        "url": [], "text_md5": [], "title": [], "byline": [], "excerpt": [],
-        "site_name": [], "lang": [], "readerable": [],
+        "url": [], "text_md5": [], "content_md5": [], "title": [], "byline": [],
+        "excerpt": [], "site_name": [], "lang": [], "readerable": [],
+        "image": [], "favicon": [], "published_time": [], "modified_time": [],
     }
     ts = datetime(2025, 1, 1)
     for case in cases:
-        url = f"http://fakehost/test/{case}/page.html"
+        url = fixture_url(case)
         with open(os.path.join(test_pages, case, "source.html"), "rb") as f:
             pages["url"].append(url)
             pages["warc_ts"].append(ts)
             pages["html"].append(f.read())
             pages["text"].append(None)
             pages["lang"].append(None)
-        with open(os.path.join(test_pages, case, "expected.html"), "rb") as f:
-            exp_text = text_content(body_element(parse_html(f.read()))).strip()
+        exp_raw = open(os.path.join(test_pages, case, "expected.html"), "rb").read()
+        exp_text = text_content(body_element(parse_html(exp_raw))).strip()
         meta = json.load(open(os.path.join(test_pages, case, "expected-metadata.json")))
+        pin = pins.get(case, {})
         golden["url"].append(url)
         golden["text_md5"].append(
             _hashlib.md5(normalize_parity_text(exp_text).encode("utf-8")).hexdigest()
+        )
+        golden["content_md5"].append(
+            pin.get("content_md5", "") if case in BEAUTIFIED_GOLDENS
+            else _hashlib.md5(exp_raw).hexdigest()
         )
         golden["title"].append(meta.get("title", ""))
         golden["byline"].append(meta.get("byline") or "")
@@ -153,6 +205,12 @@ def ensure_parity_parquets(out_dir: str | None = None,
         golden["site_name"].append(meta.get("siteName") or "")
         golden["lang"].append(meta.get("language") or "")
         golden["readerable"].append(bool(meta.get("readerable", False)))
+        golden["image"].append(pin.get("image", ""))
+        golden["favicon"].append(pin.get("favicon", ""))
+        for key, col in (("publishedTime", "published_time"),
+                         ("modifiedTime", "modified_time")):
+            want = meta.get(key)
+            golden[col].append(_utc_naive(parse_date(want)) if want else None)
 
     os.makedirs(out_dir, exist_ok=True)
     pages_schema = pa.schema([
@@ -160,10 +218,14 @@ def ensure_parity_parquets(out_dir: str | None = None,
         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
     ])
     golden_schema = pa.schema([
-        ("url", pa.string()), ("text_md5", pa.string()), ("title", pa.string()),
+        ("url", pa.string()), ("text_md5", pa.string()),
+        ("content_md5", pa.string()), ("title", pa.string()),
         ("byline", pa.string()), ("excerpt", pa.string()),
         ("site_name", pa.string()), ("lang", pa.string()),
         ("readerable", pa.bool_()),
+        ("image", pa.string()), ("favicon", pa.string()),
+        ("published_time", pa.timestamp("us")),
+        ("modified_time", pa.timestamp("us")),
     ])
     # atomic rename so a concurrent reader never sees a half-written file
     for path, data, schema in (

@@ -355,3 +355,22 @@ def test_foreign_integration_points():
     assert body_of("<math><mi><b>bold</b></mi></math>done") == (
         "<math><mi><b>bold</b></mi></math>done"
     )
+
+
+def test_select_in_table_end_tags_close_select():
+    """WHATWG 'in select in table': table-structure END tags close the
+    select and reprocess (r2 ADVICE — the start-tag side already did).
+    x/net/html: </table> closes both the select and the table."""
+    assert body_of("<table><tr><td><select></table><p>hi") == (
+        "<table><tbody><tr><td><select></select></td></tr></tbody></table>"
+        "<p>hi</p>"
+    )
+    # </td> closes the select, then the cell; following cell is a sibling
+    assert body_of("<table><tr><td><select>a</td><td>b</td></tr></table>") == (
+        "<table><tbody><tr><td><select>a</select></td><td>b</td></tr>"
+        "</tbody></table>"
+    )
+    # NOT in a table: table end tags stay ignored in select
+    assert body_of("<select><option>x</table>y") == (
+        "<select><option>xy</option></select>"
+    )

@@ -158,3 +158,46 @@ def test_stratified_sample_string_keys(spark):
     assert sorted(r["url"] for r in got.collect()) == sorted(
         r["url"] for r in naive.collect()
     )
+
+
+def test_write_sharded_schema_and_tiebreak(spark, tmp_path):
+    """ADVICE r2: sharded output schema must equal input schema + shard_id
+    (no working columns), and duplicate hash keys must shard
+    deterministically when a tiebreak column is given."""
+    from go_readability_spark.operators.sharding import (
+        shard_assignments,
+        write_sharded,
+    )
+
+    df = (
+        _docs(spark, n=40)
+        .withColumn("url", F.concat(F.lit("https://h/"), (F.col("doc_id") % 7).cast("string")))
+        .withColumn("_shard_key", F.xxhash64("url"))  # 7 distinct keys, heavy ties
+        .withColumn("_n_bytes", F.octet_length("text"))
+    )
+    out = str(tmp_path / "shards2")
+    write_sharded(
+        df, out, bytes_col="_n_bytes", id_col="_shard_key",
+        target_bytes=20_000, tiebreak_col="url",
+        drop_cols=("_shard_key", "_n_bytes"),
+    )
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == sorted(
+        ["doc_id", "text", "source", "url", "shard_id"]
+    )
+    # determinism under ties: two independent assignment runs agree per row
+    a = {
+        (r["doc_id"]): r["shard_id"]
+        for r in shard_assignments(
+            df, "_n_bytes", "_shard_key", target_bytes=20_000,
+            block_size=5, tiebreak_col="doc_id",
+        ).collect()
+    }
+    b = {
+        (r["doc_id"]): r["shard_id"]
+        for r in shard_assignments(
+            df.repartition(7), "_n_bytes", "_shard_key", target_bytes=20_000,
+            block_size=5, tiebreak_col="doc_id",
+        ).collect()
+    }
+    assert a == b

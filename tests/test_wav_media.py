@@ -248,3 +248,24 @@ def test_wav_extensible_subformat():
     data = b"RIFF" + struct.pack("<I", len(body)) + body
     sr, samples = decode_wav(data)
     assert np.allclose(samples[:, 0], wave)
+
+
+def test_resize_box_mixed_direction():
+    """ADVICE r2: 10x2 -> 5x4 (downscale x, upscale y) used to IndexError
+    past the integral image. Box-average applies per-axis now."""
+    arr = np.arange(20, dtype=np.uint8).reshape(2, 10)
+    out = resize_box(arr, 5, 4)  # (h=2,w=10) -> (h=4,w=5)
+    assert out.shape == (4, 5)
+    # x pairs average, y rows replicate (nearest on the upscaled axis)
+    row0 = [(0 + 1 + 1) // 2, (2 + 3 + 1) // 2, 5, 7, 9]
+    assert out[0].tolist() == row0
+    assert np.array_equal(out[0], out[1]) and np.array_equal(out[2], out[3])
+    # other orientation: upscale x, downscale y
+    out2 = resize_box(arr.T.copy(), 4, 5)  # (h=10,w=2) -> (h=5,w=4)
+    assert out2.shape == (5, 4)
+    # rgb + png round-trip through the mixed path
+    rgb = np.arange(60, dtype=np.uint8).reshape(2, 10, 3)
+    out3 = resize_box(rgb, 5, 4)
+    assert out3.shape == (4, 5, 3)
+    w, h, px = decode_png(resize_png(encode_png(rgb), 5, 4, method="box"))
+    assert (w, h) == (5, 4) and px.shape == (4, 5, 3)
