@@ -562,6 +562,53 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, cents, k=5, nprobe=3)
 
 
+def _q_ann_recall(spark, sf_dir):
+    """Quantified recall@k of both approximate ANN paths against the exact
+    baseline, as integer rows: (method, query_id, n_hits, k). Fully
+    DuckDB-reproducible — the LSH planes and the pinned IVF index
+    (sources/ivf_index_sf001.json) ride into the oracle SQL as DOUBLE
+    literals, so bucket assignment, candidate generation, and ranking are
+    replayed step-for-step in both engines."""
+    _ship_package(spark)
+    from go_readability_spark.operators import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+    from go_readability_spark.operators.ann_oracle import load_pinned_ivf_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 25)
+    k = 10
+    exact = brute_force_topk(emb, queries, k=k)
+    lsh = lsh_bucketed_topk(
+        emb, queries, k=k, n_planes=6, seed=42, dim=64, n_bands=2
+    )
+    ivf = ivf_topk(
+        emb, queries, load_pinned_ivf_index()["centroids"], k=k, nprobe=3
+    )
+    qids = exact.select("query_id").distinct()
+    parts = []
+    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+        hits = (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+                F.lit(k).cast("long").alias("k"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 def _q_resume_antijoin(spark, sf_dir):
     """The checkpoint-resume anti-join pattern on the TPC-H tables."""
     _ship_package(spark)
@@ -747,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall": _q_ann_recall,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
@@ -955,6 +1003,29 @@ def _fixture_parity_oracle() -> dict[str, str]:
     }
 
 
+def _ann_oracles() -> dict[str, str]:
+    """DuckDB twins of the approximate-ANN queries (operators/
+    ann_oracle.py): planes and the pinned IVF index embedded as literals.
+    Must mirror the parameters of _q_ann_lsh_topk / _q_ann_recall."""
+    from go_readability_spark.operators.ann_oracle import (
+        duck_ann_lsh_topk_sql,
+        duck_ann_recall_sql,
+        load_pinned_ivf_index,
+    )
+    from go_readability_spark.operators.similarity import make_planes
+
+    return {
+        "ann_lsh_topk": duck_ann_lsh_topk_sql(
+            make_planes(64, 6, 42), n_bands=1, k=5, query_pred="id < 5"
+        ),
+        "ann_recall": duck_ann_recall_sql(
+            make_planes(64, 6, 42), n_bands=2,
+            centroids=load_pinned_ivf_index()["centroids"],
+            k=10, nprobe=3, query_pred="id < 25",
+        ),
+    }
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB twin of _q_pii_redaction: identical injected text, identical
     staged redaction (fragments generated from the same PII_STAGES table
@@ -987,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         **_fixture_parity_oracle(),
+        **_ann_oracles(),
         "extract_salted_md5": """
             SELECT CAST(('0x' || substr(md5(
                        'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'

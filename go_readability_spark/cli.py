@@ -55,7 +55,8 @@ def _is_url(path: str) -> bool:
 
 
 def _render_article(data: bytes, page_url: str, metadata_only: bool,
-                    text_only: bool, check_only: bool = False) -> str:
+                    text_only: bool, check_only: bool = False,
+                    debug: bool = False) -> str:
     """The shared tail of the reference's getContent (main.go:139-176):
     gate on the readerability Check (unreadable pages are an ERROR, not
     empty output), then emit content / text / the 5-key indented metadata
@@ -69,7 +70,7 @@ def _render_article(data: bytes, page_url: str, metadata_only: bool,
         return "true" if readerable else "false"
     if not readerable:
         raise ValueError("failed to parse page: the page is not readable")
-    art = Parser().parse_document(doc, page_url)
+    art = Parser(debug=debug).parse_document(doc, page_url)
     if metadata_only:
         return json.dumps(
             {
@@ -122,9 +123,13 @@ def cmd_parse(args) -> int:
     # (main.go:135), so relative hrefs/srcs absolutize identically
     page_url = args.url or "http://fakehost.com"
     try:
+        if args.debug:
+            import logging
+
+            logging.basicConfig(level=logging.INFO, stream=sys.stderr)
         out = _render_article(
             data, page_url, args.metadata_only, args.text_only,
-            check_only=args.check_only,
+            check_only=args.check_only, debug=args.debug,
         )
     except Exception as exc:
         print(f"error: {exc}", file=sys.stderr)
@@ -286,6 +291,9 @@ def main(argv=None) -> int:
     p.add_argument("--url", default=None, help="page URL for link resolution")
     p.add_argument("-m", "--metadata-only", action="store_true")
     p.add_argument("-t", "--text-only", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="log removal/scoring decisions to stderr "
+                        "(reference Debug flag, parser.go:113)")
     p.add_argument("-l", "--check-only", action="store_true",
                    help="print readerable check result only")
     p.set_defaults(fn=cmd_parse)

@@ -48,17 +48,39 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return staged.withColumn("unit_vec", unit).drop("_uv_src")
 
 
+def _guard_rows(df: DataFrame, max_rows: int | None, what: str) -> None:
+    """Scale guard for exactness baselines: refuse inputs past max_rows so
+    an O(n²)/cross-product baseline can't be pointed at a corpus by
+    accident. Uses limit(n+1).count() so the probe reads at most n+1 rows
+    instead of scanning the input."""
+    if max_rows is None:
+        return
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what}: input exceeds max_rows={max_rows}. This operator is an "
+            "exactness BASELINE with quadratic/cross-product cost — use the "
+            "LSH/IVF variant at corpus scale, or pass max_rows=None (or a "
+            "higher bound) if the blowup is intentional."
+        )
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k. The (small) query set is broadcast, so the scan
     over the big side is shuffle-free; the only shuffle is the per-query
     rank. Returns (query_id, neighbor_id, rank) — ids only, so the result
-    is float-rounding-proof for oracle comparison."""
+    is float-rounding-proof for oracle comparison.
+
+    Cost is |df| × |queries| score evaluations: exact and fine for a
+    bounded query set against any corpus size, but unbounded Q makes it a
+    full cross product — max_queries guards that (None disables)."""
+    _guard_rows(queries, max_queries, "brute_force_topk")
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "unit_vec"
     )
@@ -198,12 +220,15 @@ def cosine_near_pairs_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs: all-pairs scoring,
     ids-only output (float scores are not engine-portable; membership at a
     threshold is). O(n²) — the correctness baseline the LSH variant is
     judged against, and the right tool for bounded candidate corpora
-    (e.g. within-cluster verification)."""
+    (e.g. within-cluster verification). max_rows refuses corpus-scale
+    inputs (None disables); cosine_near_pairs is the scale path."""
+    _guard_rows(df, max_rows, "cosine_near_pairs_exact")
     base = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -117,6 +117,11 @@ class Parser:
     tags_to_score: tuple = ("section", "h2", "h3", "h4", "h5", "h6", "p", "td", "pre")
     disable_jsonld: bool = False
     allowed_video_regex: object = None
+    # parser.go:113-114 Debug flag: when True, removal/scoring decisions
+    # are reported through the stdlib `logging` module (logger
+    # "go_readability_spark.readability", INFO level) the way the Go
+    # parser prints via log.Printf (parser.go:2296-2305)
+    debug: bool = False
 
     # per-parse state
     doc: Node | None = None
@@ -622,6 +627,15 @@ class Parser:
 
     # ------------------------------------------------------------ grabArticle
 
+    def _logf(self, fmt: str, *args) -> None:
+        """parser.go:2296-2305 log/logf twin (no-op unless self.debug)."""
+        if self.debug:
+            import logging
+
+            logging.getLogger("go_readability_spark.readability").info(
+                fmt % args if args else fmt
+            )
+
     def _grab_article(self):
         """parser.go:764-1250: the scoring core with its retry sieve."""
         while True:
@@ -641,6 +655,7 @@ class Parser:
                     self.article_lang = get_attribute(node, "lang")
 
                 if not self._is_probably_visible(node):
+                    self._logf("removing hidden node: %r", match_string)
                     node = self._remove_and_get_next(node)
                     continue
 
@@ -656,6 +671,10 @@ class Parser:
                     continue
 
                 if should_remove_title_header and self._header_duplicates_title(node):
+                    self._logf(
+                        "removing header: %r duplicate of %r",
+                        match_string, self.article_title,
+                    )
                     should_remove_title_header = False
                     node = self._remove_and_get_next(node)
                     continue
@@ -670,10 +689,15 @@ class Parser:
                         and node_tag != "body"
                         and node_tag != "a"
                     ):
+                        self._logf("removing unlikely candidate: %r", match_string)
                         node = self._remove_and_get_next(node)
                         continue
 
-                    if get_attribute(node, "role") in rx.UNLIKELY_ROLES:
+                    role = get_attribute(node, "role")
+                    if role in rx.UNLIKELY_ROLES:
+                        self._logf(
+                            "removing content with role %r: %r", role, match_string
+                        )
                         node = self._remove_and_get_next(node)
                         continue
 
@@ -1203,9 +1227,18 @@ class Parser:
 
     def _clean_headers(self, e) -> None:
         """parser.go:2122-2132."""
+
+        def _low_weight(n) -> bool:
+            if self._get_class_weight(n) < 0:
+                self._logf(
+                    "removing header with low class weight: %r",
+                    class_name(n) + " " + node_id(n),
+                )
+                return True
+            return False
+
         self._remove_nodes(
-            self._get_all_nodes_with_tag(e, "h1", "h2"),
-            lambda n: self._get_class_weight(n) < 0,
+            self._get_all_nodes_with_tag(e, "h1", "h2"), _low_weight
         )
 
     # ------------------------------------------------------------ postProcess

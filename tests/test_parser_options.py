@@ -95,3 +95,24 @@ def test_from_document_preserves_caller_doc():
     # still usable for the readerable check afterwards (paragraphs here are
     # <140 bytes each, so the answer is legitimately False — parser-check.go:73)
     assert check_document(doc) is False
+
+
+def test_debug_flag_logs_decisions(caplog):
+    """parser.go:113 Debug parity: removal decisions surface through the
+    stdlib logger when debug=True, and stay silent by default."""
+    import logging
+
+    from go_readability_spark.dom import parse_html
+    from go_readability_spark.readability import Parser
+
+    html = (
+        b"<html><body><div class='sidebar'>junk</div>"
+        b"<p>" + b"real content with, commas, and length. " * 30 + b"</p>"
+        b"</body></html>"
+    )
+    with caplog.at_level(logging.INFO, "go_readability_spark.readability"):
+        Parser().parse_document(parse_html(html), "http://x/")
+    assert not caplog.records
+    with caplog.at_level(logging.INFO, "go_readability_spark.readability"):
+        Parser(debug=True).parse_document(parse_html(html), "http://x/")
+    assert any("unlikely candidate" in r.message for r in caplog.records)
