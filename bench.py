@@ -95,22 +95,44 @@ def bench_queries(spark):
 
 
 def run_suite():
+    """Per-query MEDIANS over $BENCH_REPEATS runs (default 5) in one
+    session — the r2 verdict flagged that single-shot numbers on this
+    shared host swing +-50%; medians + IQR separate host noise from real
+    regressions. All repeats recompute from the source parquet (nothing
+    is .cache()d); repeat 1 additionally pays Python-worker fork+import,
+    which the median naturally discards."""
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "5")))
     spark = _session(CPUS)
     try:
-        timings = {}
+        samples: dict[str, list] = {}
         doc_counts = {}
-        for name, (fn, n_docs) in bench_queries(spark).items():
-            t0 = time.time()
-            n = fn()
-            timings[name] = round(time.time() - t0, 3)
-            doc_counts[name] = n_docs or n
+        for i in range(repeats):
+            for name, (fn, n_docs) in bench_queries(spark).items():
+                t0 = time.time()
+                n = fn()
+                samples.setdefault(name, []).append(time.time() - t0)
+                doc_counts[name] = n_docs or n
+
+        def _median(xs):
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+        timings = {k: round(_median(v), 3) for k, v in samples.items()}
+        iqr = {
+            k: round(sorted(v)[(3 * len(v)) // 4] - sorted(v)[len(v) // 4], 3)
+            for k, v in samples.items()
+        }
         total = round(sum(timings.values()), 3)
         extract_rate = round(doc_counts["extract_synth"] / timings["extract_synth"], 2)
         print(json.dumps({
-            "metric": "readability extraction + corpus-ops wall time",
+            "metric": "readability extraction + corpus-ops wall time "
+                      f"(median of {repeats})",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "iqr": iqr,
+            "repeats": repeats,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "docs_per_sec": extract_rate,
             "cpus": int(CPUS),

