@@ -1554,7 +1554,131 @@ def _sniff_decode(raw: bytes) -> str:
             return raw.decode(m.group(1).decode("ascii"), errors="replace")
         except (LookupError, UnicodeDecodeError):
             pass
+    guessed = _statistical_decode(raw)
+    if guessed is not None:
+        return guessed
     return raw.decode("utf-8", errors="replace")
+
+
+# candidate legacy encodings for undeclared non-UTF-8 pages. With the
+# frequency/coherence scorer below, order only breaks exact ties.
+_STAT_CODECS = (
+    "shift_jis", "euc-jp", "euc-kr", "gb18030", "big5", "cp1252", "cp1251",
+)
+
+# ~230 highest-frequency Han characters, simplified + traditional forms
+# combined. This is the tiny frequency prior that separates the CJK
+# multi-byte codecs from each other: they all happily strict-decode each
+# other's byte streams into *coherent but rare* Han garbage, while the
+# correct decode is dense in these.
+_COMMON_HAN = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那"
+    "要下以生会自着去之过家学对可她里后小么心多天而能好都然没日于起还发"
+    "成事只作当想看文无开手十用主行方又如前所本见经头面公同三已老从动两"
+    "长知民样现分将外但身些与高意进把法此实回二理美点月明其种声全工己话"
+    "儿者向情部正名定女问力机给等几很业最间新什打便位因重被走电四第门相"
+    "次东政海口使教西再平真听世气信北少关并内加化由却代军产入先山五太水"
+    "万市眼体别处总才场师书比住员九笑性通目华报立马命张活难神数件安表原"
+    "這中大來國個到說們為時會自著過學對她裡後麼還發成當無開見經頭動兩長"
+    "知民樣現分將們條與高進點聲全話兒問機給幾業最間甚打電門相東們聽氣關"
+    "內場師書員歷難數點錢讓護車馬"
+)
+
+
+def _score_decoded(s: str) -> float:
+    """Plausibility of a decoded sample. Three signals, multiplied:
+    per-character weights (common Han / kana / hangul score high, C1
+    controls and replacement chars score hard-negative), script
+    coherence (real text concentrates in one script family; wrong
+    EUC-grid decodes produce hangul/han salads), and a density damp on
+    bare Latin-1 letters (Russian-as-cp1252 is 'coherent latin' at 90%
+    non-ASCII density; real French is coherent at 5%)."""
+    han = common = kana = hkana = hangul = cyr = latin = oth = punct = bad = unk = 0
+    total = len(s)
+    if not total:
+        return -1.0
+    for ch in s:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        if 0x4E00 <= o <= 0x9FFF:
+            han += 1
+            if ch in _COMMON_HAN:
+                common += 1
+        elif 0x3040 <= o <= 0x30FF:
+            kana += 1
+        elif 0xFF61 <= o <= 0xFF9F:
+            hkana += 1  # halfwidth kana: a classic wrong-decode artifact
+        elif 0xAC00 <= o <= 0xD7A3:
+            hangul += 1
+        elif 0x0400 <= o <= 0x04FF:
+            cyr += 1
+        elif 0x00C0 <= o <= 0x024F:
+            latin += 1
+        elif (
+            0x0370 <= o <= 0x03FF or 0x0590 <= o <= 0x06FF
+            or 0x0E00 <= o <= 0x0E7F
+        ):
+            oth += 1
+        elif 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFF60 or o in (
+            0x2018, 0x2019, 0x201C, 0x201D, 0x2013, 0x2014, 0x2026,
+            0x00B7, 0x00A0,
+        ):
+            punct += 1
+        elif 0x80 <= o <= 0x9F or o == 0xFFFD:
+            bad += 1
+        else:
+            unk += 1
+    n = han + kana + hkana + hangul + cyr + latin + oth + punct + bad + unk
+    if n < 4:  # too little signal to call — let utf-8-replace stand
+        return -1.0
+    letters = han + kana + hkana + hangul + cyr + latin + oth
+    if letters == 0:
+        return -1.0
+    coherence = max(
+        han + kana + hkana,  # CJK-Japanese family (kanji+kana coexist)
+        hangul, cyr, latin, oth,
+    ) / letters
+    density = n / total
+    latin_w = 2.0 if density < 0.4 else 1.0
+    weighted = (
+        han * 1.3 + common * 1.2  # common-Han bonus on top of base
+        + kana * 3.0 + hkana * 0.5 + hangul * 2.5 + cyr * 2.0
+        + latin * latin_w + oth * 2.0 + punct * 1.0
+        - bad * 8.0 - unk * 2.0
+    )
+    return (weighted / n) * coherence
+
+
+def _statistical_decode(raw: bytes, sample_bytes: int = 65536):
+    """Byte-distribution charset detection for pages that are neither
+    valid UTF-8 nor carry a usable declared charset (r2 VERDICT #6: the
+    reference's dom dependency ships gogs/chardet for exactly this
+    case). Strict-decodes a prefix under each candidate codec — a hard
+    failure disqualifies — and ranks survivors by script-block
+    plausibility. Returns the full decode under the winner, or None if
+    nothing is convincingly better than mojibake."""
+    sample = raw[:sample_bytes]
+    best = None
+    best_score = 1.0  # wrong decodes cap around coherence-damped ~1.0
+    for codec in _STAT_CODECS:
+        try:
+            decoded = sample.decode(codec)
+        except UnicodeDecodeError as exc:
+            # a multibyte char split at the sample boundary is not a
+            # real failure — score the clean prefix instead
+            if len(raw) > len(sample) and exc.start >= len(sample) - 4:
+                decoded = sample[:exc.start].decode(codec, errors="ignore")
+            else:
+                continue
+        except LookupError:
+            continue
+        score = _score_decoded(decoded)
+        if score > best_score:
+            best, best_score = codec, score
+    if best is None:
+        return None
+    return raw.decode(best, errors="replace")
 
 
 def parse_html(source) -> Node:
