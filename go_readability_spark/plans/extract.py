@@ -315,6 +315,20 @@ def run_extraction_job(
     output-commit protocol, so a job that dies after the ckpt file lands
     but before the parquet commit would otherwise mark buckets 'done'
     whose rows were never written — a silent-data-loss window."""
+    # A job killed mid-write leaves task-committed files under the
+    # output's _temporary/ staging dir; the NEXT append job's commit
+    # adopts them as its own output and duplicates every row the dead
+    # job had task-committed (observed at the 1M kill+restart probe:
+    # 1.68M rows for 1M urls). Iceberg's transactional commit makes
+    # this moot; on a plain filesystem the stale staging dir must not
+    # survive into the next attempt. Safe because one extraction job
+    # owns an output dir at a time (the resume design's premise).
+    stale_staging = os.path.join(output_dir, "_temporary")
+    if os.path.isdir(stale_staging):
+        import shutil
+
+        shutil.rmtree(stale_staging, ignore_errors=True)
+
     articles = extract_pages(
         pages,
         n_buckets=n_buckets,

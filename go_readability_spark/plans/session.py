@@ -24,6 +24,13 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # vectorized parquet reader: the default 4096-row columnar batch
+        # over a binary html column (10 KB-1.6 MB/page on real crawls)
+        # asks for up-to-hundreds-of-MB contiguous per column vector and
+        # OOMed 32 concurrent read tasks at the 1M-doc volume run; 256
+        # rows keeps the per-batch reservation in the tens of MB at
+        # Common-Crawl page sizes
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "256m")

@@ -417,3 +417,37 @@ def test_cli_curate_sharded_output(spark, tmp_path):
         f"select count(*), count(distinct url) from '{out}/*/*.parquet'"
     ).fetchone()
     assert n > 0 and n == d
+
+
+def test_stale_staging_dir_not_adopted(spark, tmp_path):
+    """A job killed mid-write leaves task-committed files under the
+    output's _temporary/ dir; a restart's job commit would adopt them and
+    duplicate rows (observed at the 1M kill+restart probe: 1.68M rows for
+    1M urls). run_extraction_job must clear the stale staging dir."""
+    import glob
+    import os
+    import shutil
+
+    from go_readability_spark.plans import run_extraction_job
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    pages = spark.createDataFrame(synth_corpus_rows(10, seed=77, skew=False),
+                                  schema=PAGES_SCHEMA)
+    out = str(tmp_path / "articles_stale")
+    ck = str(tmp_path / "ck_stale")
+    run_extraction_job(pages, out, checkpoint_dir=ck, n_buckets=4,
+                       num_partitions=2)
+    parts = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert parts
+    assert spark.read.parquet(out).count() == 10
+    # simulate a dead job's task-committed leftovers in the staging dir
+    stale_task = os.path.join(out, "_temporary", "0",
+                              "task_000000000000000_0001_m_000000")
+    os.makedirs(stale_task)
+    shutil.copy(parts[0], os.path.join(stale_task, "part-stale.parquet"))
+    # rerun (resume no-ops the extraction but the write still commits)
+    run_extraction_job(pages, out, checkpoint_dir=ck, n_buckets=4,
+                       num_partitions=2)
+    assert spark.read.parquet(out).count() == 10  # stale file NOT adopted
+    assert not os.path.isdir(os.path.join(out, "_temporary"))
