@@ -218,16 +218,29 @@ def cmd_extract(args) -> int:
             pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
         else:
             pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
-        run_extraction_job(
-            pages,
-            output_dir=args.output,
-            checkpoint_dir=args.checkpoint,
-            n_buckets=args.buckets,
-            num_partitions=args.partitions,
-            resume=not args.no_resume,
-            verify_output=not args.no_verify_output,
-            partition_by=tuple(args.partition_by.split(",")) if args.partition_by else None,
-        )
+        if args.atomic_sink:
+            from .plans import run_extraction_job_atomic
+
+            n = run_extraction_job_atomic(
+                pages,
+                output_dir=args.output,
+                checkpoint_dir=args.checkpoint,
+                n_buckets=args.buckets,
+                num_partitions=args.partitions,
+                resume=not args.no_resume,
+            )
+            print(f"atomic sink: {n} buckets written this run", file=sys.stderr)
+        else:
+            run_extraction_job(
+                pages,
+                output_dir=args.output,
+                checkpoint_dir=args.checkpoint,
+                n_buckets=args.buckets,
+                num_partitions=args.partitions,
+                resume=not args.no_resume,
+                verify_output=not args.no_verify_output,
+                partition_by=tuple(args.partition_by.split(",")) if args.partition_by else None,
+            )
     finally:
         spark.stop()
     return 0
@@ -314,6 +327,10 @@ def main(argv=None) -> int:
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--master", default=None, help="override spark master")
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--atomic-sink", action="store_true",
+                   help="task-committed per-bucket data files (atomic "
+                        "rename): mid-job kills resume at bucket "
+                        "granularity on plain filesystems")
     e.add_argument("--partition-by", default=None,
                    help="comma-separated output partition columns (e.g. lang)")
     e.add_argument("--no-verify-output", action="store_true",

@@ -4,6 +4,7 @@ from .extract import (  # noqa: F401
     extract_record,
     make_extractor,
     run_extraction_job,
+    run_extraction_job_atomic,
     with_salt,
 )
 from .schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA, PAGES_SCHEMA  # noqa: F401

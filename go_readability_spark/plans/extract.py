@@ -130,38 +130,8 @@ def make_extractor(checkpoint_dir: str | None = None):
             _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, time.time() - t0)
 
     def _extract_loop(batches, bucket_stats):
-        import pandas as pd
-
-        for pdf in batches:
-            data: dict[str, list] = {c: [] for c in columns}
-            urls = pdf["url"].tolist()
-            htmls = pdf["html"].tolist()
-            warc = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * len(urls)
-            salts = pdf["salt"].tolist() if "salt" in pdf.columns else None
-            for i, (url, html) in enumerate(zip(urls, htmls)):
-                rec = extract_record(url, html)
-                rec["warc_ts"] = warc[i]
-                for c in columns:
-                    data[c].append(rec[c])
-                if salts is not None:
-                    st = bucket_stats.setdefault(str(salts[i]), [0, 0, 0, 0])
-                    st[0] += 1
-                    st[1] += 0 if rec["error"] else 1
-                    st[2] += 1 if rec["error"] else 0
-                    st[3] += len(html) if html is not None else 0
-            out = pd.DataFrame(
-                {
-                    c: (
-                        pd.to_datetime(pd.Series(data[c], dtype="object"), errors="coerce")
-                        if c in ("published_time", "modified_time", "warc_ts")
-                        else pd.Series(data[c], dtype="int32")
-                        if c == "length"
-                        else data[c]
-                    )
-                    for c in columns
-                }
-            )
-            yield out
+        for pdf in _extract_frames(batches, columns, bucket_stats):
+            yield pdf.drop(columns=["_salt"])
 
     return extract_batches
 
@@ -291,6 +261,188 @@ def extract_pages(
     df = df.repartition(num_partitions, "salt")
 
     return df.mapInPandas(make_extractor(checkpoint_dir), schema=ARTICLES_SCHEMA)
+
+
+def make_sink_extractor(output_dir: str, checkpoint_dir: str | None):
+    """mapInPandas function for the ATOMIC task-committed sink: the
+    extraction output is written per salt bucket straight into the
+    articles table from inside the task, and the mapInPandas result is
+    only the tiny per-bucket stats relation.
+
+    The properties that make mid-job resume REAL on a plain filesystem
+    (Spark's own committer only exposes output at job commit, so a
+    mid-job kill loses everything):
+
+    * per-bucket data file `salt=<n>/part-<n>.parquet` written to a tmp
+      name and os.replace()d — atomic, so readers (including the resume
+      verifier) never see partial data;
+    * the file name is DETERMINISTIC per bucket and repartition(salt)
+      puts each bucket in exactly one partition, so a retried /
+      speculative / resumed task overwrites its own bucket instead of
+      duplicating it — the write is idempotent;
+    * the checkpoint lineage row lands strictly AFTER the bucket's data
+      rename: a crash between the two leaves an orphan data file that
+      the next attempt simply overwrites, never a 'done' row without
+      visible data (the silent-loss window the verifier guards).
+    """
+    import pandas as pd
+
+    columns = [f.name for f in ARTICLES_SCHEMA.fields]
+
+    def _bucket_table(frames):
+        import pyarrow as pa
+
+        pdf = pd.concat(frames, ignore_index=True)
+        schema = pa.schema(
+            [
+                ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                ("title", pa.string()), ("byline", pa.string()),
+                ("content", pa.string()), ("text_content", pa.string()),
+                ("length", pa.int32()), ("excerpt", pa.string()),
+                ("site_name", pa.string()), ("image", pa.string()),
+                ("favicon", pa.string()), ("lang", pa.string()),
+                ("published_time", pa.timestamp("us")),
+                ("modified_time", pa.timestamp("us")),
+                ("readerable", pa.bool_()), ("error", pa.string()),
+            ]
+        )
+        return pa.Table.from_pandas(pdf[columns], schema=schema,
+                                    preserve_index=False)
+
+    def sink_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import gc
+
+        import pyarrow.parquet as pq
+
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        t0 = time.time()
+        per_bucket_frames: dict[int, list] = {}
+        bucket_stats: dict[str, list] = {}
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in _extract_frames(batches, columns, bucket_stats):
+                for salt_val, group in pdf.groupby("_salt", sort=False):
+                    per_bucket_frames.setdefault(int(salt_val), []).append(
+                        group.drop(columns=["_salt"])
+                    )
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+                gc.collect()
+
+        written = []
+        for salt_val, frames in per_bucket_frames.items():
+            bucket_dir = os.path.join(output_dir, f"salt={salt_val}")
+            os.makedirs(bucket_dir, exist_ok=True)
+            final = os.path.join(bucket_dir, f"part-{salt_val:05d}.parquet")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(_bucket_table(frames), tmp)
+            os.replace(tmp, final)  # atomic publish
+            written.append(salt_val)
+
+        if checkpoint_dir and bucket_stats:
+            # strictly after the data renames (see docstring)
+            _write_checkpoint_rows(checkpoint_dir, bucket_stats, started,
+                                   time.time() - t0)
+
+        stats = {
+            "salt": [], "rows_in": [], "rows_out": [], "parse_errors": [],
+            "bytes_in": [],
+        }
+        for key, v in bucket_stats.items():
+            stats["salt"].append(int(key))
+            stats["rows_in"].append(int(v[0]))
+            stats["rows_out"].append(int(v[1]))
+            stats["parse_errors"].append(int(v[2]))
+            stats["bytes_in"].append(int(v[3]))
+        yield pd.DataFrame(stats)
+
+    return sink_batches
+
+
+def _extract_frames(batches, columns, bucket_stats):
+    """Shared extraction loop: yields article DataFrames with a `_salt`
+    helper column; per-bucket stats accumulate only when the input
+    carries a salt column (unsalted inputs get no checkpoint rows,
+    matching the Spark-sink path's behavior)."""
+    import pandas as pd
+
+    for pdf in batches:
+        data: dict[str, list] = {c: [] for c in columns}
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        warc = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * len(urls)
+        has_salt = "salt" in pdf.columns
+        salts = pdf["salt"].tolist() if has_salt else [0] * len(urls)
+        for i, (url, html) in enumerate(zip(urls, htmls)):
+            rec = extract_record(url, html)
+            rec["warc_ts"] = warc[i]
+            for c in columns:
+                data[c].append(rec[c])
+            if has_salt:
+                st = bucket_stats.setdefault(str(salts[i]), [0, 0, 0, 0])
+                st[0] += 1
+                st[1] += 0 if rec["error"] else 1
+                st[2] += 1 if rec["error"] else 0
+                st[3] += len(html) if html is not None else 0
+        out = pd.DataFrame(
+            {
+                c: (
+                    pd.to_datetime(pd.Series(data[c], dtype="object"), errors="coerce")
+                    if c in ("published_time", "modified_time", "warc_ts")
+                    else pd.Series(data[c], dtype="int32")
+                    if c == "length"
+                    else data[c]
+                )
+                for c in columns
+            }
+        )
+        out["_salt"] = pd.Series(salts, dtype="int64")
+        yield out
+
+
+def run_extraction_job_atomic(
+    pages: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> int:
+    """Task-committed variant of run_extraction_job: bucket data files
+    publish atomically DURING the job, so a mid-job kill resumes at
+    bucket granularity instead of redoing all uncommitted work (the
+    plain-filesystem limit of the Spark-committer path, documented in
+    BENCH/BASELINE.md round 3). This is the shape an Iceberg sink gives
+    for free; here the atomicity unit is one bucket file + rename.
+
+    Returns the number of buckets written this run (0 on a no-op
+    resume)."""
+    spark = pages.sparkSession
+    df = pages.select("url", "warc_ts", "html")
+    df = with_salt(df, n_buckets)
+
+    if resume and checkpoint_dir:
+        done = completed_buckets(spark, checkpoint_dir,
+                                 verify_output_dir=output_dir,
+                                 n_buckets=n_buckets)
+        if done is not None:
+            df = df.join(F.broadcast(done), "salt", "left_anti")
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    df = df.repartition(num_partitions, "salt")
+
+    from .schema import SINK_STATS_SCHEMA
+
+    os.makedirs(output_dir, exist_ok=True)
+    stats = df.mapInPandas(
+        make_sink_extractor(output_dir, checkpoint_dir),
+        schema=SINK_STATS_SCHEMA,
+    )
+    return stats.count()
 
 
 def run_extraction_job(

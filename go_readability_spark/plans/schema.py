@@ -36,6 +36,18 @@ ARTICLE_FIELDS = [
 ]
 ARTICLES_SCHEMA = T.StructType(ARTICLE_FIELDS)
 
+# atomic-sink per-bucket stats (the mapInPandas OUTPUT when the data
+# itself is task-committed straight to the articles table)
+SINK_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("rows_in", T.LongType(), False),
+        T.StructField("rows_out", T.LongType(), False),
+        T.StructField("parse_errors", T.LongType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+    ]
+)
+
 # per-partition lineage/metrics rows (FIXTURES.md §4)
 CHECKPOINT_SCHEMA = T.StructType(
     [

@@ -451,3 +451,50 @@ def test_stale_staging_dir_not_adopted(spark, tmp_path):
                        num_partitions=2)
     assert spark.read.parquet(out).count() == 10  # stale file NOT adopted
     assert not os.path.isdir(os.path.join(out, "_temporary"))
+
+
+def test_atomic_sink_roundtrip_and_bucket_resume(spark, tmp_path):
+    """Task-committed sink: output readable as hive-partitioned parquet,
+    rerun is a true no-op (bucket files untouched), and a lost bucket is
+    selectively re-extracted while completed buckets are skipped."""
+    import glob
+    import os
+    import shutil
+
+    from go_readability_spark.plans import run_extraction_job_atomic
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    pages = spark.createDataFrame(synth_corpus_rows(24, seed=5, skew=False),
+                                  schema=PAGES_SCHEMA)
+    out = str(tmp_path / "atomic_articles")
+    ck = str(tmp_path / "atomic_ck")
+    n1 = run_extraction_job_atomic(pages, out, checkpoint_dir=ck,
+                                   n_buckets=8, num_partitions=4)
+    assert n1 > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 24
+    assert back.select("url").distinct().count() == 24
+    assert "salt" in back.columns  # hive partition column
+    assert back.where("error is not null").count() == 0
+
+    files = sorted(glob.glob(os.path.join(out, "salt=*", "part-*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    # no-op resume: zero buckets written, no file touched
+    n2 = run_extraction_job_atomic(pages, out, checkpoint_dir=ck,
+                                   n_buckets=8, num_partitions=4)
+    assert n2 == 0
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+    # lose one bucket's data (simulates a kill after some buckets
+    # published): only that bucket is re-extracted
+    lost_dir = os.path.dirname(files[0])
+    shutil.rmtree(lost_dir)
+    n3 = run_extraction_job_atomic(pages, out, checkpoint_dir=ck,
+                                   n_buckets=8, num_partitions=4)
+    assert n3 >= 1
+    assert spark.read.parquet(out).count() == 24
+    survivors = [f for f in files if not f.startswith(lost_dir + os.sep)]
+    for f in survivors:
+        assert os.path.getmtime(f) == mtimes[f], f  # untouched
