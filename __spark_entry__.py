@@ -562,6 +562,20 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, cents, k=5, nprobe=3)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cluster + within-cluster
+    cosine prune, keep-lowest-id representatives. Uses the pinned IVF
+    index so the DuckDB oracle replays assignment + prune exactly."""
+    _ship_package(spark)
+    from go_readability_spark.operators import semantic_dedup
+    from go_readability_spark.operators.ann_oracle import load_pinned_ivf_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, load_pinned_ivf_index()["centroids"], threshold=0.35
+    )
+
+
 def _q_ann_recall(spark, sf_dir):
     """Quantified recall@k of both approximate ANN paths against the exact
     baseline, as integer rows: (method, query_id, n_hits, k). Fully
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_recall": _q_ann_recall,
+        "semantic_dedup": _q_semantic_dedup,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
@@ -1012,6 +1027,7 @@ def _ann_oracles() -> dict[str, str]:
         duck_ann_recall_sql,
         load_pinned_ivf_index,
     )
+    from go_readability_spark.operators.semdedup import duck_semantic_dedup_sql
     from go_readability_spark.operators.similarity import make_planes
 
     return {
@@ -1022,6 +1038,9 @@ def _ann_oracles() -> dict[str, str]:
             make_planes(64, 6, 42), n_bands=2,
             centroids=load_pinned_ivf_index()["centroids"],
             k=10, nprobe=3, query_pred="id < 25",
+        ),
+        "semantic_dedup": duck_semantic_dedup_sql(
+            load_pinned_ivf_index()["centroids"], threshold=0.35
         ),
     }
 

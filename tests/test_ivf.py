@@ -94,3 +94,46 @@ def test_zero_vectors_do_not_kill_ann_jobs(spark):
     assert cosine_near_pairs_exact(df, threshold=0.99).count() >= 1
     cents = train_ivf_centroids(df, dim=8, k=3, iterations=2, seed=1)
     assert ivf_topk(df, queries, cents, k=3, nprobe=3).count() == 6
+
+
+def test_semantic_dedup_matches_pure_python(spark):
+    """semantic_dedup == brute-force reference: same assignment (first-
+    index argmax), same keep-lowest-id prune."""
+    import numpy as np
+
+    from go_readability_spark.operators import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 8)
+    rows = []
+    vid = 0
+    for i in range(10):
+        for rep in range(3):  # 3 near-copies of each base vector
+            v = base[i] + rng.randn(8) * (0.01 if rep else 0.0)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [list(map(float, c)) for c in rng.randn(4, 8)]
+
+    got = {r["id"]: (r["bucket"], r["keep"])
+           for r in semantic_dedup(emb, cents, threshold=0.95).collect()}
+
+    # pure-python reference (float32 cast first, like the Spark column)
+    def unit(v):
+        v = np.asarray(v, dtype="float32").astype("float64")
+        n = np.sqrt((v * v).sum())
+        return v / n if n else v
+
+    uv = {i: unit(v) for i, v in rows}
+    cent = [np.asarray(c) for c in cents]
+    bucket = {
+        i: int(np.argmax([float(u @ c) for c in cent])) for i, u in uv.items()
+    }
+    keep = {}
+    for i in sorted(uv):
+        keep[i] = not any(
+            bucket[j] == bucket[i] and float(uv[i] @ uv[j]) >= 0.95
+            for j in sorted(uv) if j < i
+        )
+    assert got == {i: (bucket[i], keep[i]) for i in uv}
+    assert sum(1 for k in keep.values() if not k) > 0  # prune actually fired
