@@ -63,6 +63,15 @@ def main():
         out.append(formatted(brute_force_topk(emb, emb.where(F.col("vec_id") < 2), k=3)))
         out.append("```\n")
 
+        from go_readability_spark.operators import semantic_dedup
+        from go_readability_spark.operators.ann_oracle import load_pinned_ivf_index
+
+        cents = load_pinned_ivf_index()["centroids"]
+        out.append("## semantic_dedup (assign clusters → within-cluster "
+                   "prune → keep flag)\n```")
+        out.append(formatted(semantic_dedup(emb, cents, threshold=0.35)))
+        out.append("```\n")
+
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "EXPLAIN.md"), "w").write("\n".join(out))
     spark.stop()
