@@ -1027,6 +1027,7 @@ def _ann_oracles() -> dict[str, str]:
         duck_ann_recall_sql,
         load_pinned_ivf_index,
     )
+    from go_readability_spark.operators.ann_oracle import duck_cosine_near_pairs_sql
     from go_readability_spark.operators.semdedup import duck_semantic_dedup_sql
     from go_readability_spark.operators.similarity import make_planes
 
@@ -1041,6 +1042,9 @@ def _ann_oracles() -> dict[str, str]:
         ),
         "semantic_dedup": duck_semantic_dedup_sql(
             load_pinned_ivf_index()["centroids"], threshold=0.35
+        ),
+        "embedding_near_pairs_lsh": duck_cosine_near_pairs_sql(
+            make_planes(64, 16, 42), n_bands=4, threshold=0.35
         ),
     }
 

@@ -178,3 +178,21 @@ def duck_ann_recall_sql(planes, n_bands: int, centroids, k: int, nprobe: int,
     FROM qids q CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method) m
     LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
     """
+
+
+def duck_cosine_near_pairs_sql(planes, n_bands: int, threshold: float) -> str:
+    """Full statement for the embedding_near_pairs_lsh driver oracle:
+    multi-band candidate generation + cosine verify, ids only (mirrors
+    similarity.cosine_near_pairs with the id_a/id_b projection)."""
+    return f"""
+    WITH {duck_unit_cte()},
+    {duck_lsh_band_cte(planes, n_bands, "u", "b_all")},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM b_all a JOIN b_all b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b
+    FROM cand c JOIN u ua ON ua.id = c.id_a JOIN u ub ON ub.id = c.id_b
+    WHERE list_dot_product(ua.uv, ub.uv) >= {threshold}
+    """
