@@ -217,7 +217,9 @@ def cmd_extract(args) -> int:
 
             pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
         else:
-            pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+            from .sources.pages_table import read_pages
+
+            pages = read_pages(spark, args.input, format=args.input_format)
         if args.atomic_sink:
             from .plans import run_extraction_job_atomic
 
@@ -258,7 +260,9 @@ def cmd_curate(args) -> int:
 
             pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
         else:
-            pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+            from .sources.pages_table import read_pages
+
+            pages = read_pages(spark, args.input, format=args.input_format)
         curated = curate_corpus(
             pages,
             min_length=args.min_length,
@@ -318,7 +322,7 @@ def main(argv=None) -> int:
 
     e = sub.add_parser("extract", help="Spark batch extraction job")
     e.add_argument("--input", required=True, help="pages parquet/Iceberg path")
-    e.add_argument("--input-format", choices=("parquet", "warc"), default="parquet",
+    e.add_argument("--input-format", choices=("parquet", "warc", "iceberg"), default="parquet",
                    help="input source: pages parquet (default) or raw "
                         ".warc/.warc.gz archives (Common Crawl layout)")
     e.add_argument("--output", required=True, help="articles output path")
@@ -342,7 +346,7 @@ def main(argv=None) -> int:
                        "quality/lang gates -> exact+near dedup [-> LM gate, "
                        "PII redaction]")
     c.add_argument("--input", required=True, help="pages parquet or warc dir")
-    c.add_argument("--input-format", choices=("parquet", "warc"),
+    c.add_argument("--input-format", choices=("parquet", "warc", "iceberg"),
                    default="parquet")
     c.add_argument("--output", required=True, help="curated parquet path")
     c.add_argument("--min-length", type=int, default=200)

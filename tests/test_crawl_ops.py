@@ -137,3 +137,25 @@ def test_filter_blocked_hosts_is_broadcast_anti(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_read_pages_adapter(spark, tmp_path):
+    """Pages-table input adapter: parquet leg round-trips with the
+    explicit schema; the iceberg leg (no runtime jar here) raises the
+    actionable configuration error, not a raw py4j failure."""
+    import pytest
+
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import read_pages
+    from go_readability_spark.sources.synthetic import synth_corpus_rows
+
+    path = str(tmp_path / "pages_tbl")
+    spark.createDataFrame(synth_corpus_rows(6, seed=3, skew=False),
+                          schema=PAGES_SCHEMA).write.parquet(path)
+    back = read_pages(spark, path, format="parquet")
+    assert back.count() == 6
+    assert [f.name for f in back.schema.fields] == [f.name for f in PAGES_SCHEMA.fields]
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_pages(spark, "crawl.db.pages", format="iceberg")
+    with pytest.raises(ValueError, match="unknown pages format"):
+        read_pages(spark, path, format="orc")
