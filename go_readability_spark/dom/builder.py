@@ -818,21 +818,32 @@ class _TreeBuilder(HTMLParser):
         if m:
             self.lasttag = tag = m.group(1).lower()
             attrspan = m.group(2)
-            attrs = []
             if attrspan:
-                append = attrs.append
+                # build the final deduped [[name, value], ...] form once;
+                # the tuple wrapper tells _dedupe_attrs it is already done
+                out = []
+                append = out.append
+                seen = set()
+                add = seen.add
                 for name, val in _ATTR_ITER.findall(attrspan):
+                    name = name.lower()
+                    if name in seen:
+                        continue
+                    add(name)
                     if val:
                         c0 = val[0]
                         if c0 == '"' or c0 == "'":
                             val = val[1:-1]
                         if "&" in val:
                             val = _unescape_attr(val)
-                    append((name.lower(), val))
+                    append([name, val])
+                attrs = tuple(out)
+            else:
+                attrs = ()
             if m.group(3):
                 self.handle_startendtag(tag, attrs)
             else:
-                self.handle_starttag(tag, attrs)
+                self._start_tag(tag, attrs, False)
                 if tag in self.CDATA_CONTENT_ELEMENTS:
                     self.set_cdata_mode(tag)
             return m.end()
@@ -929,6 +940,10 @@ class _TreeBuilder(HTMLParser):
         self._start_tag(tag, attrs, explicit_self_closing=True)
 
     def _dedupe_attrs(self, attrs):
+        if type(attrs) is tuple:
+            # pre-deduped [[name, value], ...] built by the parse_starttag
+            # fast path — just take a fresh outer list
+            return list(attrs)
         if not attrs:
             return []
         if len(attrs) == 1:
