@@ -562,6 +562,28 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, cents, k=5, nprobe=3)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Distilled linear quality classifier scoring with the frozen
+    weight artifact (sources/quality_lr_sf001.json, trained via
+    pyspark.ml; operators/classifier.py). Features and logit are pure
+    column arithmetic over the hash-verified text_features columns, so
+    the DuckDB oracle replays the float logits bit-for-bit."""
+    _ship_package(spark)
+    import json
+    import os as _os
+
+    from go_readability_spark.operators import score_with_weights
+
+    weights = json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "go_readability_spark", "sources", "quality_lr_sf001.json",
+    )))
+    docs = _read(spark, sf_dir, "documents")
+    return score_with_weights(docs, weights).select(
+        "doc_id", "logit", "pred_quality"
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means cluster + within-cluster
     cosine prune, keep-lowest-id representatives. Uses the pinned IVF
@@ -810,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_recall": _q_ann_recall,
         "semantic_dedup": _q_semantic_dedup,
+        "quality_classifier": _q_quality_classifier,
         "embedding_near_pairs": _q_embedding_near_pairs,
         "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
@@ -1046,7 +1069,37 @@ def _ann_oracles() -> dict[str, str]:
         "embedding_near_pairs_lsh": duck_cosine_near_pairs_sql(
             make_planes(64, 16, 42), n_bands=4, threshold=0.35
         ),
+        "quality_classifier": _quality_classifier_oracle_sql(),
     }
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """DuckDB twin of _q_quality_classifier: the text_features fragments
+    compute bit-identical inputs, and the shared logit template
+    (classifier.logit_sql) evaluates in the same left-to-right order, so
+    even the float logits hash-match."""
+    import json
+    import os as _os
+
+    from go_readability_spark.operators.classifier import logit_sql
+
+    weights = json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "go_readability_spark", "sources", "quality_lr_sf001.json",
+    )))
+    z = logit_sql(weights)
+    return f"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   CAST({_WS_TOKENS} AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER) AS bpe_tokens,
+                   round({_PUNCT_RAW}, 6) AS punct_ratio,
+                   round({_STOP_RAW}, 6) AS stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id, round({z}, 6) AS logit, ({z}) >= 0 AS pred_quality
+        FROM feats
+    """
 
 
 def _pii_oracle_sql() -> str:

@@ -35,6 +35,10 @@ from .snapshots import latest_snapshot, snapshot_history  # noqa: F401
 from .sharding import shard_assignments, shard_stats, write_sharded  # noqa: F401
 from .sampling import hash_sample, mix_corpus, stratified_sample  # noqa: F401
 from .ivf import assign_buckets, ivf_topk, train_ivf_centroids  # noqa: F401
+from .classifier import (  # noqa: F401
+    score_with_weights,
+    train_quality_classifier,
+)
 from .semdedup import semantic_dedup  # noqa: F401
 from .winnowing import winnowing_fingerprints, winnowing_overlap_pairs  # noqa: F401
 from .similarity import (  # noqa: F401
