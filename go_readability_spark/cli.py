@@ -273,6 +273,9 @@ def cmd_curate(args) -> int:
             gopher_gate=args.gopher_gate,
             redact_pii=args.redact_pii,
             max_lm_nll_per_bigram=args.max_lm_nll,
+            quality_model=(
+                json.load(open(args.quality_model)) if args.quality_model else None
+            ),
         )
         if args.shard_bytes:
             from pyspark.sql import functions as F
@@ -346,6 +349,9 @@ def main(argv=None) -> int:
                        "quality/lang gates -> exact+near dedup [-> LM gate, "
                        "PII redaction]")
     c.add_argument("--input", required=True, help="pages parquet or warc dir")
+    c.add_argument("--quality-model", default=None,
+                   help="frozen linear quality-classifier weights JSON "
+                        "(train_quality_classifier); gates curated docs")
     c.add_argument("--input-format", choices=("parquet", "warc", "iceberg"),
                    default="parquet")
     c.add_argument("--output", required=True, help="curated parquet path")

@@ -33,17 +33,23 @@ FEATURE_SQL = {
         "CASE WHEN ws_tokens = 0 THEN 0.0 "
         "ELSE least(bpe_tokens / ws_tokens, 3.0) / 3.0 END"
     ),
-    "f_len": "least(length(text), 5000) / 5000.0",
+    "f_len": "least(length({text}), 5000) / 5000.0",
 }
 FEATURE_ORDER = tuple(FEATURE_SQL)
 
 
-def logit_sql(weights: dict) -> str:
+def feature_sql(text_col: str = "text") -> dict:
+    """The feature templates bound to a concrete text column name."""
+    return {k: v.format(text=text_col) for k, v in FEATURE_SQL.items()}
+
+
+def logit_sql(weights: dict, text_col: str = "text") -> str:
     """One left-to-right linear-combination template, shared by both
     engines; repr() keeps the float64 weights exact."""
+    feats = feature_sql(text_col)
     expr = f"({repr(float(weights['intercept']))})"
     for name in FEATURE_ORDER:
-        expr += f" + ({repr(float(weights['coefs'][name]))}) * ({FEATURE_SQL[name]})"
+        expr += f" + ({repr(float(weights['coefs'][name]))}) * ({feats[name]})"
     return expr
 
 
@@ -53,8 +59,9 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     from ..functions import with_text_features
 
     out = with_text_features(df, text_col)
+    feats = feature_sql(text_col)
     for name in FEATURE_ORDER:
-        out = out.withColumn(name, F.expr(FEATURE_SQL[name]).cast("double"))
+        out = out.withColumn(name, F.expr(feats[name]).cast("double"))
     return out
 
 
@@ -98,7 +105,7 @@ def score_with_weights(df: DataFrame, weights: dict,
     `logit` (rounded to 6 for portability) and `pred_quality`
     (logit >= 0). Pure column arithmetic — map-only at any scale."""
     staged = with_quality_features(df, text_col)
-    z = F.expr(logit_sql(weights))
+    z = F.expr(logit_sql(weights, text_col))
     return staged.withColumn("logit", F.round(z, 6)).withColumn(
         "pred_quality", z >= 0
     )

@@ -31,6 +31,7 @@ def curate_corpus(
     gopher_gate: bool = False,
     redact_pii: bool = False,
     max_lm_nll_per_bigram: float | None = None,
+    quality_model: dict | None = None,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -89,6 +90,17 @@ def curate_corpus(
 
         enriched = gopher_quality_gate(enriched, "text_content").where(
             F.col("gopher_pass")
+        )
+    if quality_model is not None:
+        # distilled linear classifier gate (operators/classifier.py):
+        # frozen weights, map-only column arithmetic — no model server
+        from ..operators.classifier import FEATURE_ORDER, score_with_weights
+
+        enriched = (
+            score_with_weights(enriched, quality_model, text_col="text_content")
+            .where(F.col("pred_quality"))
+            .drop("logit", "pred_quality", "bpe_tokens", "punct_ratio",
+                  "stopword_ratio", *FEATURE_ORDER)
         )
 
     # stage boundary: `enriched` feeds four downstream branches (exact-dedup

@@ -63,3 +63,23 @@ def test_pinned_artifact_schema():
 
     assert set(w["coefs"]) == set(FEATURE_ORDER)
     assert isinstance(w["intercept"], float)
+
+
+def test_curate_with_quality_model(spark):
+    """The frozen classifier plugs into the curation pipeline as a
+    map-only gate and preserves the curated schema."""
+    import json
+
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.sources import synth_pages_distributed
+
+    weights = json.load(open(PINS))
+    pages = synth_pages_distributed(spark, 40, seed=9, skew=False, num_partitions=4)
+    base = curate_corpus(pages, min_length=150, min_quality=0.2,
+                         languages=("en",), num_partitions=4)
+    gated = curate_corpus(pages, min_length=150, min_quality=0.2,
+                          languages=("en",), num_partitions=4,
+                          quality_model=weights)
+    assert sorted(gated.columns) == sorted(base.columns)
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng <= nb  # a gate can only shrink the corpus
