@@ -149,3 +149,40 @@ def test_warc_scan_prunes_to_content(spark, tmp_path):
     assert m, plan
     assert "content" in m.group(1)
     assert "modificationTime" not in m.group(1), plan
+
+
+def test_quality_classifier_is_pure_codegen(spark):
+    """Frozen-weight scoring must stay JVM-side: no Python UDF, no
+    exchange — a map-only projection over the scan."""
+    import json
+    import os
+
+    from go_readability_spark.operators import score_with_weights
+
+    pins = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "go_readability_spark", "sources", "quality_lr_sf001.json")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(score_with_weights(docs, json.load(open(pins))))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle at any scale
+
+
+def test_semantic_dedup_pair_join_is_bucket_equi(spark):
+    """The within-cluster prune must be an equi-join on the cluster id
+    (SortMergeJoin/ShuffledHashJoin keyed on bucket), never a cartesian
+    across clusters; the only nested-loop join allowed is against the
+    single-row centroid relation."""
+    import json
+    import os
+
+    from go_readability_spark.operators import semantic_dedup
+
+    pins = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "go_readability_spark", "sources", "ivf_index_sf001.json")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = json.load(open(pins))["centroids"]
+    plan = _plan(semantic_dedup(emb, cents, threshold=0.35))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines()
+             if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert joins and any("bucket" in j for j in joins), joins
