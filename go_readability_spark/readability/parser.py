@@ -461,9 +461,15 @@ class Parser:
 
     @staticmethod
     def _get_all_nodes_with_tag(node, *tags):
+        """Per-tag document order, concatenated in argument order — the
+        go-shiori/dom GetAllNodesWithTag contract. Multi-tag calls do ONE
+        subtree walk (_collect_tags) instead of one per tag."""
+        if len(tags) == 1:
+            return get_elements_by_tag_name(node, tags[0])
+        found = Parser._collect_tags(node, frozenset(tags))
         out = []
         for tag in tags:
-            out.extend(get_elements_by_tag_name(node, tag))
+            out.extend(found[tag])
         return out
 
     @staticmethod
@@ -491,8 +497,11 @@ class Parser:
     def _video_filter(self):
         return self.allowed_video_regex or rx.RX_VIDEOS
 
-    def _clean(self, node, tag) -> None:
-        """parser.go:1763-1788."""
+    def _clean(self, node, tag, node_list=None) -> None:
+        """parser.go:1763-1788. `node_list` lets _prep_article batch the
+        consecutive _clean passes into one _collect_tags walk — a node
+        already detached by an earlier tag's removal is re-removed as a
+        no-op, so the snapshot is equivalent to the re-walk."""
         is_embed = tag in ("object", "embed", "iframe")
         rx_video = self._video_filter()
 
@@ -505,7 +514,9 @@ class Parser:
                     return False
             return True
 
-        self._remove_nodes(get_elements_by_tag_name(node, tag), fn)
+        if node_list is None:
+            node_list = get_elements_by_tag_name(node, tag)
+        self._remove_nodes(node_list, fn)
 
     # ------------------------------------------------------------ prepDocument
 
@@ -979,11 +990,11 @@ class Parser:
 
         self._clean_conditionally(article_content, "form")
         self._clean_conditionally(article_content, "fieldset")
-        self._clean(article_content, "object")
-        self._clean(article_content, "embed")
-        self._clean(article_content, "footer")
-        self._clean(article_content, "link")
-        self._clean(article_content, "aside")
+        found = self._collect_tags(
+            article_content, frozenset(("object", "embed", "footer", "link", "aside"))
+        )
+        for tag in ("object", "embed", "footer", "link", "aside"):
+            self._clean(article_content, tag, node_list=found[tag])
 
         share_threshold = self.char_thresholds
         for top_candidate in article_content.children():
@@ -993,11 +1004,12 @@ class Parser:
                 and char_count(text_content(n)) < share_threshold,
             )
 
-        self._clean(article_content, "iframe")
-        self._clean(article_content, "input")
-        self._clean(article_content, "textarea")
-        self._clean(article_content, "select")
-        self._clean(article_content, "button")
+        found = self._collect_tags(
+            article_content,
+            frozenset(("iframe", "input", "textarea", "select", "button")),
+        )
+        for tag in ("iframe", "input", "textarea", "select", "button"):
+            self._clean(article_content, tag, node_list=found[tag])
         self._clean_headers(article_content)
 
         self._clean_conditionally(article_content, "table")
