@@ -1555,9 +1555,17 @@ def oracle_sql() -> dict[str, str]:
                            CAST(sig[b.band * 4 + 4] AS VARCHAR)) AS bucket
                 FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
             ),
+            okbuckets AS (
+                -- replay of minhash_lsh_candidates' max_bucket_size cap
+                SELECT band, bucket FROM buckets
+                GROUP BY 1, 2 HAVING count(*) <= 10000
+            ),
+            capped AS (
+                SELECT buckets.* FROM buckets JOIN okbuckets USING (band, bucket)
+            ),
             cands AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM buckets a JOIN buckets b
+                FROM capped a JOIN capped b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
@@ -1651,10 +1659,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_id, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
             FROM feats WHERE quality >= 0.5 GROUP BY lang_id
         """,
-        # extract_articles / extract_salted / minhash_pairs / ann_lsh_topk
-        # intentionally have no oracle: the extractor, xxhash64 signatures,
-        # and float hyperplane buckets are not portably expressible in
-        # ANSI SQL → driver records rows-only checks for them. Each has an
-        # oracle-green twin covering its logic: fixture_parity (extraction),
-        # extract_salted_md5 (salting), minhash_pairs_md5 (LSH banding).
+        # extract_salted / minhash_pairs intentionally have no oracle:
+        # xxhash64 is not portably expressible in ANSI SQL → driver
+        # records rows-only checks for them. Each has an oracle-green
+        # twin covering its logic: extract_salted_md5 (salting),
+        # minhash_pairs_md5 (LSH banding + bucket cap).
     }

@@ -217,10 +217,22 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     rows_per_band: int = 4,
     bucket_fn=_band_bucket_xxhash64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: hash each signature band, bucket-join docs sharing a
-    band bucket. Shuffle key = (band, bucket-hash) — uniformly distributed
-    by construction, so no salting needed. Returns candidate pairs."""
+    band bucket. Shuffle key = (band, bucket-hash). Returns candidate
+    pairs.
+
+    Skew control (``max_bucket_size``): bucket hashes are uniform for
+    *random* text, but a template-page flood (10^5 near-identical pages)
+    shares ALL its bands, so one bucket holds the whole flood and the
+    candidate join + distinct go quadratic on that key. Buckets with more
+    than ``max_bucket_size`` members are dropped before the self-join —
+    the identical trade ngram_jaccard_pairs makes with ``max_df``: a
+    bounded recall loss on flood groups (which upstream exact dedup and
+    flood-group handling should own — a 10^5-page template farm is a
+    grouping problem, not a pairwise one) for O(cap²) worst-case per-key
+    fan-out. Pass ``None`` for the uncapped semantics."""
     bands = F.posexplode(
         F.array(
             *[
@@ -239,6 +251,14 @@ def minhash_lsh_candidates(
         )
     )
     buckets = signatures.select(F.col("id"), bands.alias("band", "bucket"))
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("pop"))
+            .where(F.col("pop") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -261,6 +281,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification
     of the (small) candidate set.
@@ -269,10 +290,13 @@ def minhash_dedup_pairs(
     both sides and compute |A∩B| via array_intersect — O(candidates), not
     a second global shingle self-join. At 100 TB the candidate set is
     orders of magnitude smaller than the corpus, so this is the step that
-    keeps the exact check affordable."""
+    keeps the exact check affordable. ``max_bucket_size`` bounds band-
+    bucket population against template floods (see
+    minhash_lsh_candidates)."""
     return _minhash_pairs_impl(
         df, id_col, text_col, n, num_hashes, num_bands, threshold,
         hash_fn=_minhash_fn_xxhash64, bucket_fn=_band_bucket_xxhash64,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -284,20 +308,25 @@ def minhash_dedup_pairs_md5(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Engine-portable twin of :func:`minhash_dedup_pairs`: the identical
     signature → band → bucket-join → exact-verify pipeline, with md5-based
     hash functions a DuckDB oracle can reproduce bit-for-bit. Production
     uses the xxhash64 variant (faster JVM hash); this twin exists so the
-    banding/bucket-join LOGIC is hash-verified, not just row-counted."""
+    banding/bucket-join LOGIC is hash-verified, not just row-counted.
+    The DuckDB oracle replays the ``max_bucket_size`` cap too (a plain
+    HAVING over the bucket groups)."""
     return _minhash_pairs_impl(
         df, id_col, text_col, n, num_hashes, num_bands, threshold,
         hash_fn=_minhash_fn_md5, bucket_fn=_band_bucket_md5,
+        max_bucket_size=max_bucket_size,
     )
 
 
 def _minhash_pairs_impl(
-    df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn
+    df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn,
+    max_bucket_size=10_000,
 ) -> DataFrame:
     if num_bands < 1 or num_hashes % num_bands != 0:
         # num_bands > num_hashes would give rows_per_band = 0: every band
@@ -320,7 +349,9 @@ def _minhash_pairs_impl(
     sigs = shingled.select(
         "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn).alias("signature")
     ).persist()
-    candidates = minhash_lsh_candidates(sigs, num_bands, rows_per_band, bucket_fn)
+    candidates = minhash_lsh_candidates(
+        sigs, num_bands, rows_per_band, bucket_fn, max_bucket_size
+    )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
