@@ -76,6 +76,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------- queries
 
 def _q_extract_articles(spark, sf_dir):
+    """Full readability extraction over the sf corpus. Hash-verified
+    against the pinned-golden oracle (sources/extract_articles_sf001.json
+    — see _pinned_output_oracles; byte-level extraction correctness is
+    separately proven by fixture_parity / tests/test_parity.py)."""
     _ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
     return extract_pages(pages, n_buckets=64, num_partitions=8).select(
@@ -494,8 +498,10 @@ def _q_media_features(spark, sf_dir):
     """Multimodal decode leg: REAL PNG / WAV-PCM / motion-PNG payloads
     (synthesized deterministically with the repo's own codecs) through the
     Arrow-batched feature extractor. Binary decode is not expressible in
-    SQL, so this is a rows-only driver check; the decoded values are
-    pinned by tests/test_wav_media.py and tests/test_png.py."""
+    SQL, so the oracle is the pinned-golden artifact
+    (sources/media_features_sf001.json, see _pinned_output_oracles); the
+    decoded values are independently pinned by tests/test_wav_media.py
+    and tests/test_png.py."""
     _ship_package(spark)
     from go_readability_spark.operators.multimodal import (
         extract_media_features,
@@ -548,18 +554,22 @@ def _q_embedding_near_pairs_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN: spherical k-means index (an explicit
-    build step — the training jobs are the index build, not plan
-    construction) + nprobe-bucket probe. Rows-only check (float scores
-    aren't engine-portable); exactness is pinned by the pytest invariant
-    ivf_topk(nprobe=k) == brute_force_topk."""
+    """IVF coarse-quantizer ANN probing the PINNED index artifact
+    (sources/ivf_index_sf001.json — trained once with
+    train_ivf_centroids(dim=64, k=8, iterations=2, seed=42); the
+    training loop itself is pytest-covered). Probing a frozen index is
+    what a deployment does, and it makes the probe fully DuckDB-
+    replayable: centroid literals ride into the oracle SQL, so bucket
+    assignment, nprobe selection, scoring, and ranking hash-match."""
     _ship_package(spark)
-    from go_readability_spark.operators import ivf_topk, train_ivf_centroids
+    from go_readability_spark.operators import ivf_topk
+    from go_readability_spark.operators.ann_oracle import load_pinned_ivf_index
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, dim=64, k=8, iterations=2, seed=42)
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    return ivf_topk(
+        emb, queries, load_pinned_ivf_index()["centroids"], k=5, nprobe=3
+    )
 
 
 def _q_quality_classifier(spark, sf_dir):
@@ -1046,6 +1056,7 @@ def _ann_oracles() -> dict[str, str]:
     ann_oracle.py): planes and the pinned IVF index embedded as literals.
     Must mirror the parameters of _q_ann_lsh_topk / _q_ann_recall."""
     from go_readability_spark.operators.ann_oracle import (
+        duck_ann_ivf_topk_sql,
         duck_ann_lsh_topk_sql,
         duck_ann_recall_sql,
         load_pinned_ivf_index,
@@ -1057,6 +1068,10 @@ def _ann_oracles() -> dict[str, str]:
     return {
         "ann_lsh_topk": duck_ann_lsh_topk_sql(
             make_planes(64, 6, 42), n_bands=1, k=5, query_pred="id < 5"
+        ),
+        "ann_ivf_topk": duck_ann_ivf_topk_sql(
+            load_pinned_ivf_index()["centroids"], k=5, nprobe=3,
+            query_pred="id < 5",
         ),
         "ann_recall": duck_ann_recall_sql(
             make_planes(64, 6, 42), n_bands=2,
@@ -1070,6 +1085,44 @@ def _ann_oracles() -> dict[str, str]:
             make_planes(64, 16, 42), n_bands=4, threshold=0.35
         ),
         "quality_classifier": _quality_classifier_oracle_sql(),
+    }
+
+
+def _pinned_output_oracles() -> dict[str, str]:
+    """Pinned-golden oracles for the two queries whose computation is not
+    ANSI-SQL-expressible (the full extractor; binary media decode): the
+    expected output is frozen as a committed JSON artifact
+    (scripts/generate_output_pins.py) and the oracle just reads it. The
+    VALUES are independently verified elsewhere — fixture_parity +
+    tests/test_parity.py byte-checks for extraction, tests/test_png.py /
+    test_wav_media.py pinned decodes for media — so the pin turns a
+    rows-only driver check into a full hash match without circularity:
+    regenerating a pin is an explicit, reviewable behavior change."""
+    import os as _os
+
+    src = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "go_readability_spark", "sources",
+    )
+    arts = _os.path.join(src, "extract_articles_sf001.json")
+    media = _os.path.join(src, "media_features_sf001.json")
+    bpe = _os.path.join(src, "bpe_merges_sf001.json")
+    return {
+        "bpe_merges": f"""
+            SELECT CAST(rank AS INTEGER) AS rank, "left", "right", merged
+            FROM read_json_auto('{bpe}')
+        """,
+        "extract_articles": f"""
+            SELECT url, title, CAST(length AS BIGINT) AS length,
+                   readerable, CAST(error AS VARCHAR) AS error
+            FROM read_json_auto('{arts}')
+        """,
+        "media_features": f"""
+            SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   CAST(frames AS INTEGER) AS frames
+            FROM read_json_auto('{media}')
+        """,
     }
 
 
@@ -1135,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_fixture_parity_oracle(),
         **_ann_oracles(),
+        **_pinned_output_oracles(),
         "extract_salted_md5": """
             SELECT CAST(('0x' || substr(md5(
                        'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'

@@ -152,6 +152,16 @@ def duck_ann_lsh_topk_sql(planes, n_bands: int, k: int, query_pred: str) -> str:
     """
 
 
+def duck_ann_ivf_topk_sql(centroids, k: int, nprobe: int, query_pred: str) -> str:
+    """Full statement for the ann_ivf_topk driver oracle (pinned-index
+    probe — the same frozen centroids the Spark query loads)."""
+    return f"""
+    WITH {duck_unit_cte()},
+    {duck_ivf_topk_cte(centroids, k, nprobe, query_pred)}
+    SELECT query_id, neighbor_id, rank FROM ivf_topk
+    """
+
+
 def duck_ann_recall_sql(planes, n_bands: int, centroids, k: int, nprobe: int,
                         query_pred: str) -> str:
     """Full statement for the ann_recall driver oracle: per-query hit
