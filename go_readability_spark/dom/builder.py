@@ -816,6 +816,9 @@ class _TreeBuilder(HTMLParser):
         # anything else falls through to the stdlib-tolerant loop below.
         m = _FULL_TAG.match(rawdata, i + 1)
         if m:
+            # keep HTMLParser.get_starttag_text() truthful on this path
+            # too (unused internally, but handle_* overrides rely on it)
+            self._HTMLParser__starttag_text = rawdata[i:m.end()]
             self.lasttag = tag = m.group(1).lower()
             attrspan = m.group(2)
             if attrspan:

@@ -3,8 +3,10 @@ columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 Decode is REAL for:
   * images — PNG (pure-stdlib codec in .png: zlib + struct; 8-bit
-    gray/RGB/RGBA/palette, all five filters), plus real resize
-    (nearest / box-average, .image_ops);
+    gray/RGB/RGBA/palette, all five filters) and baseline JFIF JPEG
+    (ITU-T.81 codec in .jpeg: Huffman + IDCT, 4:4:4/4:2:2/4:2:0,
+    restart markers), plus real resize (nearest / box-average,
+    .image_ops);
   * audio — RIFF/WAVE PCM (pure-stdlib codec in .wav: 8/16/24/32-bit
     int + float32, any channel count);
   * video — motion-PNG payloads (N complete PNG streams back to back;
@@ -12,8 +14,9 @@ Decode is REAL for:
     library, but the frame walk parses real PNG chunk structure and the
     frame decode is the real codec — see .image_ops).
 
-Anything else (JPEG images, MP3 audio, real MP4...) needs a codec
-library this container doesn't ship and stays STUBBED: decode raises
+Anything else (progressive JPEG, GIF/WebP images, MP3 audio, real
+MP4...) needs a codec library this container doesn't ship and stays
+STUBBED: decode raises
 NotImplementedError unless `fake=True`, in which case a deterministic
 fake decoder (seeded by the content hash) exercises the real Spark-side
 plumbing — schema, partitioning, UDF signature, batch shape — end to
@@ -38,18 +41,23 @@ RESIZE_SCHEMA = (
 
 
 def decode_image(payload: bytes, fake: bool = False):
-    """Decode an image payload to (width, height, pixels). PNG decodes for
-    real (stdlib codec); other formats need an imaging library this
-    container doesn't ship, so they stay stubbed behind fake=True."""
+    """Decode an image payload to (width, height, pixels). PNG and
+    baseline JFIF JPEG decode for real (pure-stdlib/numpy codecs in
+    .png / .jpeg); other formats need an imaging library this container
+    doesn't ship, so they stay stubbed behind fake=True."""
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
     if is_png(payload or b""):
         w, h, px = decode_png(payload)
         return w, h, px.tobytes()
+    if is_jpeg(payload or b""):
+        w, h, px = decode_jpeg(payload)
+        return w, h, px.tobytes()
     if not fake:
         raise NotImplementedError(
-            "only PNG decodes without an imaging library (PIL/cv2); "
-            "run with fake=True for the deterministic stub"
+            "only PNG and baseline JPEG decode without an imaging library "
+            "(PIL/cv2); run with fake=True for the deterministic stub"
         )
     import hashlib
 
@@ -87,13 +95,18 @@ def decode_audio(payload: bytes, fake: bool = False) -> dict:
 
 
 def _real_image_feat(payload: bytes):
-    """(feat8, frames) for a real PNG; corrupt payloads degrade to zeros."""
+    """(feat8, frames) for a real PNG or baseline JPEG; corrupt payloads
+    degrade to zeros."""
     import numpy as np
 
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png
 
     try:
-        _w, _h, px = decode_png(payload)
+        if is_jpeg(payload):
+            _w, _h, px = decode_jpeg(payload)
+        else:
+            _w, _h, px = decode_png(payload)
     except Exception:
         return np.zeros(8, dtype="float32"), 0
     flat = px.reshape(-1)
@@ -153,7 +166,9 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from .jpeg import is_jpeg
     from .png import PNG_MAGIC
+
     from .wav import is_wav
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,7 +179,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 kind = pdf["kind"].iat[i]
                 digest = hashlib.sha256(payload).digest()
                 if kind == "image":
-                    if payload[:8] == PNG_MAGIC:
+                    if payload[:8] == PNG_MAGIC or is_jpeg(payload):
                         feat, frames = _real_image_feat(payload)
                     elif fake:
                         w, h, px = decode_image(payload, fake=True)
@@ -174,7 +189,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         frames = 1
                     else:
                         raise NotImplementedError(
-                            "non-PNG image needs an imaging library; use fake=True"
+                            "non-PNG/JPEG image needs an imaging library; use fake=True"
                         )
                 elif kind == "audio":
                     if is_wav(payload):
@@ -287,14 +302,17 @@ def synth_media_dataframe(spark, n: int = 32, seed: int = 42) -> DataFrame:
 
 
 def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Deterministic REAL media table: decodable PNG images, WAV PCM
-    audio, and motion-PNG video, synthesized with the repo's own
-    encoders (no external fixtures)."""
+    """Deterministic REAL media table: decodable PNG + baseline-JPEG
+    images (alternating — JPEGs cycle through 4:4:4/4:2:2/4:2:0
+    subsampling and restart intervals so the decoder's real paths are
+    exercised), WAV PCM audio, and motion-PNG video, synthesized with
+    the repo's own encoders (no external fixtures)."""
     import math
 
     import numpy as np
 
     from .image_ops import encode_motion_png
+    from .jpeg import encode_jpeg
     from .png import encode_png
     from .wav import encode_wav
 
@@ -310,7 +328,15 @@ def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 + np.arange(3)[None, None, :] * 41
                 + i
             ) % 256
-            payload = encode_png(grad.astype(np.uint8), filter_type=i % 5)
+            if (i // 3) % 2:
+                payload = encode_jpeg(
+                    grad.astype(np.uint8),
+                    quality=85 + (i % 3) * 5,
+                    subsample=("444", "422", "420")[(i // 6) % 3],
+                    restart_interval=(i // 6) % 3,
+                )
+            else:
+                payload = encode_png(grad.astype(np.uint8), filter_type=i % 5)
             width, height = w, h
         elif kind == "audio":
             sr = 8000
@@ -326,16 +352,16 @@ def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
             ]
             payload = encode_motion_png(frames)
             width, height = 6, 6
+        if kind == "image":
+            mime = "image/jpeg" if payload[:2] == b"\xff\xd8" else "image/png"
+        else:
+            mime = {"audio": "audio/wav", "video": "video/x-motion-png"}[kind]
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
                 "payload": payload,
-                "mime": {
-                    "image": "image/png",
-                    "audio": "audio/wav",
-                    "video": "video/x-motion-png",
-                }[kind],
+                "mime": mime,
                 "width": width,
                 "height": height,
             }

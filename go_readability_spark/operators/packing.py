@@ -15,10 +15,20 @@ prefix sum instead:
   1. block id = floor(id / block_size)  (pure arithmetic — deterministic,
      unlike rangepartitioning's sampled boundaries)
   2. per-block token totals: ONE map-side-combined aggregation, yielding
-     n_blocks (= n_docs / block_size) tiny rows
-  3. exclusive running offsets over those block totals on the driver
-     (10^6 rows at 10^12 docs — trivially driver-sized), broadcast back
+     n_blocks tiny rows
+  3. exclusive running offsets over those block totals on the driver,
+     broadcast back
   4. within each block: a window cumsum bounded by block_size rows
+
+Sizing block_size at scale: the driver materializes n_blocks =
+id_range / block_size rows (id_RANGE, not doc count — floor(id /
+block_size) only lands ~block_size docs per block when ids are DENSE).
+The 100_000 default keeps the driver list at 10^6 rows up to 10^11
+dense ids; at 10^12 docs raise it to ~10^6 so the collect stays ~10^6
+rows rather than 10^7. For SPARSE ids (63-bit url hashes) the ratio
+id_range/block_size is what counts: pick block_size ≈ 2^63 / 10^6, or
+rank-compact the ids first — otherwise nearly every doc gets its own
+block and the driver collect degenerates to one row per document.
 
 Every arithmetic step is integer, so results are bit-exact and order-
 independent — the DuckDB oracle reproduces them with a plain window

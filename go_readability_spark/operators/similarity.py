@@ -48,20 +48,40 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return staged.withColumn("unit_vec", unit).drop("_uv_src")
 
 
-def _guard_rows(df: DataFrame, max_rows: int | None, what: str) -> None:
+def _guarded(df: DataFrame, max_rows: int | None, what: str) -> DataFrame:
     """Scale guard for exactness baselines: refuse inputs past max_rows so
     an O(n²)/cross-product baseline can't be pointed at a corpus by
-    accident. Uses limit(n+1).count() so the probe reads at most n+1 rows
-    instead of scanning the input."""
+    accident.
+
+    The guard is LAZY — a single-row broadcast relation carrying an
+    execution-time raise_error, cross-joined into the plan — so building
+    the operator launches no Spark job (the eager limit(n+1).count()
+    probe of the round-3 version was itself the plan-construction-job
+    antipattern this module's docstrings forbid, and it recomputed a
+    possibly expensive derived input twice). The probe branch reads at
+    most max_rows+1 rows of `df`'s lineage, inside the same job."""
     if max_rows is None:
-        return
-    if df.limit(max_rows + 1).count() > max_rows:
-        raise ValueError(
-            f"{what}: input exceeds max_rows={max_rows}. This operator is an "
-            "exactness BASELINE with quadratic/cross-product cost — use the "
-            "LSH/IVF variant at corpus scale, or pass max_rows=None (or a "
-            "higher bound) if the blowup is intentional."
+        return df
+    probe = df.select(F.lit(1).alias("_probe")).limit(max_rows + 1)
+    guard = probe.groupBy().agg(F.count("*").alias("_n")).select(
+        F.when(
+            F.col("_n") > max_rows,
+            F.raise_error(
+                F.lit(
+                    f"{what}: input exceeds max_rows={max_rows}. This operator "
+                    "is an exactness BASELINE with quadratic/cross-product "
+                    "cost — use the LSH/IVF variant at corpus scale, or pass "
+                    "max_rows=None (or a higher bound) if the blowup is "
+                    "intentional."
+                )
+            ),
         )
+        .otherwise(F.lit(True))
+        .alias("_guard_ok")
+    )
+    # the filter REFERENCES _guard_ok: without it, column pruning removes
+    # the unused when()/raise_error projection and the guard never fires
+    return df.join(F.broadcast(guard)).where(F.col("_guard_ok")).drop("_guard_ok")
 
 
 def brute_force_topk(
@@ -80,7 +100,7 @@ def brute_force_topk(
     Cost is |df| × |queries| score evaluations: exact and fine for a
     bounded query set against any corpus size, but unbounded Q makes it a
     full cross product — max_queries guards that (None disables)."""
-    _guard_rows(queries, max_queries, "brute_force_topk")
+    queries = _guarded(queries, max_queries, "brute_force_topk")
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "unit_vec"
     )
@@ -228,7 +248,7 @@ def cosine_near_pairs_exact(
     judged against, and the right tool for bounded candidate corpora
     (e.g. within-cluster verification). max_rows refuses corpus-scale
     inputs (None disables); cosine_near_pairs is the scale path."""
-    _guard_rows(df, max_rows, "cosine_near_pairs_exact")
+    df = _guarded(df, max_rows, "cosine_near_pairs_exact")
     base = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -445,6 +445,13 @@ def run_extraction_job_atomic(
     return stats.count()
 
 
+def _is_remote_uri(path: str) -> bool:
+    """True for scheme-qualified non-local paths (hdfs://, s3a://, ...).
+    file:// and plain paths are local."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme not in ("", "file")
+
+
 def run_extraction_job(
     pages: DataFrame,
     output_dir: str,
@@ -474,12 +481,29 @@ def run_extraction_job(
     # 1.68M rows for 1M urls). Iceberg's transactional commit makes
     # this moot; on a plain filesystem the stale staging dir must not
     # survive into the next attempt. Safe because one extraction job
-    # owns an output dir at a time (the resume design's premise).
-    stale_staging = os.path.join(output_dir, "_temporary")
-    if os.path.isdir(stale_staging):
-        import shutil
+    # owns an output dir at a time (the resume design's premise) — if
+    # that premise is ever violated (two concurrent jobs appending to
+    # one dir), this would delete the live job's staging; the loud log
+    # below is the audit trail. The os.path/shutil cleanup only works
+    # for LOCAL-filesystem outputs: for hdfs:///s3a:// URIs isdir() is
+    # simply False and the hazard remains — those deployments must use
+    # run_extraction_job_atomic (task-committed sink) or an Iceberg
+    # table, whose commit protocols don't have the adoption bug.
+    if not _is_remote_uri(output_dir):
+        stale_staging = os.path.join(output_dir, "_temporary")
+        if os.path.isdir(stale_staging):
+            import logging
+            import shutil
 
-        shutil.rmtree(stale_staging, ignore_errors=True)
+            logging.getLogger(__name__).warning(
+                "run_extraction_job: removing stale staging dir %s left by a "
+                "previous dead attempt (rows under it were task-committed but "
+                "never job-committed; adopting them would duplicate output). "
+                "If another extraction job is CURRENTLY writing to %s, this "
+                "removal just broke it — one job owns an output dir at a time.",
+                stale_staging, output_dir,
+            )
+            shutil.rmtree(stale_staging, ignore_errors=True)
 
     articles = extract_pages(
         pages,

@@ -824,10 +824,15 @@ def test_exactness_baseline_guards(spark):
     emb = spark.range(0, 50).selectExpr(
         "id AS vec_id", "array(cast(id as float), 1.0f) AS embedding"
     )
-    with pytest.raises(ValueError, match="exceeds max_rows"):
-        cosine_near_pairs_exact(emb, max_rows=10).count()
-    with pytest.raises(ValueError, match="exceeds max_rows"):
-        brute_force_topk(emb, emb, k=3, max_queries=10).count()
+    # the guard is lazy (execution-time raise_error inside the plan, not a
+    # plan-construction Spark job): building the DataFrame must NOT raise,
+    # and must not launch a job — only the action does
+    over = cosine_near_pairs_exact(emb, max_rows=10)
+    with pytest.raises(Exception, match="exceeds max_rows"):
+        over.count()
+    overq = brute_force_topk(emb, emb, k=3, max_queries=10)
+    with pytest.raises(Exception, match="exceeds max_rows"):
+        overq.count()
     # None disables; generous bound passes
     assert cosine_near_pairs_exact(emb, threshold=2.0, max_rows=None).count() == 0
     assert brute_force_topk(emb, emb.limit(2), k=3, max_queries=100).count() == 6
