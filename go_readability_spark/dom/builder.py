@@ -284,6 +284,10 @@ _ATTR_ITER = _re_mod.compile(
 )
 _FAST_ENDTAG = _re_mod.compile(r"([a-zA-Z][a-zA-Z0-9]*)[ \t\n\r\f]*>")
 
+# raw attr-span -> parsed immutable ((name, value), ...); see
+# parse_starttag for the aliasing discipline
+_ATTR_SPAN_CACHE: dict = {}
+
 _ALNUM_EQ = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789="
 )
@@ -532,7 +536,8 @@ class _TreeBuilder(HTMLParser):
             entry = afe[j]
             clone = Node(
                 ELEMENT, entry.tag, "",
-                [a[:] for a in entry.attrs] if entry.attrs is not None else [],
+                entry.attrs if type(entry.attrs) is tuple
+                else [a[:] for a in entry.attrs] if entry.attrs is not None else [],
             )
             self._insert_node(clone, self._in_table_context())
             self._push(clone)
@@ -629,7 +634,8 @@ class _TreeBuilder(HTMLParser):
                     continue
                 clone = Node(
                     ELEMENT, node.tag, "",
-                    [a[:] for a in node.attrs] if node.attrs is not None else [],
+                    node.attrs if type(node.attrs) is tuple
+                    else [a[:] for a in node.attrs] if node.attrs is not None else [],
                 )
                 afe[afe.index(node)] = clone
                 stack[node_idx] = clone
@@ -651,7 +657,8 @@ class _TreeBuilder(HTMLParser):
             # clone fmt; move furthest block's children into the clone
             fclone = Node(
                 ELEMENT, fmt.tag, "",
-                [a[:] for a in fmt.attrs] if fmt.attrs is not None else [],
+                fmt.attrs if type(fmt.attrs) is tuple
+                else [a[:] for a in fmt.attrs] if fmt.attrs is not None else [],
             )
             while fb.first_child is not None:
                 fclone.append_child(fb.first_child)
@@ -822,25 +829,37 @@ class _TreeBuilder(HTMLParser):
             self.lasttag = tag = m.group(1).lower()
             attrspan = m.group(2)
             if attrspan:
-                # build the final deduped [[name, value], ...] form once;
-                # the tuple wrapper tells _dedupe_attrs it is already done
-                out = []
-                append = out.append
-                seen = set()
-                add = seen.add
-                for name, val in _ATTR_ITER.findall(attrspan):
-                    name = name.lower()
-                    if name in seen:
-                        continue
-                    add(name)
-                    if val:
-                        c0 = val[0]
-                        if c0 == '"' or c0 == "'":
-                            val = val[1:-1]
-                        if "&" in val:
-                            val = _unescape_attr(val)
-                    append([name, val])
-                attrs = tuple(out)
+                # attribute-span interning: identical raw spans (every
+                # list item of a page carries the same class="...") skip
+                # the findall/lower/unescape/dedupe work. The cache holds
+                # IMMUTABLE (name, value) pairs; each use rebuilds the
+                # [[name, value], ...] lists because set_attribute mutates
+                # them in place — sharing list objects across nodes would
+                # alias attribute edits. Size-capped clear, same policy as
+                # the readability string memos.
+                attrs = _ATTR_SPAN_CACHE.get(attrspan)
+                if attrs is None:
+                    # build the final deduped form once; the tuple wrapper
+                    # tells _dedupe_attrs it is already done
+                    out = []
+                    append = out.append
+                    seen = set()
+                    add = seen.add
+                    for name, val in _ATTR_ITER.findall(attrspan):
+                        name = name.lower()
+                        if name in seen:
+                            continue
+                        add(name)
+                        if val:
+                            c0 = val[0]
+                            if c0 == '"' or c0 == "'":
+                                val = val[1:-1]
+                            if "&" in val:
+                                val = _unescape_attr(val)
+                        append((name, val))
+                    if len(_ATTR_SPAN_CACHE) >= 50_000:
+                        _ATTR_SPAN_CACHE.clear()
+                    attrs = _ATTR_SPAN_CACHE[attrspan] = tuple(out)
             else:
                 attrs = ()
             if m.group(3):
@@ -944,9 +963,10 @@ class _TreeBuilder(HTMLParser):
 
     def _dedupe_attrs(self, attrs):
         if type(attrs) is tuple:
-            # pre-deduped [[name, value], ...] built by the parse_starttag
-            # fast path — just take a fresh outer list
-            return list(attrs)
+            # pre-deduped immutable ((name, value), ...) from the
+            # parse_starttag fast path's intern cache — shared as-is;
+            # node-level mutators copy-on-write (dom/node.py)
+            return attrs
         if not attrs:
             return []
         if len(attrs) == 1:

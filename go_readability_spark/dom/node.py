@@ -156,9 +156,9 @@ class Node:
             m.type = src.type
             m.tag = src.tag
             m.data = src.data
-            m.attrs = (
-                [a[:] for a in src.attrs] if src.attrs is not None else None
-            )
+            a = src.attrs
+            # shared tuples are immutable — the clone can alias them
+            m.attrs = a if a is None or type(a) is tuple else [x[:] for x in a]
             m.ns = src.ns
             m.parent = None
             m.prev = None
@@ -186,7 +186,7 @@ class Node:
             cc.tag = c.tag
             cc.data = c.data
             a = c.attrs
-            cc.attrs = [x[:] for x in a] if a is not None else None
+            cc.attrs = a if a is None or type(a) is tuple else [x[:] for x in a]
             cc.ns = c.ns
             cc.prev = None
             cc.next = None
@@ -246,6 +246,11 @@ def set_attribute(node: Node, name: str, value: str) -> None:
     attrs = node.attrs
     if attrs is None:
         attrs = node.attrs = []
+    elif type(attrs) is tuple:
+        # copy-on-write: a tuple means the attrs are SHARED with the
+        # builder's attr-span intern cache (and possibly other nodes) —
+        # privatize to list-of-lists before the first mutation
+        attrs = node.attrs = [[k, v] for k, v in attrs]
     for item in attrs:
         if item[0] == name:
             item[1] = value
@@ -257,7 +262,10 @@ def remove_attribute(node: Node, name: str) -> None:
     attrs = node.attrs
     if not attrs:
         return
-    node.attrs = [a for a in attrs if a[0] != name]
+    # always rebuild as list-of-LISTS: filtering a shared tuple with
+    # `[a for a in ...]` would leak immutable inner tuples into a
+    # private list, and a later set_attribute would crash on item[1]=
+    node.attrs = [[k, v] for k, v in attrs if k != name]
 
 
 def class_name(node: Node) -> str:

@@ -394,16 +394,10 @@ class Parser:
         weight = 0
         cls = class_name(node)
         if cls != "":
-            if rx.RX_NEGATIVE_CLASS.search(cls):
-                weight -= 25
-            if rx.RX_POSITIVE_CLASS.search(cls):
-                weight += 25
+            weight += rx.class_weight_string(cls)
         nid = node_id(node)
         if nid != "":
-            if rx.RX_NEGATIVE_CLASS.search(nid):
-                weight -= 25
-            if rx.RX_POSITIVE_CLASS.search(nid):
-                weight += 25
+            weight += rx.class_weight_string(nid)
         return weight
 
     def _initialize_node(self, node) -> None:
@@ -733,8 +727,7 @@ class Parser:
                 node_tag = node.tag
                 if self.flags.strip_unlikelys:
                     if (
-                        rx.RX_UNLIKELY_CANDIDATES.search(match_string)
-                        and not rx.RX_MAYBE_CANDIDATE.search(match_string)
+                        rx.is_unlikely_candidate_string(match_string)
                         and not self._has_ancestor_tag(node, "table", 3)
                         and not self._has_ancestor_tag(node, "code", 3)
                         and node_tag != "body"
@@ -1079,7 +1072,10 @@ class Parser:
                 if n.tag in rx.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
                     drop = _PRESENTATIONAL_PLUS_SIZE
                 if any(a[0] in drop for a in attrs):
-                    n.attrs = [a for a in attrs if a[0] not in drop]
+                    # list-of-LISTS rebuild: filtering a shared tuple
+                    # with [a for a in ...] would leak immutable inner
+                    # tuples into a private list (see dom/node.py COW)
+                    n.attrs = [[k, v] for k, v in attrs if k not in drop]
             child = n.first_element_child()
             while child is not None:
                 pending.append(child)

@@ -131,6 +131,55 @@ PHRASING_ELEMS = frozenset((
 ))
 
 
+# --------------------------------------------------------------- string memos
+# class/id strings repeat massively across a page (every list item shares
+# the same class attr), so the grab-walk's per-element DFA verdicts are
+# memoized on the exact input string. The memo'd functions are PURE
+# (string -> verdict), so this cannot change any result — it only skips
+# re-running the same regexes on the same strings (measured ~35% of all
+# re.search calls in the fixture-corpus profile). Size-capped so a
+# long-lived executor can't grow them unboundedly: on overflow the dict
+# is cleared, not LRU'd — hit rates are page-local, so a clear costs one
+# page of re-misses.
+
+_UNLIKELY_MEMO: dict = {}
+_CLASS_WEIGHT_MEMO: dict = {}
+_MEMO_CAP = 100_000
+
+
+def is_unlikely_candidate_string(s: str) -> bool:
+    """Memoized `RX_UNLIKELY_CANDIDATES and not RX_MAYBE_CANDIDATE` over
+    the grab-walk's class+" "+id match string (parser.go unlikely test;
+    the ancestor/tag conditions stay at the call site — they depend on
+    the node, not the string)."""
+    v = _UNLIKELY_MEMO.get(s)
+    if v is None:
+        if len(_UNLIKELY_MEMO) >= _MEMO_CAP:
+            _UNLIKELY_MEMO.clear()
+        v = (
+            RX_UNLIKELY_CANDIDATES.search(s) is not None
+            and RX_MAYBE_CANDIDATE.search(s) is None
+        )
+        _UNLIKELY_MEMO[s] = v
+    return v
+
+
+def class_weight_string(s: str) -> int:
+    """Memoized ±25 positive/negative class-weight contribution of one
+    class or id string (parser.go:1729-1759 per-string half)."""
+    v = _CLASS_WEIGHT_MEMO.get(s)
+    if v is None:
+        if len(_CLASS_WEIGHT_MEMO) >= _MEMO_CAP:
+            _CLASS_WEIGHT_MEMO.clear()
+        v = 0
+        if RX_NEGATIVE_CLASS.search(s):
+            v -= 25
+        if RX_POSITIVE_CLASS.search(s):
+            v += 25
+        _CLASS_WEIGHT_MEMO[s] = v
+    return v
+
+
 def normalize_spaces(s: str) -> str:
     """re2go.NormalizeSpaces (normalize.re:6-42).
 

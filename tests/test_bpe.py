@@ -73,6 +73,40 @@ def test_train_matches_pure_python_reference(spark, corpus):
     assert len(got) >= 8  # corpus is rich enough to actually train
 
 
+def test_fast_trainer_matches_reference_and_spark_loop(spark, corpus):
+    """train_bpe_fast (distributed word count + driver-local incremental
+    merge loop) must be bit-identical to both the all-Spark loop and the
+    independent pure-Python reference."""
+    from go_readability_spark.operators.bpe import train_bpe_fast
+
+    fast = train_bpe_fast(corpus, num_merges=12)
+    assert fast == py_train_bpe(TEXTS, num_merges=12)
+    assert fast == train_bpe(corpus, num_merges=12, checkpoint_every=4)
+
+
+def test_fast_trainer_matches_spark_loop_on_sf_corpus(spark):
+    """Same equality on real corpus text (sf0.001 documents), where
+    overlapping pairs ('aaa'), unicode, and deep merge chains occur."""
+    import os
+
+    from go_readability_spark.operators.bpe import train_bpe_fast
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata missing")
+    docs = spark.read.parquet(path)
+    fast = train_bpe_fast(docs, num_merges=30)
+    slow = train_bpe(docs, num_merges=30, checkpoint_every=10)
+    assert fast == slow
+
+
+def test_fast_trainer_vocab_guard(spark, corpus):
+    from go_readability_spark.operators.bpe import train_bpe_fast
+
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        train_bpe_fast(corpus, num_merges=4, max_vocab_rows=3)
+
+
 def test_encode_counts(spark, corpus):
     merges = train_bpe(corpus, num_merges=12, checkpoint_every=4)
     counts = {r.id: r.bpe_tokens for r in bpe_encode_counts(corpus, merges).collect()}
