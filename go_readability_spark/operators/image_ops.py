@@ -111,6 +111,27 @@ def resize_png(data: bytes, out_w: int, out_h: int, method: str = "box") -> byte
     return encode_png(resized)
 
 
+def resize_image(data: bytes, out_w: int, out_h: int, method: str = "box",
+                 jpeg_quality: int = 85) -> bytes:
+    """Format-preserving resize: PNG in → PNG out, baseline JPEG in →
+    baseline JPEG out (4:4:4 re-encode). Raises on anything else — the
+    resize_images operator maps that to ok=false per row."""
+    from .jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    if not is_jpeg(data):
+        return resize_png(data, out_w, out_h, method=method)
+    _w, _h, px = decode_jpeg(data)
+    if px.shape[2] == 1:
+        px = px[:, :, 0]
+    if method == "nearest":
+        resized = resize_nearest(px, out_w, out_h)
+    elif method == "box":
+        resized = resize_box(px, out_w, out_h)
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return encode_jpeg(resized, quality=jpeg_quality)
+
+
 # ------------------------------------------------------------ motion-PNG video
 
 def _png_stream_end(data: bytes, start: int) -> int:

@@ -236,14 +236,15 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def resize_images(media: DataFrame, out_w: int, out_h: int,
                   method: str = "box") -> DataFrame:
-    """Distributed image resize: PNG payloads are decoded, resized
-    (real pixel math — box average or nearest), and re-encoded. Corrupt
-    or non-PNG payloads yield ok=false with the original payload, never
-    a task failure. Partition-local; no shuffle; binary in/out so the
-    result can be written straight back to a media table."""
+    """Distributed image resize: PNG and baseline-JPEG payloads are
+    decoded, resized (real pixel math — box average or nearest), and
+    re-encoded in their own format. Corrupt or undecodable payloads
+    yield ok=false with the original payload, never a task failure.
+    Partition-local; no shuffle; binary in/out so the result can be
+    written straight back to a media table."""
     import pandas as pd
 
-    from .image_ops import resize_png
+    from .image_ops import resize_image
 
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize target must be positive")
@@ -254,7 +255,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
             for i in range(len(pdf)):
                 payload = bytes(pdf["payload"].iat[i] or b"")
                 try:
-                    out = resize_png(payload, out_w, out_h, method=method)
+                    out = resize_image(payload, out_w, out_h, method=method)
                     rows.append(
                         {
                             "media_id": pdf["media_id"].iat[i],

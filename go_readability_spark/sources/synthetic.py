@@ -115,10 +115,16 @@ def synth_pages_dataframe(spark, n_docs: int, seed: int = 42, skew: bool = True)
 
 
 def synth_pages_distributed(spark, n_docs: int, seed: int = 42, skew: bool = True,
-                            num_partitions: int = 32):
+                            num_partitions: int = 32,
+                            size_scale: float = 1.0):
     """Generate the synthetic corpus ON THE EXECUTORS (mapInPandas over an
     index range) so bench corpora of arbitrary size never bottleneck on the
-    driver. Fully deterministic given (seed, n_docs)."""
+    driver. Fully deterministic given (seed, n_docs).
+
+    ``size_scale`` multiplies the per-page paragraph count (floor 2) —
+    used by the 10M volume run, where the full-size mix exceeds this
+    sandbox's disk (input + shuffle + output). The default 1.0 takes the
+    exact integer path, so existing corpora are byte-identical."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -143,6 +149,8 @@ def synth_pages_distributed(spark, n_docs: int, seed: int = 42, skew: bool = Tru
                     n_paragraphs = rng.randint(150, 400)
                 else:
                     n_paragraphs = rng.randint(8, 40)
+                if size_scale != 1.0:
+                    n_paragraphs = max(2, int(n_paragraphs * size_scale))
                 rows.append(synth_page(seed, idx, host, n_paragraphs))
             yield pd.DataFrame(rows)
 

@@ -125,6 +125,45 @@ def test_decode_image_dispatches_jpeg():
     assert len(raw) == 10 * 12 * 3
 
 
+def test_resize_image_preserves_format():
+    from go_readability_spark.operators.image_ops import resize_image
+    from go_readability_spark.operators.png import encode_png, is_png
+
+    jpg = encode_jpeg(_smooth_rgb(20, 24), quality=92)
+    out = resize_image(jpg, 8, 8)
+    assert is_jpeg(out)
+    w, h, px = decode_jpeg(out)
+    assert (w, h, px.shape) == (8, 8, (8, 8, 3))
+
+    png = encode_png(_smooth_rgb(20, 24))
+    assert is_png(resize_image(png, 8, 8))
+
+
+def test_resize_images_spark_handles_jpeg_rows(spark):
+    """resize_images over the mixed PNG/JPEG synth corpus: every image
+    row resizes ok in its own format; audio/video rows come back
+    ok=false untouched."""
+    from go_readability_spark.operators.multimodal import (
+        resize_images,
+        synth_real_media_dataframe,
+    )
+
+    media = synth_real_media_dataframe(spark, n=12, seed=42)
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    kinds = {r["media_id"]: (r["kind"], r["mime"]) for r in media.collect()}
+    for mid, (kind, mime) in kinds.items():
+        if kind == "image":
+            assert out[mid]["ok"], (mid, mime)
+            assert out[mid]["width"] == 8 and out[mid]["height"] == 8
+            head = bytes(out[mid]["payload"])[:8]
+            if mime == "image/jpeg":
+                assert head[:2] == b"\xff\xd8"
+            else:
+                assert head == b"\x89PNG\r\n\x1a\n"
+        elif kind == "audio":
+            assert not out[mid]["ok"]
+
+
 def test_media_features_real_jpeg_rows(spark):
     """synth_real_media_dataframe now carries JPEG images; the feature
     extractor must take the REAL decode path for them (frames=1 and a
