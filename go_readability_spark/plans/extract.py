@@ -35,6 +35,14 @@ from .schema import ARTICLES_SCHEMA, CHECKPOINT_SCHEMA
 DEFAULT_N_BUCKETS = 256
 
 
+def _output_codec() -> str:
+    """Parquet codec for task-side pyarrow writes (atomic sink, checkpoint
+    lineage), kept in lockstep with the session-level
+    spark.sql.parquet.compression.codec knob (plans/session.py). Local mode
+    inherits the driver env; on a cluster ship it via spark.executorEnv."""
+    return os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy")
+
+
 def _utc_naive(dt):
     if dt is None:
         return None
@@ -174,7 +182,8 @@ def _write_checkpoint_rows(checkpoint_dir, bucket_stats, started, elapsed):
     )
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, f"ckpt-{uuid.uuid4().hex}.parquet")
-    pq.write_table(pa.table(rows, schema=schema), path)
+    pq.write_table(pa.table(rows, schema=schema), path,
+                   compression=_output_codec())
 
 
 def with_salt(pages: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
@@ -338,7 +347,8 @@ def make_sink_extractor(output_dir: str, checkpoint_dir: str | None):
             os.makedirs(bucket_dir, exist_ok=True)
             final = os.path.join(bucket_dir, f"part-{salt_val:05d}.parquet")
             tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-            pq.write_table(_bucket_table(frames), tmp)
+            pq.write_table(_bucket_table(frames), tmp,
+                           compression=_output_codec())
             os.replace(tmp, final)  # atomic publish
             written.append(salt_val)
 

@@ -31,6 +31,12 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
         # rows keeps the per-batch reservation in the tens of MB at
         # Common-Crawl page sizes
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # storage codec for every parquet sink (Spark committer + atomic
+        # sink). snappy default matches Spark; at crawl scale zstd cuts
+        # HTML-heavy outputs ~30-40% for similar CPU — the 10M volume run
+        # uses SPARK_GRAFT_PARQUET_CODEC=zstd (see BENCH/BASELINE.md)
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "256m")

@@ -498,3 +498,29 @@ def test_atomic_sink_roundtrip_and_bucket_resume(spark, tmp_path):
     survivors = [f for f in files if not f.startswith(lost_dir + os.sep)]
     for f in survivors:
         assert os.path.getmtime(f) == mtimes[f], f  # untouched
+
+
+def test_output_codec_knob(tmp_path, monkeypatch):
+    """SPARK_GRAFT_PARQUET_CODEC drives every task-side pyarrow write (the
+    atomic sink and the checkpoint lineage share _write_checkpoint_rows'
+    plumbing); driver-side check keeps this independent of executor-daemon
+    env caching."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from go_readability_spark.plans.extract import (
+        _output_codec, _write_checkpoint_rows)
+
+    assert _output_codec() == "snappy"  # default matches Spark's
+    monkeypatch.setenv("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+    assert _output_codec() == "zstd"
+
+    ck = str(tmp_path / "ck")
+    from datetime import datetime, timezone
+    started = datetime.now(timezone.utc).replace(tzinfo=None)
+    _write_checkpoint_rows(ck, {"7": [3, 3, 0, 123]}, started, 0.01)
+    import glob
+    f = glob.glob(f"{ck}/ckpt-*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
