@@ -802,6 +802,39 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_link_edges(spark, sf_dir):
+    """Anchor extraction + href resolution (operators/linkgraph.py) over
+    pages with a PLANTED deterministic anchor block: the oracle recomputes
+    the planted edges arithmetically from `documents`, so a hash match
+    proves the regex extraction + CASE-logic resolution recovered exactly
+    the ground-truth edge set (and dropped fragment/javascript:/mailto:)."""
+    from go_readability_spark.operators import link_edges
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    return link_edges(pages_from_documents_linked(spark, sf_dir))
+
+
+def _q_host_graph(spark, sf_dir):
+    """Host-level link graph: one groupBy over the resolved edges
+    (self-loops dropped), the quality-signal input of C4/RefinedWeb-style
+    URL selection."""
+    from go_readability_spark.operators import host_graph, link_edges
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    return host_graph(link_edges(pages_from_documents_linked(spark, sf_dir)))
+
+
+def _q_host_rank(spark, sf_dir):
+    """Weighted PageRank (5 iterations, d=0.85) over the host graph.
+    Deterministic recurrence — the DuckDB oracle unrolls the same five
+    iterations (see _host_rank_sql)."""
+    from go_readability_spark.operators import host_graph, host_rank, link_edges
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    g = host_graph(link_edges(pages_from_documents_linked(spark, sf_dir)))
+    return host_rank(g, iterations=5, damping=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -847,6 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "link_edges": _q_link_edges,
+        "host_graph": _q_host_graph,
+        "host_rank": _q_host_rank,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
         "quality_partition": _q_quality_partition,
@@ -921,6 +957,102 @@ _HOST_SQL = (
     "lower(regexp_extract(url, "
     "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
 )
+
+# Ground truth for the link-graph queries: sources/synthetic.py
+# pages_from_documents_linked plants 8 anchors per doc (5 resolvable, 3
+# droppable); this CTE reconstructs the 5 kept edges arithmetically from
+# `documents` — no HTML, no regex — so the compare verifies the Spark
+# side's extraction + resolution end-to-end against arithmetic truth.
+_LINK_EDGES_CTE = """
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS i,
+               'host' || CAST(CAST(doc_id AS BIGINT) % 5 AS VARCHAR)
+                   || '.example.org' AS src_host
+        FROM documents
+    ),
+    s AS (
+        SELECT i, src_host,
+               'https://' || src_host || '/docs/' || CAST(i AS VARCHAR)
+                   || '.html' AS src
+        FROM d
+    ),
+    e AS (
+        SELECT src, src_host,
+               'https://host' || CAST((i + 1) % 5 AS VARCHAR)
+                   || '.example.org/docs/' || CAST(i + 1 AS VARCHAR)
+                   || '.html' AS dst,
+               'host' || CAST((i + 1) % 5 AS VARCHAR) || '.example.org' AS dst_host
+        FROM s
+        UNION ALL
+        SELECT src, src_host,
+               'https://docs.example.org/' || CAST(i AS VARCHAR) || '.html',
+               'docs.example.org'
+        FROM s
+        UNION ALL
+        SELECT src, src_host,
+               'https://' || src_host || '/rel/' || CAST(i * 2 AS VARCHAR)
+                   || '.html',
+               src_host
+        FROM s
+        UNION ALL
+        SELECT src, src_host,
+               'https://cdn.example.net/a' || CAST(i % 3 AS VARCHAR) || '.html',
+               'cdn.example.net'
+        FROM s
+        UNION ALL
+        SELECT src, src_host,
+               'https://' || src_host || '/docs/p' || CAST(i + 3 AS VARCHAR)
+                   || '.html',
+               src_host
+        FROM s
+    ),
+    g AS (
+        SELECT src_host, dst_host, count(*) AS n_links
+        FROM e WHERE src_host <> dst_host
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _host_rank_sql(iterations: int = 5) -> str:
+    """Unroll operators/linkgraph.py host_rank's recurrence as chained
+    CTEs. The float literals are written as the same IEEE-754 expressions
+    Spark evaluates ((1.0 - 0.85) etc.) so both engines sum identical
+    doubles; round(6) absorbs association-order noise."""
+    sql = _LINK_EDGES_CTE + """,
+    nodes AS (
+        SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM g
+            UNION ALL
+            SELECT dst_host AS host FROM g
+        )
+    ),
+    outw AS (
+        SELECT src_host, sum(n_links) AS out_w FROM g GROUP BY 1
+    ),
+    w AS (
+        SELECT g.src_host, g.dst_host,
+               CAST(g.n_links AS DOUBLE) / CAST(outw.out_w AS DOUBLE) AS share
+        FROM g JOIN outw USING (src_host)
+    ),
+    r0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS rnk FROM nodes)
+"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.host,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.incoming, CAST(0.0 AS DOUBLE)) AS rnk
+        FROM nodes n
+        LEFT JOIN (
+            SELECT w.dst_host, sum(r.rnk * w.share) AS incoming
+            FROM w JOIN r{k - 1} r ON w.src_host = r.host
+            GROUP BY 1
+        ) c ON n.host = c.dst_host
+    )
+"""
+    sql += f'\n    SELECT host, round(rnk, 6) AS "rank" FROM r{iterations}'
+    return sql
 
 _WS_TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -1189,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
         **_fixture_parity_oracle(),
         **_ann_oracles(),
         **_pinned_output_oracles(),
+        "link_edges": _LINK_EDGES_CTE
+        + "\n    SELECT src, dst, src_host, dst_host FROM e",
+        "host_graph": _LINK_EDGES_CTE
+        + "\n    SELECT src_host, dst_host, n_links FROM g",
+        "host_rank": _host_rank_sql(5),
         "extract_salted_md5": """
             SELECT CAST(('0x' || substr(md5(
                        'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'

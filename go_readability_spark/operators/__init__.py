@@ -49,3 +49,10 @@ from .similarity import (  # noqa: F401
     with_unit_vectors,
 )
 from .media_probe import probe_image, probe_media_dimensions  # noqa: F401
+from .linkgraph import (  # noqa: F401
+    extract_links,
+    host_graph,
+    host_rank,
+    link_edges,
+    resolve_links,
+)

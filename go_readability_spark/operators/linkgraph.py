@@ -1,0 +1,159 @@
+"""Link-graph operators: anchor extraction, host graph, PageRank.
+
+A Common-Crawl-scale curation pipeline uses the link graph as a quality
+signal (host-level rank gates URL selection in C4/RefinedWeb-style
+corpora) and for frontier scheduling.  The reference library extracts one
+page at a time and has no graph layer (reference N/A — this is the
+LLM-data-ops surface BASELINE.json's north rule asks for on top of
+extraction parity); everything here is pure JVM column expressions plus
+standard joins, no Python in the hot path.
+
+Scale notes (10^12 pages, ~10^8 hosts):
+  * `extract_links` is map-only (regexp_extract_all + explode); the only
+    shuffle anywhere below is the groupBy in `host_graph` (partial
+    aggregation applies — the map side collapses each page's ~50 links to
+    per-host-pair counts before exchanging).
+  * mega-host skew (30%+ of a crawl links to a handful of CDNs) lands on
+    the groupBy reduce side, where AQE skew-join/partial agg handles it;
+    the pair key (src_host, dst_host) is already finer than dst_host
+    alone.
+  * `host_rank` is one equi-join + groupBy per iteration over the HOST
+    graph (orders of magnitude smaller than the page graph).  Iterations
+    extend lineage linearly; at real scale persist + localCheckpoint the
+    rank table every few rounds (the loop takes `checkpoint_every` for
+    exactly that — default off at test scale).
+
+href resolution is deliberately bounded: absolute http(s), protocol-
+relative (//host/...), root-relative (/path), and same-directory relative
+links are resolved; fragments, javascript:, mailto:, data:, tel: and
+empty hrefs are dropped; `../` segments are NOT normalized (a crawl
+frontier canonicalizes separately — functions/urls.py).  The quote
+grammar accepts "..." or '...' (via a [^"'] value class: an href whose
+value itself mixes quote characters is skipped, which is the safe
+direction for a crawler).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# group 1 = href value for "..." or '...' quoted anchors (case-insensitive
+# tag/attr). Java regex; the oracle never duplicates this — driver queries
+# verify extraction against PLANTED ground-truth links instead.
+HREF_PATTERN = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+_DROP_SCHEMES = "^(javascript:|mailto:|data:|tel:|#)"
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src, href) for every quoted <a href> occurrence, document order.
+    Map-only; html may be binary (cast) or string."""
+    html_str = F.col(html_col).cast("string")
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.explode(F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1))
+            .alias("href"),
+        )
+    )
+
+
+def _host_of(url_expr: str) -> str:
+    """SQL snippet: authority host of an absolute URL (drops userinfo and
+    port). Mirrors operators/hosts.py host_of_url semantics."""
+    return (
+        f"regexp_replace(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^.*@|:[0-9]*$', '')"
+    )
+
+
+def resolve_links(edges: DataFrame, src_col: str = "src",
+                  href_col: str = "href") -> DataFrame:
+    """(src, dst, src_host, dst_host) with hrefs resolved against src.
+    Pure column CASE logic — stays in whole-stage codegen."""
+    src = F.col(src_col)
+    href = F.trim(F.col(href_col))
+    scheme = F.regexp_extract(src, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    authority = F.regexp_extract(src, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    src_dir = F.regexp_replace(
+        F.regexp_replace(src, "[?#].*$", ""), "[^/]*$", "")
+
+    dst = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(authority, href))
+        .when(
+            href.rlike(_DROP_SCHEMES) | (href == "") | href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+            F.lit(None),
+        )
+        .otherwise(F.concat(src_dir, F.regexp_replace(href, "^\\./", "")))
+    )
+    out = edges.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("dst").isNotNull()
+    )
+    return out.select(
+        "src", "dst",
+        F.expr(_host_of("src")).alias("src_host"),
+        F.expr(_host_of("dst")).alias("dst_host"),
+    )
+
+
+def link_edges(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """extract + resolve in one shot (the shipping composition)."""
+    return resolve_links(extract_links(pages, url_col, html_col))
+
+
+def host_graph(edges: DataFrame, keep_self_loops: bool = False) -> DataFrame:
+    """(src_host, dst_host, n_links) — the single shuffle of the pipeline
+    (map-side partial agg collapses per-page fan-out first)."""
+    g = edges
+    if not keep_self_loops:
+        g = g.where(F.col("src_host") != F.col("dst_host"))
+    return g.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"))
+
+
+def host_rank(graph: DataFrame, iterations: int = 5, damping: float = 0.85,
+              checkpoint_every: int = 0) -> DataFrame:
+    """Weighted PageRank over the host graph, unnormalized Brin-Page form:
+
+        r_0(h)  = 1
+        r_k(h)  = (1-d) + d * sum_incoming r_{k-1}(src) * w(src,h)/out_w(src)
+
+    Dangling hosts (no outlinks) keep the (1-d) floor and contribute
+    nothing — the standard simplification when rank is used as a relative
+    quality signal rather than a probability.  Deterministic for a fixed
+    iteration count, so the DuckDB oracle unrolls the same recurrence
+    (__spark_entry__._host_rank_sql).  Returns (host, rank) with rank
+    rounded to 6 decimals (sum order across engines).
+    """
+    nodes = (
+        graph.select(F.col("src_host").alias("host"))
+        .union(graph.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out_w = graph.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
+    weighted = graph.join(out_w, "src_host").select(
+        "src_host", "dst_host",
+        (F.col("n_links") / F.col("out_w")).alias("share"),
+    )
+
+    rank = nodes.select("host", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            weighted.join(rank, weighted.src_host == rank.host)
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("incoming"))
+        )
+        rank = nodes.join(contrib, nodes.host == contrib.dst_host, "left").select(
+            "host",
+            (F.lit(1.0 - damping)
+             + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+             ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint()
+
+    return rank.select("host", F.round("rank", 6).alias("rank"))

@@ -16,6 +16,7 @@ from .warc import (  # noqa: F401
 )
 from .synthetic import (  # noqa: F401
     pages_from_documents,
+    pages_from_documents_linked,
     synth_corpus_rows,
     synth_pages_dataframe,
     synth_pages_distributed,

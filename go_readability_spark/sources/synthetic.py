@@ -158,6 +158,49 @@ def synth_pages_distributed(spark, n_docs: int, seed: int = 42, skew: bool = Tru
     return idx_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def pages_from_documents_linked(spark, sf_dir: str):
+    """pages_from_documents variant with a deterministic PLANTED anchor
+    block, used by the link-graph driver queries: the DuckDB oracle
+    recomputes the planted edges arithmetically from `documents`, so the
+    hash compare verifies that extraction + resolution recovered exactly
+    the ground truth (kept: absolute, quoted-single, root-relative,
+    protocol-relative, same-dir relative; dropped: fragment, javascript:,
+    mailto:).  Kept separate from pages_from_documents so the pinned
+    extract_articles goldens stay byte-stable."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    i_s = i.cast("string")
+    src_host = F.concat(F.lit("host"), (i % 5).cast("string"),
+                        F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), src_host, F.lit("/docs/"), i_s,
+                   F.lit(".html"))
+    anchors = F.concat(
+        F.lit('<p>links: <a href="https://host'), ((i + 1) % 5).cast("string"),
+        F.lit(".example.org/docs/"), (i + 1).cast("string"),
+        F.lit('.html">next</a> <a href=\'https://docs.example.org/'), i_s,
+        F.lit('.html\'>canon</a> <a href="/rel/'), (i * 2).cast("string"),
+        F.lit('.html">rel</a> <a href="//cdn.example.net/a'),
+        (i % 3).cast("string"),
+        F.lit('.html">cdn</a> <a href="p'), (i + 3).cast("string"),
+        F.lit('.html">sib</a> <a href="#top">top</a>'),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="mailto:x@example.org">mail</a></p>'),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), i_s, F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p>"), anchors, F.lit("</body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def pages_from_documents(spark, sf_dir: str):
     """Wrap the driver-provided `documents` table text into the `pages`
     shape deterministically (BASELINE 'input_hint': synthesize the input

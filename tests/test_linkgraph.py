@@ -1,0 +1,141 @@
+"""Link-graph operator tests: href grammar + resolution cases, host graph
+aggregation, PageRank vs a pure-Python reference, plan shape (pure
+codegen — no Python UDFs anywhere in the hot path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_readability_spark.operators import (
+    extract_links,
+    host_graph,
+    host_rank,
+    link_edges,
+    resolve_links,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_links_grammar(spark):
+    html = (
+        '<p><a href="https://a.example/x">d</a>'
+        "<A CLASS='k' HREF='https://b.example/y'>single+caps</A>"
+        '<a data-x="1" href = "z.html">spaced eq</a>'
+        "<a href=bare.html>unquoted skipped</a>"
+        '<a name="no-href">skipped</a></p>'
+    )
+    out = extract_links(_pages(spark, [("https://s.example/d/p.html", html)]))
+    hrefs = [r["href"] for r in out.collect()]
+    assert hrefs == ["https://a.example/x", "https://b.example/y", "z.html"]
+
+
+@pytest.mark.parametrize(
+    "href,expect",
+    [
+        ("https://other.example/a", "https://other.example/a"),
+        ("http://other.example/a", "http://other.example/a"),
+        ("//cdn.example/lib.js.html", "https://cdn.example/lib.js.html"),
+        ("/root.html", "https://s.example/root.html"),
+        ("sib.html", "https://s.example/dir/sib.html"),
+        ("./sib2.html", "https://s.example/dir/sib2.html"),
+        ("#frag", None),
+        ("", None),
+        ("javascript:void(0)", None),
+        ("mailto:x@example.org", None),
+        ("data:text/plain,hi", None),
+        ("tel:+1555", None),
+        ("ftp://files.example/a", None),  # non-http scheme dropped
+    ],
+)
+def test_resolve_cases(spark, href, expect):
+    edges = spark.createDataFrame(
+        [("https://s.example/dir/page.html?q=1#top", href)], "src string, href string"
+    )
+    got = [r["dst"] for r in resolve_links(edges).collect()]
+    assert got == ([expect] if expect else [])
+
+
+def test_resolve_hosts_strip_userinfo_port(spark):
+    edges = spark.createDataFrame(
+        [("https://u:p@s.example:8443/d/p", "https://o.example:80/x")],
+        "src string, href string",
+    )
+    row = resolve_links(edges).collect()[0]
+    assert row["src_host"] == "s.example"
+    assert row["dst_host"] == "o.example"
+
+
+def test_host_graph_counts_and_self_loops(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a.ex", "b.ex"),
+            ("a.ex", "b.ex"),
+            ("a.ex", "a.ex"),  # self loop
+            ("b.ex", "a.ex"),
+        ],
+        "src_host string, dst_host string",
+    ).select(F.lit("s").alias("src"), F.lit("d").alias("dst"), "src_host", "dst_host")
+    g = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_graph(edges).collect()}
+    assert g == {("a.ex", "b.ex"): 2, ("b.ex", "a.ex"): 1}
+    g2 = host_graph(edges, keep_self_loops=True)
+    assert g2.where("src_host = dst_host").count() == 1
+
+
+def _py_rank(counts, iters, d=0.85):
+    hosts, outw = set(), {}
+    for (s, t), n in counts.items():
+        hosts.update((s, t))
+        outw[s] = outw.get(s, 0) + n
+    rank = {h: 1.0 for h in hosts}
+    for _ in range(iters):
+        incoming = {h: 0.0 for h in hosts}
+        for (s, t), n in counts.items():
+            incoming[t] += rank[s] * (n / outw[s])
+        rank = {h: (1.0 - d) + d * incoming[h] for h in hosts}
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_host_rank_matches_python_reference(spark, iters):
+    counts = {
+        ("a.ex", "b.ex"): 3,
+        ("a.ex", "c.ex"): 1,
+        ("b.ex", "c.ex"): 2,
+        ("c.ex", "a.ex"): 1,
+        ("d.ex", "a.ex"): 5,  # d.ex is dangling-in only via its outlink
+    }
+    g = spark.createDataFrame(
+        [(s, t, n) for (s, t), n in counts.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: r["rank"] for r in host_rank(g, iterations=iters).collect()}
+    want = _py_rank(counts, iters)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(round(want[h], 6), abs=1e-6), h
+    # dangling host keeps the (1-d) floor
+    assert got["d.ex"] == pytest.approx(0.15, abs=1e-6)
+
+
+def test_host_rank_checkpoint_path(spark):
+    g = spark.createDataFrame(
+        [("a.ex", "b.ex", 1), ("b.ex", "a.ex", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    plain = {r["host"]: r["rank"] for r in host_rank(g, iterations=4).collect()}
+    ckpt = {
+        r["host"]: r["rank"]
+        for r in host_rank(g, iterations=4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt
+
+
+def test_link_edges_plan_is_codegen(spark):
+    """The page-scale stages (extract + resolve) must be pure JVM column
+    work: no BatchEvalPython/ArrowEvalPython, scan prunes to url+html."""
+    pages = _pages(spark, [("https://s.example/p", '<a href="/x">x</a>')])
+    plan = link_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
