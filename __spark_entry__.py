@@ -835,6 +835,19 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(g, iterations=5, damping=0.85)
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """PDF leg (the north rule's 'PDF/layout parse'): per-doc PDF
+    synthesis + content-stream text extraction round-trip
+    (sources/pdf.py pdf_roundtrip — writer, FlateDecode, BT/ET parse,
+    string decode all exercised distributed). The oracle recomputes the
+    expected text arithmetically from `documents`, so a hash match proves
+    the parser recovered exactly what the writer embedded."""
+    _ship_package(spark)
+    from go_readability_spark.sources import pdf_roundtrip
+
+    return pdf_roundtrip(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": _q_link_edges,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
+        "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
         "quality_partition": _q_quality_partition,
@@ -1326,6 +1340,12 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _LINK_EDGES_CTE
         + "\n    SELECT src_host, dst_host, n_links FROM g",
         "host_rank": _host_rank_sql(5),
+        "pdf_extract": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   substring(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 400) AS text_out,
+                   CAST(length(substring(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 400)) AS INTEGER) AS n_chars
+            FROM documents
+        """,
         "extract_salted_md5": """
             SELECT CAST(('0x' || substr(md5(
                        'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '.html'

@@ -7,7 +7,7 @@ from .fixtures import (  # noqa: F401
 )
 from .fixture_corpus import fixture_mix_pages, load_fixture_blobs  # noqa: F401
 from .pages_table import read_pages  # noqa: F401
-from .pdf import docs_from_pdf, pdf_text, write_pdf  # noqa: F401
+from .pdf import docs_from_pdf, pdf_roundtrip, pdf_text, write_pdf  # noqa: F401
 from .warc import (  # noqa: F401
     docs_from_wet,
     pages_from_warc,

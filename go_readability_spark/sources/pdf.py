@@ -210,3 +210,33 @@ def write_pdf(pages: list[str], flate: bool = True) -> bytes:
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+def pdf_roundtrip(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_chars: int = 400) -> DataFrame:
+    """Distributed writer→parser round-trip: synthesize a single-page PDF
+    per row from the ASCII-printable prefix of `text_col`, then extract it
+    back with pdf_text. Output (doc_id, text_out, n_chars) is arithmetic
+    on the input text, so a SQL oracle can verify the whole encode → Flate
+    → content-stream-parse → decode loop without parsing any PDF itself.
+
+    Scale shape: map-only (mapInPandas, Arrow batches), no shuffle; each
+    row's cost is one zlib deflate+inflate of <= max_chars bytes.
+    """
+    import pandas as pd
+
+    printable = re.compile(r"[^ -~]")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            out = []
+            for i, t in zip(b[id_col], b[text_col]):
+                s = printable.sub("", t or "")[:max_chars]
+                txt = pdf_text(write_pdf([s]))
+                out.append({"doc_id": int(i), "text_out": txt,
+                            "n_chars": len(txt)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, text_out string, n_chars int"
+    )

@@ -116,3 +116,20 @@ def test_backslash_before_non_octal_digit():
         + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert pdf_text(pdf) == "digit 8 and \x079 ok"
+
+
+def test_pdf_roundtrip_distributed(spark):
+    from go_readability_spark.sources import pdf_roundtrip
+
+    df = spark.createDataFrame(
+        [(1, "hello (world) \\ yes"), (2, "café — naïve"), (3, ""),
+         (4, "x" * 1000), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pdf_roundtrip(df).collect()}
+    assert out[1]["text_out"] == "hello (world) \\ yes"
+    assert out[2]["text_out"] == "caf  nave"      # non-ASCII stripped
+    assert out[3]["text_out"] == ""
+    assert out[4]["text_out"] == "x" * 400        # capped at max_chars
+    assert out[5]["text_out"] == ""
+    assert all(r["n_chars"] == len(r["text_out"]) for r in out.values())
