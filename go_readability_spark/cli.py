@@ -273,6 +273,7 @@ def cmd_curate(args) -> int:
             gopher_gate=args.gopher_gate,
             redact_pii=args.redact_pii,
             max_lm_nll_per_bigram=args.max_lm_nll,
+            host_rank_floor=args.host_rank_floor,
             quality_model=(
                 json.load(open(args.quality_model)) if args.quality_model else None
             ),
@@ -364,6 +365,10 @@ def main(argv=None) -> int:
                    help="apply Gopher/C4 repetition + structure gates")
     c.add_argument("--redact-pii", action="store_true",
                    help="mask emails/IPs/phones in text_content")
+    c.add_argument("--host-rank-floor", type=float, default=None,
+                   help="drop pages whose host PageRank (computed over "
+                        "the input's own link graph) is below this floor; "
+                        "unlinked hosts are kept")
     c.add_argument("--max-lm-nll", type=float, default=None,
                    help="CCNet-style per-bigram NLL cap (nats); unset = off")
     c.add_argument("--partitions", type=int, default=None)

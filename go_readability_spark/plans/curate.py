@@ -32,6 +32,8 @@ def curate_corpus(
     redact_pii: bool = False,
     max_lm_nll_per_bigram: float | None = None,
     quality_model: dict | None = None,
+    host_rank_floor: float | None = None,
+    host_rank_iterations: int = 5,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -43,12 +45,37 @@ def curate_corpus(
     perplexity (NATS per bigram — e.g. 8.0; the LM trains on a hash-sample
     of the already-curated docs).
 
+    host_rank_floor gates pages by link-graph authority BEFORE the
+    expensive extraction UDF (the C4/RefinedWeb URL-selection order):
+    anchor edges come from a map-only regex pass over the raw html
+    (operators/linkgraph.py), host PageRank runs on the host graph
+    (orders of magnitude smaller than the page set), and pages whose
+    host ranks below the floor are dropped. Hosts absent from the graph
+    carry no signal and are KEPT. Scale shape: the rank table is
+    |hosts| rows joined on the host key — a plain equi-join (AQE handles
+    the mega-host skew the same way host_stats' groupBy does); the graph
+    build adds one groupBy to the pipeline, nothing else.
+
     checkpoint_dir records per-bucket lineage/metrics only — resume is
     deliberately OFF here: skip-completed-buckets semantics are only sound
     when paired with an appendable output that already holds those
     buckets' rows (run_extraction_job). curate_corpus returns a DataFrame
     with no such output, so resuming would silently drop every
     previously-'done' bucket from the corpus."""
+    if host_rank_floor is not None:
+        from ..operators.hosts import host_of_url
+        from ..operators.linkgraph import host_graph, host_rank, link_edges
+
+        ranks = host_rank(
+            host_graph(link_edges(pages)), iterations=host_rank_iterations
+        )
+        pages = (
+            pages.withColumn("_h", host_of_url(F.col("url")))
+            .join(ranks.withColumnRenamed("host", "_h"), "_h", "left")
+            .where(F.col("rank").isNull() | (F.col("rank") >= host_rank_floor))
+            .drop("_h", "rank")
+        )
+
     articles = extract_pages(
         pages,
         n_buckets=n_buckets,

@@ -524,3 +524,38 @@ def test_output_codec_knob(tmp_path, monkeypatch):
     f = glob.glob(f"{ck}/ckpt-*.parquet")[0]
     meta = pq.ParquetFile(f).metadata
     assert meta.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_curate_with_host_rank_gate(spark):
+    """host_rank_floor drops pages on low-authority hosts BEFORE
+    extraction; hosts absent from the link graph carry no signal and are
+    kept. Planted graph: low.example.org links to hub.example.org and
+    receives nothing (rank = 0.15 floor); nolink.example.org has no
+    anchors at all (absent from the graph)."""
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    rows = synth_corpus_rows(12, seed=13, skew=False)
+    hosts = ["low.example.org", "hub.example.org", "nolink.example.org"]
+    for k, row in enumerate(rows):
+        h = hosts[k % 3]
+        row["url"] = f"https://{h}/p{k}.html"
+        if h == "low.example.org":
+            row["html"] = row["html"] + (
+                b'<a href="https://hub.example.org/p1.html">hub</a>'
+            )
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+    kw = dict(min_length=100, min_quality=0.0, languages=("en", "und"),
+              num_partitions=4)
+    base = {r["url"] for r in curate_corpus(pages, **kw).select("url").collect()}
+    gated = {
+        r["url"]
+        for r in curate_corpus(pages, host_rank_floor=0.2, **kw)
+        .select("url").collect()
+    }
+    assert any("low.example.org" in u for u in base)  # gate did the removal
+    assert not any("low.example.org" in u for u in gated)
+    # hub (rank ~1) and nolink (no signal) survive identically to base
+    assert {u for u in base if "low.example.org" not in u} == gated
