@@ -287,9 +287,15 @@ def text_content(node: Node) -> str:
     append/pop is a measurable win across a corpus."""
     if node.type == TEXT:
         return node.data
+    c = node.first_child
+    if c is None:
+        return ""
+    if c.next is None and c.first_child is None:
+        # single-leaf-child element (<p>text</p>, <a>label</a> — the
+        # dominant shape in scoring walks): skip the list machinery
+        return c.data if c.type == TEXT else ""
     parts = []
     append = parts.append
-    c = node.first_child
     while c is not None:
         if c.type == TEXT:
             append(c.data)
