@@ -186,3 +186,19 @@ def test_semantic_dedup_pair_join_is_bucket_equi(spark):
     joins = [l for l in plan.splitlines()
              if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
     assert joins and any("bucket" in j for j in joins), joins
+
+
+def test_host_graph_single_exchange_partial_agg(spark):
+    """host_graph over the planted-link corpus must be one shuffle (the
+    (src_host, dst_host) groupBy) with a map-side partial aggregate
+    collapsing per-page fan-out before the exchange, and no Python in
+    the plan — link extraction is regexp_extract_all/explode, JVM-side."""
+    from go_readability_spark.operators import host_graph, link_edges
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, "/root/testdata/sf0.001")
+    plan = _plan(host_graph(link_edges(pages)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+    # partial_count before the exchange, final count after it
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
