@@ -835,6 +835,37 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(g, iterations=5, damping=0.85)
 
 
+def _q_robots_gate(spark, sf_dir):
+    """RFC 9309 robots.txt parse + crawl-policy verdicts
+    (operators/robots.py) against a PLANTED per-host policy
+    (sources/synthetic.py robots_for_hosts): wildcard + $-anchored rules,
+    longest-match/allow-tie semantics, specific-group-overrides-* —
+    all recomputed by the oracle as a closed form in doc_id, so a hash
+    match proves the relational parse recovered the planted policy for
+    BOTH the `*` agent and a named product token."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import robots_rules, robots_verdicts
+    from go_readability_spark.sources import (
+        pages_from_documents_linked,
+        robots_for_hosts,
+    )
+
+    pages = pages_from_documents_linked(spark, sf_dir)
+    rules = robots_rules(robots_for_hosts(spark))
+    star = robots_verdicts(pages, rules, agent="*").select(
+        "url",
+        F.col("allowed").alias("star_allowed"),
+        F.col("rule").alias("star_rule"),
+    )
+    bot = robots_verdicts(pages, rules, agent="graftbot").select(
+        "url",
+        F.col("allowed").alias("bot_allowed"),
+        F.col("rule").alias("bot_rule"),
+    )
+    return star.join(bot, "url")
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF leg (the north rule's 'PDF/layout parse'): per-doc PDF
     synthesis + content-stream text extraction round-trip
@@ -896,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": _q_link_edges,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
+        "robots_gate": _q_robots_gate,
         "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
@@ -1340,6 +1372,29 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _LINK_EDGES_CTE
         + "\n    SELECT src_host, dst_host, n_links FROM g",
         "host_rank": _host_rank_sql(5),
+        # Closed-form ground truth for the planted robots_for_hosts policy
+        # (sources/synthetic.py): page i lives at
+        # https://host{i%5}.example.org/docs/{i}.html.  `*` group:
+        # Allow / (len 1) vs Disallow /docs/*7.html$ (len 14) -> blocked
+        # iff last digit of i is 7.  graftbot group: Disallow /docs/
+        # (len 6) vs Allow /docs/{h} (len 7) -> allowed iff the first
+        # digit of i equals h = i % 5.  No robots text in the oracle —
+        # pure doc_id arithmetic, so the compare proves parse + gate.
+        "robots_gate": """
+            SELECT 'https://host' || CAST(i % 5 AS VARCHAR)
+                       || '.example.org/docs/' || CAST(i AS VARCHAR)
+                       || '.html' AS url,
+                   (i % 10 <> 7) AS star_allowed,
+                   CASE WHEN i % 10 <> 7 THEN '/'
+                        ELSE '/docs/*7.html$' END AS star_rule,
+                   (substr(CAST(i AS VARCHAR), 1, 1)
+                       = CAST(i % 5 AS VARCHAR)) AS bot_allowed,
+                   CASE WHEN substr(CAST(i AS VARCHAR), 1, 1)
+                             = CAST(i % 5 AS VARCHAR)
+                        THEN '/docs/' || CAST(i % 5 AS VARCHAR)
+                        ELSE '/docs/' END AS bot_rule
+            FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
         "pdf_extract": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    substring(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 400) AS text_out,

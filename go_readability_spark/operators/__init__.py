@@ -56,3 +56,9 @@ from .linkgraph import (  # noqa: F401
     link_edges,
     resolve_links,
 )
+from .robots import (  # noqa: F401
+    filter_by_robots,
+    robots_rules,
+    robots_verdicts,
+    sitemap_urls,
+)

@@ -1,0 +1,178 @@
+"""robots.txt parsing and crawl-policy gating (RFC 9309, public spec).
+
+A Common-Crawl-style pipeline needs the Robots Exclusion Protocol twice:
+once at crawl time (frontier filtering) and again at curation time
+(retro-active removal of pages a publisher has since disallowed — the
+standard takedown sweep before a training snapshot).  The reference
+library fetches single pages and has no crawl-policy layer (reference
+N/A — this is the LLM-data-ops surface BASELINE.json's north rule asks
+for on top of extraction parity).
+
+Everything here is relational — the "stateful" group structure of a
+robots.txt file (User-agent lines bind to the rule lines that follow,
+RFC 9309 §2.2.1) is recovered with one window over (host, line number):
+a User-agent line whose predecessor is NOT a User-agent line starts a
+new group, `group_id` is the running sum of those starts, and agents ×
+rules join back on (host, group_id).  No Python in any hot path.
+
+Rule matching follows RFC 9309 §2.2.2: `*` matches any octet sequence,
+a trailing `$` anchors end-of-path, the longest matched pattern wins,
+and an allow/disallow tie at equal length resolves to allow.  "Longest"
+is measured in pattern octets including wildcards (the Googlebot
+documented behavior; the RFC leaves the tiebreak metric open).
+Patterns compile to Java regexes with a single metachar-escaping
+regexp_replace so the whole match stays in whole-stage codegen.
+
+Scale notes (10^12 pages, ~10^8 hosts):
+  * `robots_rules` explodes per-host files ≤ 500 KiB (RFC cap) — the
+    window is partitioned by host, so no partition exceeds ~10^4 rows.
+  * `robots_verdicts` joins pages × rules on host.  The rules table is
+    ~20 rows/host; against a full-crawl host set that is a standard
+    equi-join (AQE handles CDN mega-hosts — fan-out is rules-per-host,
+    bounded, never pages × pages).  With a curated blocklist-style
+    rules table (≤ ~10^6 rows) Spark broadcasts it, leaving ONE
+    shuffle: the per-url verdict aggregation.
+  * The verdict is groupBy(url).max(struct(len, allow, …)) — an
+    aggregation with map-side partial combine, NOT a window, so the
+    per-url tiebreak never materializes a sorted partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .hosts import host_of_url
+
+# Regex metachars escaped when compiling a rule path to a Java regex.
+# `*` is handled separately (wildcard), `$` only as a trailing anchor.
+_META = r"([.^$+?(){}\[\]\\|])"
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, group_id, agent, allow, path, pattern_len, path_regex) —
+    one row per (agent line x rule line) pair of every group in every
+    robots.txt.  Empty-value Disallow lines (allow-all idiom) drop out
+    here, which yields the same verdict downstream (no match = allowed).
+    Unknown fields (Crawl-delay, Sitemap, ...) are ignored per RFC §2.2.3;
+    `sitemap_urls` recovers Sitemap separately."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("field"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
+    ).where(F.col("field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    starts_group = is_ua & (
+        F.lag(is_ua).over(w).isNull() | ~F.lag(is_ua).over(w)
+    )
+    grouped = parsed.withColumn(
+        "group_id", F.sum(starts_group.cast("int")).over(w)
+    ).where(F.col("group_id").isNotNull())
+    agents = (
+        grouped.where(is_ua)
+        .select("host", "group_id", F.lower(F.col("value")).alias("agent"))
+    )
+    has_anchor = F.col("value").endswith("$")
+    body = F.when(
+        has_anchor, F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(F.col("value"))
+    regex = F.concat(
+        F.lit("^"),
+        F.replace(
+            F.regexp_replace(body, _META, r"\\$1"), F.lit("*"), F.lit(".*")
+        ),
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    rules = (
+        grouped.where(~is_ua & (F.col("value") != ""))
+        .select(
+            "host", "group_id",
+            (F.col("field") == "allow").cast("int").alias("allow"),
+            F.col("value").alias("path"),
+            F.length("value").alias("pattern_len"),
+            regex.alias("path_regex"),
+        )
+    )
+    return agents.join(rules, ["host", "group_id"])
+
+
+def sitemap_urls(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap) for every Sitemap: line (any case, any group —
+    the field is group-independent per the sitemaps.org protocol)."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"),
+    ).select(
+        "host",
+        F.trim(F.regexp_extract(
+            F.trim(F.regexp_replace("line", "#.*$", "")),
+            r"(?i)^sitemap\s*:(.*)$", 1)).alias("sitemap"),
+    ).where(F.col("sitemap") != "")
+
+
+def _rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
+    """RFC §2.2.1 group selection: if any group names this product token
+    (case-insensitive exact match on the UA line value), only those
+    groups apply for the host; otherwise the `*` groups do."""
+    specific = rules.where(F.col("agent") == agent.lower())
+    star = rules.where(F.col("agent") == "*").join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    return specific.unionByName(star)
+
+
+def robots_verdicts(pages: DataFrame, rules: DataFrame, agent: str = "*",
+                    url_col: str = "url") -> DataFrame:
+    """(url, allowed, rule) — the RFC 9309 verdict per page URL.
+
+    `rule` is the winning pattern (longest match, allow on ties) or NULL
+    when no rule of the applicable group matches (allowed).  Pages whose
+    host has no robots.txt are allowed.  Single aggregation shuffle; the
+    rules side broadcasts when small (see module scale notes)."""
+    url = F.col(url_col)
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    keyed = pages.select(
+        url.alias("url"),
+        host_of_url(url).alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("url_path"),
+    )
+    applicable = _rules_for_agent(rules, agent)
+    matched = keyed.join(applicable, "host", "left").withColumn(
+        "hit",
+        F.col("path_regex").isNotNull() & F.expr("url_path rlike path_regex"),
+    )
+    best = F.max(
+        F.when(
+            F.col("hit"),
+            F.struct(
+                F.col("pattern_len"), F.col("allow"), F.col("path").alias("rule")
+            ),
+        )
+    ).alias("best")
+    return (
+        matched.groupBy("url").agg(best)
+        .select(
+            "url",
+            F.coalesce(F.col("best.allow") == 1, F.lit(True)).alias("allowed"),
+            F.col("best.rule").alias("rule"),
+        )
+    )
+
+
+def filter_by_robots(pages: DataFrame, rules: DataFrame, agent: str = "*",
+                     url_col: str = "url") -> DataFrame:
+    """Pages surviving the robots gate, all columns carried.  The verdict
+    table is (url, allowed) — a semi-join back on the natural key, so the
+    wide html column never rides through the verdict aggregation."""
+    keep = robots_verdicts(pages, rules, agent, url_col).where("allowed")
+    return pages.join(keep.select(F.col("url").alias(url_col)), url_col, "left_semi")

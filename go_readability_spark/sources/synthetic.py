@@ -224,3 +224,37 @@ def pages_from_documents(spark, sf_dir: str):
         F.col("text"),
         F.col("lang"),
     )
+
+
+def robots_for_hosts(spark, n_hosts: int = 5):
+    """(host, robots_txt) — a deterministic PLANTED robots.txt per
+    host{h}.example.org (the hosts pages_from_documents_linked emits),
+    exercising the full RFC 9309 grammar the parser supports: comments,
+    blank lines, a `*` group with wildcard + `$`-anchored rules, a
+    multi-User-agent specific group, an empty Disallow, an unknown field
+    (Crawl-delay) and a Sitemap line.  Driver oracles recompute the
+    expected verdicts arithmetically from doc_id (closed form — see
+    __spark_entry__._robots_gate_sql), so a hash match proves the
+    relational parse + longest-match gate recovered the planted policy."""
+    from pyspark.sql import functions as F
+
+    h = F.col("id").cast("string")
+    txt = F.concat(
+        F.lit("# planted policy for host"), h, F.lit("\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /rel/\n"),
+        F.lit("Allow: /\n"),
+        F.lit("Crawl-delay: 10\n"),
+        F.lit("Disallow: /docs/*7.html$\n"),
+        F.lit("\n"),
+        F.lit("User-agent: graftbot\n"),
+        F.lit("User-agent: otherbot\n"),
+        F.lit("Disallow: /docs/\n"),
+        F.lit("Allow: /docs/"), h, F.lit("\n"),
+        F.lit("Disallow:\n"),
+        F.lit("Sitemap: https://host"), h, F.lit(".example.org/sitemap.xml\n"),
+    )
+    return spark.range(n_hosts).select(
+        F.concat(F.lit("host"), h, F.lit(".example.org")).alias("host"),
+        txt.alias("robots_txt"),
+    )

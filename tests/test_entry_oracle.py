@@ -74,7 +74,7 @@ def test_every_query_runs(spark, entry_mod):
     "embedding_near_pairs", "repetition_filters", "url_canonical", "decontamination", "corpus_mixture", "line_dedup",
     "pii_redaction", "lm_perplexity", "substring_dedup",
     "latest_snapshot", "snapshot_history", "host_stats", "blocked_hosts",
-    "link_edges", "host_graph", "host_rank", "pdf_extract",
+    "link_edges", "host_graph", "host_rank", "pdf_extract", "robots_gate",
     "sequence_packing", "sequence_manifest", "shard_stats", "stratified_sample",
     "global_shuffle",
 ])

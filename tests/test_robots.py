@@ -1,0 +1,143 @@
+"""RFC 9309 robots.txt parse + gate (operators/robots.py)."""
+
+import pytest
+
+from go_readability_spark.operators import (
+    filter_by_robots,
+    robots_rules,
+    robots_verdicts,
+    sitemap_urls,
+)
+
+TXT = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/open.html
+Crawl-delay: 10
+
+User-agent: graftbot
+User-agent: otherbot
+Disallow: /docs/
+Allow: /docs/pub
+Disallow:
+Disallow: /tmp/*.log$
+Sitemap: https://a.example.org/sitemap.xml
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [("a.example.org", TXT)], "host string, robots_txt string"
+    )
+    return robots_rules(robots).cache()
+
+
+def _verdict(spark, rules, url, agent):
+    pages = spark.createDataFrame([(url,)], "url string")
+    row = robots_verdicts(pages, rules, agent=agent).collect()[0]
+    return row.allowed, row.rule
+
+
+def test_group_structure(rules):
+    rows = rules.collect()
+    # group 1: 2 rules x 1 agent; group 2: 3 rules x 2 agents
+    # (empty Disallow dropped, Crawl-delay/Sitemap ignored)
+    assert len([r for r in rows if r.agent == "*"]) == 2
+    assert len([r for r in rows if r.agent == "graftbot"]) == 3
+    assert len([r for r in rows if r.agent == "otherbot"]) == 3
+    assert all(r.path != "" for r in rows)
+
+
+def test_longest_match_wins_and_allow_ties(spark, rules):
+    # /private/open.html: Allow len 18 beats Disallow len 9
+    assert _verdict(spark, rules, "https://a.example.org/private/open.html", "*") \
+        == (True, "/private/open.html")
+    assert _verdict(spark, rules, "https://a.example.org/private/x.html", "*") \
+        == (False, "/private/")
+
+
+def test_specific_group_overrides_star(spark, rules):
+    # graftbot never sees the * group: /private/ is allowed for it
+    assert _verdict(spark, rules, "https://a.example.org/private/x.html",
+                    "GraftBot") == (True, None)
+    assert _verdict(spark, rules, "https://a.example.org/docs/x.html",
+                    "graftbot") == (False, "/docs/")
+    assert _verdict(spark, rules, "https://a.example.org/docs/pub1.html",
+                    "otherbot") == (True, "/docs/pub")
+
+
+def test_wildcard_and_anchor(spark, rules):
+    assert _verdict(spark, rules, "https://a.example.org/tmp/a/b.log",
+                    "graftbot") == (False, "/tmp/*.log$")
+    # anchor: .log.bak must NOT match the $-terminated pattern
+    assert _verdict(spark, rules, "https://a.example.org/tmp/a.log.bak",
+                    "graftbot") == (True, None)
+
+
+def test_unknown_host_and_agent_allowed(spark, rules):
+    # host with no robots at all -> allowed
+    assert _verdict(spark, rules, "https://nobody.example.net/x", "*") \
+        == (True, None)
+    # agent with no specific group falls back to *
+    assert _verdict(spark, rules, "https://a.example.org/private/y", "crawler9") \
+        == (False, "/private/")
+
+
+def test_root_path_default(spark, rules):
+    # bare authority URL resolves to path "/"
+    assert _verdict(spark, rules, "https://a.example.org", "*") == (True, None)
+
+
+def test_filter_by_robots_semi_join(spark, rules):
+    pages = spark.createDataFrame(
+        [("https://a.example.org/docs/x.html", "k1"),
+         ("https://a.example.org/docs/pub.html", "k2")],
+        "url string, payload string",
+    )
+    out = filter_by_robots(pages, rules, agent="graftbot").collect()
+    assert [(r.url, r.payload) for r in out] \
+        == [("https://a.example.org/docs/pub.html", "k2")]
+
+
+def test_sitemap_urls(spark):
+    robots = spark.createDataFrame(
+        [("a.example.org", TXT)], "host string, robots_txt string"
+    )
+    assert sitemap_urls(robots).collect()[0].sitemap \
+        == "https://a.example.org/sitemap.xml"
+
+
+def test_planted_closed_form(spark):
+    """The planted robots_for_hosts policy vs arithmetic ground truth
+    (same closed form the driver oracle uses)."""
+    from go_readability_spark.sources import (
+        pages_from_documents_linked,
+        robots_for_hosts,
+    )
+
+    pages = pages_from_documents_linked(spark, "/root/testdata/sf0.001")
+    rules = robots_rules(robots_for_hosts(spark))
+    star = {r.url: (r.allowed, r.rule)
+            for r in robots_verdicts(pages, rules, agent="*").collect()}
+    bot = {r.url: (r.allowed, r.rule)
+           for r in robots_verdicts(pages, rules, agent="graftbot").collect()}
+    assert star and set(star) == set(bot)
+    for url in star:
+        i = int(url.rsplit("/", 1)[1].split(".")[0])
+        h = i % 5
+        exp_star = (i % 10 != 7,
+                    "/" if i % 10 != 7 else "/docs/*7.html$")
+        exp_bot = (str(i)[0] == str(h),
+                   f"/docs/{h}" if str(i)[0] == str(h) else "/docs/")
+        assert star[url] == exp_star, (url, star[url], exp_star)
+        assert bot[url] == exp_bot, (url, bot[url], exp_bot)
+
+
+def test_verdict_plan_shape(spark, rules):
+    """Broadcast rules side + single aggregation exchange, no Python."""
+    pages = spark.createDataFrame([("https://a.example.org/x",)], "url string")
+    plan = robots_verdicts(pages, rules, agent="*") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
