@@ -835,6 +835,19 @@ def _q_host_rank(spark, sf_dir):
     return host_rank(g, iterations=5, damping=0.85)
 
 
+def _q_anchor_stats(spark, sf_dir):
+    """Inbound anchor-text profile per resolved target URL
+    (operators/linkgraph.py anchor_text_stats) over the planted-anchor
+    pages: the oracle reconstructs the 5 kept (dst, text) edges per doc
+    arithmetically, so a hash match proves anchor-element extraction,
+    inner-text rendering, href resolution, and the capped distinct-text
+    aggregation end-to-end."""
+    from go_readability_spark.operators import anchor_text_stats
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    return anchor_text_stats(pages_from_documents_linked(spark, sf_dir))
+
+
 def _q_robots_gate(spark, sf_dir):
     """RFC 9309 robots.txt parse + crawl-policy verdicts
     (operators/robots.py) against a PLANTED per-host policy
@@ -864,6 +877,23 @@ def _q_robots_gate(spark, sf_dir):
         F.col("rule").alias("bot_rule"),
     )
     return star.join(bot, "url")
+
+
+def _q_cdx_fetch_plan(spark, sf_dir):
+    """CDXJ crawl-index leg (sources/cdx.py): SURT keying + capture-line
+    parse + newest-good-HTML selection over PLANTED index lines
+    (sources/synthetic.py cdxj_from_documents — messy host case/port/
+    query order; a newer capture that is only sometimes eligible).  The
+    oracle is a closed form in doc_id including the SURT key itself, so
+    a hash match proves surt + parse + fetch-plan selection end-to-end."""
+    from go_readability_spark.sources import (
+        cdx_fetch_plan,
+        cdxj_from_documents,
+        parse_cdxj,
+    )
+
+    lines = cdxj_from_documents(spark, sf_dir)
+    return cdx_fetch_plan(parse_cdxj(lines))
 
 
 def _q_pdf_extract(spark, sf_dir):
@@ -928,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "robots_gate": _q_robots_gate,
+        "anchor_stats": _q_anchor_stats,
+        "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
@@ -1393,6 +1425,63 @@ def oracle_sql() -> dict[str, str]:
                              = CAST(i % 5 AS VARCHAR)
                         THEN '/docs/' || CAST(i % 5 AS VARCHAR)
                         ELSE '/docs/' END AS bot_rule
+            FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for anchor_stats: the same 5 planted kept anchors
+        # as _LINK_EDGES_CTE, now with their inner texts, aggregated per
+        # dst (n_srcs = distinct source docs; texts = sorted distinct
+        # inner texts, capped at 64 like the Spark side).
+        "anchor_stats": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+            e AS (
+                SELECT 'https://host' || CAST((i + 1) % 5 AS VARCHAR)
+                           || '.example.org/docs/' || CAST(i + 1 AS VARCHAR)
+                           || '.html' AS dst, 'next' AS text, i FROM d
+                UNION ALL
+                SELECT 'https://docs.example.org/' || CAST(i AS VARCHAR)
+                           || '.html', 'canon', i FROM d
+                UNION ALL
+                SELECT 'https://host' || CAST(i % 5 AS VARCHAR)
+                           || '.example.org/rel/' || CAST(i * 2 AS VARCHAR)
+                           || '.html', 'rel', i FROM d
+                UNION ALL
+                SELECT 'https://cdn.example.net/a' || CAST(i % 3 AS VARCHAR)
+                           || '.html', 'cdn', i FROM d
+                UNION ALL
+                SELECT 'https://host' || CAST(i % 5 AS VARCHAR)
+                           || '.example.org/docs/p' || CAST(i + 3 AS VARCHAR)
+                           || '.html', 'sib', i FROM d
+            )
+            SELECT dst, count(*) AS n_anchors,
+                   count(DISTINCT i) AS n_srcs,
+                   array_to_string(list_slice(list_sort(list(DISTINCT text)),
+                                              1, 64), '|') AS texts
+            FROM e GROUP BY dst
+        """,
+        # Closed-form ground truth for the planted CDXJ index
+        # (sources/synthetic.py cdxj_from_documents): doc i's messy url
+        # https://WWW.Docs.Example.org:443/{i}.html?b=2&a=1 SURTs to
+        # org,example,docs)/{i}.html?a=1&b=2 (www+port dropped, host
+        # reversed, query sorted); the newer capture wins iff it is
+        # 200 text/html, i.e. i % 3 == 0.  Pure doc_id arithmetic —
+        # verifies surt + parse + selection with no index text.
+        "cdx_fetch_plan": """
+            SELECT 'org,example,docs)/' || CAST(i AS VARCHAR)
+                       || '.html?a=1&b=2' AS urlkey,
+                   CASE WHEN i % 3 = 0
+                        THEN CAST(20250201000000 + i AS VARCHAR)
+                        ELSE CAST(20250101000000 + i AS VARCHAR) END AS ts,
+                   'https://WWW.Docs.Example.org:443/' || CAST(i AS VARCHAR)
+                       || '.html?b=2&a=1' AS url,
+                   CASE WHEN i % 3 = 0 THEN 'sha1:B' || CAST(i AS VARCHAR)
+                        ELSE 'sha1:A' || CAST(i AS VARCHAR) END AS digest,
+                   CASE WHEN i % 3 = 0 THEN 400 + i % 50
+                        ELSE 900 + i % 100 END AS length,
+                   CASE WHEN i % 3 = 0 THEN i * 1000 + 500
+                        ELSE i * 1000 END AS offset,
+                   'crawl-0' || CAST(CASE WHEN i % 3 = 0 THEN (i + 1) % 4
+                                          ELSE i % 4 END AS VARCHAR)
+                       || '.warc.gz' AS filename
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
         """,
         "pdf_extract": """

@@ -69,8 +69,10 @@ def _host_of(url_expr: str) -> str:
 
 
 def resolve_links(edges: DataFrame, src_col: str = "src",
-                  href_col: str = "href") -> DataFrame:
-    """(src, dst, src_host, dst_host) with hrefs resolved against src.
+                  href_col: str = "href",
+                  carry: tuple = ()) -> DataFrame:
+    """(src, dst, *carry, src_host, dst_host) with hrefs resolved against
+    src; `carry` names extra columns to keep (e.g. anchor text).
     Pure column CASE logic — stays in whole-stage codegen."""
     src = F.col(src_col)
     href = F.trim(F.col(href_col))
@@ -89,11 +91,11 @@ def resolve_links(edges: DataFrame, src_col: str = "src",
         )
         .otherwise(F.concat(src_dir, F.regexp_replace(href, "^\\./", "")))
     )
-    out = edges.select(src.alias("src"), dst.alias("dst")).where(
-        F.col("dst").isNotNull()
-    )
+    out = edges.select(
+        src.alias("src"), dst.alias("dst"), *[F.col(c) for c in carry]
+    ).where(F.col("dst").isNotNull())
     return out.select(
-        "src", "dst",
+        "src", "dst", *carry,
         F.expr(_host_of("src")).alias("src_host"),
         F.expr(_host_of("dst")).alias("dst_host"),
     )
@@ -103,6 +105,58 @@ def link_edges(pages: DataFrame, url_col: str = "url",
                html_col: str = "html") -> DataFrame:
     """extract + resolve in one shot (the shipping composition)."""
     return resolve_links(extract_links(pages, url_col, html_col))
+
+
+# Whole quoted-href anchor element, inner markup included ((?s): anchors
+# may span lines). Non-greedy body stops at the first </a> — nested <a>
+# is invalid HTML and the HTML5 parser would auto-close it the same way.
+FULL_ANCHOR_PATTERN = (
+    "(?is)<a\\s[^>]*?href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"
+)
+
+
+def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(src, href, text) — every quoted-href anchor with its rendered
+    inner text (tags stripped, whitespace collapsed).  Map-only."""
+    html_str = F.col(html_col).cast("string")
+    picked = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(FULL_ANCHOR_PATTERN), 0)
+        ).alias("m"),
+    )
+    inner = F.regexp_extract("m", "(?is)>(.*)</a>$", 1)
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(inner, "<[^>]*>", " "), "\\s+", " "))
+    return picked.select(
+        "src",
+        F.regexp_extract("m", HREF_PATTERN, 1).alias("href"),
+        text.alias("text"),
+    )
+
+
+def anchor_text_stats(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      max_texts: int = 64) -> DataFrame:
+    """(dst, n_anchors, n_srcs, texts) — inbound anchor-text profile per
+    resolved target URL, the classic relevance/label signal for URL
+    selection and weak supervision.
+
+    texts is the sorted distinct inner texts joined with '|', capped at
+    `max_texts` AFTER sorting so the value is deterministic; the cap
+    bounds row width on mega-inlinked targets (a homepage with 10^7
+    distinct anchor texts must not produce a GB-wide row).  One shuffle:
+    groupBy(dst) with map-side partial aggregation."""
+    at = extract_anchor_texts(pages, url_col, html_col)
+    resolved = resolve_links(at, carry=("text",))
+    return resolved.groupBy("dst").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("src").alias("n_srcs"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("text")), 1, max_texts), "|"
+        ).alias("texts"),
+    )
 
 
 def host_graph(edges: DataFrame, keep_self_loops: bool = False) -> DataFrame:

@@ -14,7 +14,14 @@ from .warc import (  # noqa: F401
     write_warc,
     write_wet,
 )
+from .cdx import (  # noqa: F401
+    cdx_fetch_plan,
+    cdx_host_coverage,
+    parse_cdxj,
+    surt_key,
+)
 from .synthetic import (  # noqa: F401
+    cdxj_from_documents,
     pages_from_documents,
     pages_from_documents_linked,
     robots_for_hosts,

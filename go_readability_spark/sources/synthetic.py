@@ -258,3 +258,53 @@ def robots_for_hosts(spark, n_hosts: int = 5):
         F.concat(F.lit("host"), h, F.lit(".example.org")).alias("host"),
         txt.alias("robots_txt"),
     )
+
+
+def cdxj_from_documents(spark, sf_dir: str):
+    """(line) — two PLANTED CDXJ capture lines per document: an older
+    always-good capture and a newer one that is good HTML only when
+    doc_id % 3 == 0 (else a 404 or a PDF).  The urlkey is computed by
+    sources/cdx.py surt_key over a deliberately messy url (upper-case
+    www host, default port, unsorted query), so the driver oracle's
+    closed-form urlkey verifies SURT + parse + selection end-to-end
+    (see __spark_entry__ `cdx_fetch_plan`)."""
+    from pyspark.sql import functions as F
+
+    from .cdx import surt_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    i_s = i.cast("string")
+    url = F.concat(F.lit("https://WWW.Docs.Example.org:443/"), i_s,
+                   F.lit(".html?b=2&a=1"))
+    key = surt_key(url)
+
+    def line(ts, status, mime, digest, length, offset, filename):
+        return F.concat(
+            key, F.lit(" "), ts,
+            F.lit(' {"url": "'), url,
+            F.lit('", "mime": "'), mime,
+            F.lit('", "status": "'), status,
+            F.lit('", "digest": "'), digest,
+            F.lit('", "length": "'), length.cast("string"),
+            F.lit('", "offset": "'), offset.cast("string"),
+            F.lit('", "filename": "'), filename, F.lit('"}'),
+        )
+
+    old = docs.select(line(
+        (F.lit(20250101000000) + i).cast("string"),
+        F.lit("200"), F.lit("text/html"),
+        F.concat(F.lit("sha1:A"), i_s),
+        F.lit(900) + i % 100, i * 1000,
+        F.concat(F.lit("crawl-0"), (i % 4).cast("string"), F.lit(".warc.gz")),
+    ).alias("line"))
+    new = docs.select(line(
+        (F.lit(20250201000000) + i).cast("string"),
+        F.when(i % 3 == 1, "404").otherwise("200"),
+        F.when(i % 3 == 2, "application/pdf").otherwise("text/html"),
+        F.concat(F.lit("sha1:B"), i_s),
+        F.lit(400) + i % 50, i * 1000 + 500,
+        F.concat(F.lit("crawl-0"), ((i + 1) % 4).cast("string"),
+                 F.lit(".warc.gz")),
+    ).alias("line"))
+    return old.unionByName(new)

@@ -139,3 +139,59 @@ def test_link_edges_plan_is_codegen(spark):
     plan = link_edges(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extract_anchor_texts(spark):
+    """Inner text rendered (tags stripped, whitespace collapsed),
+    multi-line anchors handled, one row per anchor."""
+    html = (
+        '<p><a href="/a">plain</a>'
+        '<a href="/b"><b>bold</b> and\n  spaced</a>'
+        '<a href="/c"><img src="x.png"></a></p>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example.org/p", html)], "url string, html string"
+    )
+    from go_readability_spark.operators import extract_anchor_texts
+
+    rows = {r.href: r.text for r in extract_anchor_texts(pages).collect()}
+    assert rows == {"/a": "plain", "/b": "bold and spaced", "/c": ""}
+
+
+def test_anchor_text_stats_cap_and_agg(spark):
+    """Distinct texts sorted then capped; counts exact."""
+    rows = [
+        (f"https://h.example.org/{i}",
+         f'<a href="/hot">t{i:02d}</a><a href="/hot">t00</a>')
+        for i in range(5)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    from go_readability_spark.operators import anchor_text_stats
+
+    out = anchor_text_stats(pages, max_texts=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.dst == "https://h.example.org/hot"
+    assert r.n_anchors == 10 and r.n_srcs == 5
+    assert r.texts == "t00|t01|t02"  # sorted, capped at 3
+
+
+def test_anchor_stats_planted_closed_form(spark):
+    """anchor_text_stats over the planted pages equals the arithmetic
+    ground truth (same closed form the driver oracle uses)."""
+    from go_readability_spark.operators import anchor_text_stats
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, "/root/testdata/sf0.001")
+    n = pages.count()
+    got = {r.dst: r for r in anchor_text_stats(pages).collect()}
+    # cdn targets aggregate across docs: n/3-ish inbound 'cdn' anchors
+    for j in range(3):
+        r = got[f"https://cdn.example.net/a{j}.html"]
+        assert r.texts == "cdn" and r.n_anchors == r.n_srcs
+        assert r.n_anchors == len([i for i in range(n) if i % 3 == j])
+    # per-doc unique targets each carry exactly one text
+    assert got["https://docs.example.org/0.html"].texts == "canon"
+    assert got["https://host1.example.org/docs/1.html"].texts == "next"
+    sib = got["https://host0.example.org/docs/p3.html"]
+    assert sib.texts == "sib" and sib.n_anchors == 1
