@@ -879,6 +879,24 @@ def _q_robots_gate(spark, sf_dir):
     return star.join(bot, "url")
 
 
+def _q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware fetch schedule (operators/robots.py
+    frontier_schedule): per-host deterministic fetch sequencing with
+    eta_sec spaced by the host's parsed Crawl-delay (10s in the planted
+    robots_for_hosts policy).  The oracle reconstructs the per-host
+    sequence with its own window over the closed-form url set, so a
+    hash match proves delay parse + host keying + slot math."""
+    from go_readability_spark.operators import crawl_delays, frontier_schedule
+    from go_readability_spark.sources import (
+        pages_from_documents_linked,
+        robots_for_hosts,
+    )
+
+    pages = pages_from_documents_linked(spark, sf_dir)
+    delays = crawl_delays(robots_for_hosts(spark), agent="*")
+    return frontier_schedule(pages, delays)
+
+
 def _q_cdx_fetch_plan(spark, sf_dir):
     """CDXJ crawl-index leg (sources/cdx.py): SURT keying + capture-line
     parse + newest-good-HTML selection over PLANTED index lines
@@ -959,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "robots_gate": _q_robots_gate,
         "anchor_stats": _q_anchor_stats,
+        "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
@@ -1426,6 +1445,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN '/docs/' || CAST(i % 5 AS VARCHAR)
                         ELSE '/docs/' END AS bot_rule
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for frontier_schedule: every planted host carries
+        # Crawl-delay: 10 in its `*` group, so per host the k-th url (in
+        # lexicographic url order) is scheduled at k*10.0s.  DuckDB
+        # recomputes the sequence with its own window over the
+        # closed-form url set — independent of the Spark plan.
+        "frontier_schedule": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+            u AS (
+                SELECT 'https://host' || CAST(i % 5 AS VARCHAR)
+                           || '.example.org/docs/' || CAST(i AS VARCHAR)
+                           || '.html' AS url,
+                       'host' || CAST(i % 5 AS VARCHAR)
+                           || '.example.org' AS host
+                FROM d
+            )
+            SELECT url, host,
+                   CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+                        - 1 AS INTEGER) AS slot,
+                   CAST((row_number() OVER (PARTITION BY host ORDER BY url)
+                        - 1) * 10.0 AS DOUBLE) AS eta_sec
+            FROM u
         """,
         # Ground truth for anchor_stats: the same 5 planted kept anchors
         # as _LINK_EDGES_CTE, now with their inner texts, aggregated per

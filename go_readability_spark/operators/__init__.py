@@ -59,7 +59,9 @@ from .linkgraph import (  # noqa: F401
     resolve_links,
 )
 from .robots import (  # noqa: F401
+    crawl_delays,
     filter_by_robots,
+    frontier_schedule,
     robots_rules,
     robots_verdicts,
     sitemap_urls,

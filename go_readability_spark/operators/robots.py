@@ -49,14 +49,12 @@ from .hosts import host_of_url
 _META = r"([.^$+?(){}\[\]\\|])"
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """(host, group_id, agent, allow, path, pattern_len, path_regex) —
-    one row per (agent line x rule line) pair of every group in every
-    robots.txt.  Empty-value Disallow lines (allow-all idiom) drop out
-    here, which yields the same verdict downstream (no match = allowed).
-    Unknown fields (Crawl-delay, Sitemap, ...) are ignored per RFC §2.2.3;
-    `sitemap_urls` recovers Sitemap separately."""
+def _grouped_fields(robots: DataFrame, fields: tuple,
+                    host_col: str, txt_col: str):
+    """Shared RFC 9309 group recovery (module docstring): explode lines,
+    strip comments, keep `fields` + user-agent, and assign group_id with
+    the one window over (host, line number).  Returns (grouped, agents,
+    is_ua) for the caller to pair rule rows with agent rows."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -68,7 +66,7 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         "host", "pos",
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("field"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
-    ).where(F.col("field").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("field").isin("user-agent", *fields))
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("field") == "user-agent"
     starts_group = is_ua & (
@@ -81,6 +79,19 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
         grouped.where(is_ua)
         .select("host", "group_id", F.lower(F.col("value")).alias("agent"))
     )
+    return grouped, agents, is_ua
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, group_id, agent, allow, path, pattern_len, path_regex) —
+    one row per (agent line x rule line) pair of every group in every
+    robots.txt.  Empty-value Disallow lines (allow-all idiom) drop out
+    here, which yields the same verdict downstream (no match = allowed).
+    Unknown fields (Sitemap, ...) are ignored per RFC §2.2.3;
+    `sitemap_urls` / `crawl_delays` recover those separately."""
+    grouped, agents, is_ua = _grouped_fields(
+        robots, ("allow", "disallow"), host_col, txt_col)
     has_anchor = F.col("value").endswith("$")
     body = F.when(
         has_anchor, F.expr("substring(value, 1, length(value) - 1)")
@@ -118,6 +129,62 @@ def sitemap_urls(robots: DataFrame, host_col: str = "host",
             F.trim(F.regexp_replace("line", "#.*$", "")),
             r"(?i)^sitemap\s*:(.*)$", 1)).alias("sitemap"),
     ).where(F.col("sitemap") != "")
+
+
+def crawl_delays(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, delay_sec) — the Crawl-delay value applicable to `agent`
+    (the de-facto extension field most crawlers honor; RFC 9309 §2.2.3
+    lets unknown fields carry group semantics).  Group selection matches
+    robots_verdicts: a group naming the agent wins over `*`; several
+    applicable values collapse to the MAX, and a named group WITHOUT a
+    Crawl-delay falls back to the `*` group's value (both conservative
+    reads: some delay beats none).  Non-numeric values are ignored.  Same single window as
+    robots_rules, then one aggregation — no Python anywhere."""
+    grouped, agents, is_ua = _grouped_fields(
+        robots, ("crawl-delay",), host_col, txt_col)
+    delays = grouped.where(~is_ua).select(
+        "host", "group_id",
+        # try_cast: malformed values become NULL (ANSI cast would fail
+        # the task on one bad robots.txt in a billion-host corpus)
+        F.expr("try_cast(value AS double)").alias("delay_sec"),
+    ).where(F.col("delay_sec").isNotNull())
+    tagged = agents.join(delays, ["host", "group_id"])
+    return (
+        _rules_for_agent(tagged, agent)
+        .groupBy("host")
+        .agg(F.max("delay_sec").alias("delay_sec"))
+    )
+
+
+def frontier_schedule(fetch_plan: DataFrame, delays: DataFrame,
+                      default_delay: float = 1.0,
+                      url_col: str = "url") -> DataFrame:
+    """(url, host, slot, eta_sec) — a politeness-aware fetch schedule:
+    per host, fetches are sequenced deterministically (by url) and the
+    k-th fetch is eligible at k * delay_sec seconds (host's Crawl-delay,
+    else `default_delay`).
+
+    This is the frontier math of a polite distributed crawler: the
+    per-host sequence IS the partition order a fetcher task walks, and
+    eta_sec bounds request rate per host no matter how many executors
+    fetch in parallel.  One window shuffle on host (the delays side is
+    per-host tiny — broadcast)."""
+    url = F.col(url_col)
+    keyed = fetch_plan.select(
+        url.alias("url"), host_of_url(url).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        keyed.join(F.broadcast(delays), "host", "left")
+        .withColumn("slot", F.row_number().over(w) - F.lit(1))
+        .select(
+            "url", "host", "slot",
+            (F.col("slot")
+             * F.coalesce(F.col("delay_sec"), F.lit(float(default_delay)))
+             ).alias("eta_sec"),
+        )
+    )
 
 
 def _rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:

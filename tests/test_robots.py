@@ -141,3 +141,46 @@ def test_verdict_plan_shape(spark, rules):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_crawl_delays_group_selection(spark):
+    txt = (
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n"
+        "User-agent: slowbot\nCrawl-delay: 30\nCrawl-delay: 5\n\n"
+        "User-agent: nodelaybot\nDisallow: /y\n"
+    )
+    from go_readability_spark.operators import crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a.example.org", txt), ("b.example.org", "User-agent: *\nCrawl-delay: oops\n")],
+        "host string, robots_txt string",
+    )
+    star = {r.host: r.delay_sec for r in crawl_delays(robots, "*").collect()}
+    assert star == {"a.example.org": 10.0}  # non-numeric ignored
+    slow = {r.host: r.delay_sec for r in crawl_delays(robots, "SlowBot").collect()}
+    assert slow == {"a.example.org": 30.0}  # specific wins, max of several
+    # named group without a delay falls back to * (conservative read)
+    nod = {r.host: r.delay_sec for r in crawl_delays(robots, "nodelaybot").collect()}
+    assert nod == {"a.example.org": 10.0}
+
+
+def test_frontier_schedule(spark):
+    from go_readability_spark.operators import crawl_delays, frontier_schedule
+
+    robots = spark.createDataFrame(
+        [("a.example.org", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    plan = spark.createDataFrame(
+        [("https://a.example.org/b",), ("https://a.example.org/a",),
+         ("https://other.example.net/x",), ("https://other.example.net/y",)],
+        "url string",
+    )
+    out = {r.url: (r.slot, r.eta_sec)
+           for r in frontier_schedule(plan, crawl_delays(robots), 1.0).collect()}
+    # per-host url order; host with Crawl-delay 2 spaces at 2s
+    assert out["https://a.example.org/a"] == (0, 0.0)
+    assert out["https://a.example.org/b"] == (1, 2.0)
+    # unknown host gets the default delay
+    assert out["https://other.example.net/x"] == (0, 0.0)
+    assert out["https://other.example.net/y"] == (1, 1.0)
