@@ -879,6 +879,34 @@ def _q_robots_gate(spark, sf_dir):
     return star.join(bot, "url")
 
 
+_MOJI_SUFFIX = " — café naïve 日本語"
+
+
+def _q_mojibake_repair(spark, sf_dir):
+    """Mojibake repair (functions/mojibake.py): every document's text
+    (plus a multibyte suffix) is corrupted Spark-side exactly the way
+    real pipelines corrupt it (UTF-8 bytes decoded as Latin-1), then
+    repaired.  The oracle hashes the ORIGINAL text — so a hash match
+    proves the repair inverted the corruption byte-exactly on 500
+    distinct payloads, and the flag fired on every row."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.functions import with_mojibake_repaired
+
+    docs = _read(spark, sf_dir, "documents")
+    clean = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    corrupted = docs.select(
+        "doc_id",
+        F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1").alias("text"),
+    )
+    fixed = with_mojibake_repaired(corrupted)
+    return fixed.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fixed_md5"),
+        "was_mojibake",
+    )
+
+
 def _q_frontier_schedule(spark, sf_dir):
     """Politeness-aware fetch schedule (operators/robots.py
     frontier_schedule): per-host deterministic fetch sequencing with
@@ -977,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "robots_gate": _q_robots_gate,
         "anchor_stats": _q_anchor_stats,
+        "mojibake_repair": _q_mojibake_repair,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
@@ -1445,6 +1474,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN '/docs/' || CAST(i % 5 AS VARCHAR)
                         ELSE '/docs/' END AS bot_rule
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for mojibake_repair: md5 of the ORIGINAL text +
+        # suffix — the corruption happened only inside the Spark query,
+        # so matching hashes prove exact inversion.
+        "mojibake_repair": """
+            SELECT doc_id,
+                   md5(text || ' — café naïve 日本語') AS fixed_md5,
+                   TRUE AS was_mojibake
+            FROM documents
         """,
         # Ground truth for frontier_schedule: every planted host carries
         # Crawl-delay: 10 in its `*` group, so per host the k-th url (in

@@ -8,3 +8,8 @@ from .text import (  # noqa: F401
     with_text_features,
     ws_token_count,
 )
+from .mojibake import (  # noqa: F401
+    mojibake_flag,
+    repair_mojibake,
+    with_mojibake_repaired,
+)

@@ -1,96 +1,79 @@
-"""Mojibake repair (ftfy-lite): undo the single most common crawl-corpus
-encoding accident — UTF-8 bytes decoded as Latin-1/Windows-1252 and
-re-encoded ("doubly-encoded UTF-8": 'é' -> 'Ã©', '—' -> 'â€"',
-'’' -> 'â€™').
+"""Mojibake repair: recover text that was UTF-8 double-decoded.
 
-Conservative by design: a row is only rewritten when (a) it contains the
-characteristic marker sequences, (b) the reverse transform round-trips
-cleanly, and (c) the repair strictly reduces the marker count without
-introducing replacement characters. Deterministic, idempotent (repaired
-text no longer matches the markers), Arrow-batched.
+The single most common encoding corruption in web corpora: a page's
+UTF-8 bytes were decoded as ISO-8859-1/cp1252 somewhere upstream, so
+every multibyte sequence surfaces as 1 Latin-1 char per byte
+("café" -> "cafÃ©", curly quote -> "â€™").  The inverse is exact when
+it applies: re-encode the characters as Latin-1 (recovering the
+original bytes) and decode them as UTF-8 — the ftfy approach, public
+knowledge, here as pure JVM column expressions (encode/decode/
+is_valid_utf8), no Python in the hot path.
+
+The repair fires only when ALL THREE hold, each a CASE guard so ANSI
+encode/decode can never throw on the rows we leave alone:
+  1. the string is Latin-1-representable (chars <= U+00FF) — otherwise
+     it cannot be a Latin-1 misread in the first place (and encode
+     would raise);
+  2. it shows a mojibake marker: a UTF-8 lead byte 0xC2-0xF4 followed
+     by a continuation byte 0x80-0xBF, read as Latin-1 chars — plain
+     ASCII/Latin-1 text never matches;
+  3. the recovered bytes are valid UTF-8 (is_valid_utf8) — a stray 'Ã'
+     in genuine Latin-1 text fails this and is preserved.
+Known ftfy tradeoff, inherited deliberately: text whose author really
+meant a marker sequence like "Ã©" (and which round-trips as valid
+UTF-8) is indistinguishable from mojibake and gets repaired.
+
+Doubly-corrupted text (decoded wrong twice) repairs one layer per
+application; call twice for paranoid pipelines — the operator is
+idempotent on clean text.
+
+Scale: map-only, whole-stage codegen, no shuffle, no UDF.  The three
+guards are cheap (two char-class regexes + one validation pass) and
+short-circuit: an ASCII-only corpus pays two regex scans per row.
 """
 
 from __future__ import annotations
 
-import re
+from pyspark.sql import Column, DataFrame, functions as F
 
-import pandas as pd
-from pyspark.sql import DataFrame
-
-# Ã/Â/â followed by a continuation-range char, or the classic curly-quote
-# wrecks — presence means "almost certainly double-encoded"
-MOJIBAKE_MARKER = re.compile(
-    "[ÃÂ][-¿ŒœŠšŸŽž"
-    "ƒˆ˜–—‘’‚“”„"
-    "†‡•…‰‹›€™]"
-    "|â€|â€™|â€œ|Ã¢â|â„¢"
-)
+# UTF-8 lead byte (0xC2-0xF4) + continuation byte (0x80-0xBF), as the
+# Latin-1 characters they become after a wrong decode.
+MOJIBAKE_MARKER = "[\\u00c2-\\u00f4][\\u0080-\\u00bf]"
+_LATIN1_ONLY = "^[\\u0000-\\u00ff]*$"
 
 
-def _sloppy_1252_bytes(s: str) -> bytes:
-    """ftfy's 'sloppy windows-1252': cp1252 (the curly-quote block lives at
-    0x80-0x9f), with the five cp1252 holes (0x81 8D 8F 90 9D) falling back
-    to the raw codepoint byte — exactly how browsers decoded them, so
-    exactly how they re-appear in mojibake. Only runs on marker-flagged
-    rows, so the per-char loop is off the hot path."""
-    out = bytearray()
-    for ch in s:
-        try:
-            out += ch.encode("cp1252")
-        except UnicodeEncodeError:
-            o = ord(ch)
-            if o <= 0xFF:
-                out.append(o)
-            else:
-                raise
-    return bytes(out)
+def mojibake_flag(text: Column) -> Column:
+    """True where `text` is repairable mojibake (all three guards)."""
+    latin1 = text.rlike(_LATIN1_ONLY)
+    marker = text.rlike(MOJIBAKE_MARKER)
+    # is_valid_utf8 is only reachable when latin1 holds (encode of a
+    # char > U+00FF raises under ANSI), hence the nested CASE
+    valid = F.when(
+        latin1 & marker, F.is_valid_utf8(F.encode(text, "ISO-8859-1"))
+    ).otherwise(F.lit(False))
+    return latin1 & marker & valid
 
 
-# ASCII whitespace only: \s would also match U+00A0, which can be the
-# SECOND byte of a mojibake pair ('Â\xa0' = double-encoded nbsp) — splitting
-# there would break the pair. UTF-8 continuation bytes map to no ASCII
-# whitespace under cp1252, so ASCII-whitespace boundaries never cut a
-# mojibake sequence.
-_ASCII_WS = re.compile(r"([ \t\n\r\f\v]+)")
+def repair_mojibake(text: Column) -> Column:
+    """The repaired text column: exact inverse decode where the guards
+    hold, byte-identical passthrough everywhere else."""
+    return F.when(
+        mojibake_flag(text),
+        F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"),
+    ).otherwise(text)
 
 
-def _fix_segment(s: str) -> str:
-    if not MOJIBAKE_MARKER.search(s):
-        return s
-    try:
-        fixed = _sloppy_1252_bytes(s).decode("utf-8", errors="strict")
-    except (UnicodeEncodeError, UnicodeDecodeError):
-        return s
-    if "�" in fixed:
-        return s
-    before = len(MOJIBAKE_MARKER.findall(s))
-    after = len(MOJIBAKE_MARKER.findall(fixed))
-    return fixed if after < before else s
-
-
-def fix_mojibake_text(s: str) -> str:
-    """Repair one string, or return it unchanged when not confidently
-    mojibake. Repair is applied PER whitespace-separated token: real crawl
-    docs mix mojibake with legitimately non-ASCII text (em-dashes, curly
-    quotes), and a whole-string strict round-trip would let one legitimate
-    cp1252-encodable character block every repair in the document."""
-    if not s or not MOJIBAKE_MARKER.search(s):
-        return s
-    return "".join(
-        part if i % 2 else _fix_segment(part)
-        for i, part in enumerate(_ASCII_WS.split(s))
+def with_mojibake_repaired(df: DataFrame, text_col: str = "text",
+                           out_col: str | None = None,
+                           flag_col: str = "was_mojibake") -> DataFrame:
+    """Adds boolean `flag_col` and writes the repaired text to `out_col`
+    (default: in place).  Rows failing any guard pass through
+    byte-identical."""
+    out_col = out_col or text_col
+    text = F.col(text_col)
+    return df.withColumn(flag_col, mojibake_flag(text)).withColumn(
+        out_col,
+        F.when(F.col(flag_col),
+               F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"))
+        .otherwise(text),
     )
-
-
-def with_fixed_text(df: DataFrame, text_col: str = "text",
-                    out_col: str | None = None) -> DataFrame:
-    """Adds the repaired column (defaults to replacing text_col in place).
-    Arrow-batched mapInPandas would be overkill — this is a scalar pandas
-    UDF over one string column (vectorized batch transfer, tiny Python)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def fix(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: fix_mojibake_text(s) if s is not None else None)
-
-    return df.withColumn(out_col or text_col, fix(df[text_col]))

@@ -1,0 +1,79 @@
+"""Mojibake repair (functions/mojibake.py): double-decode inversion."""
+
+import pytest
+
+from go_readability_spark.functions import with_mojibake_repaired
+
+
+def _repair(spark, s):
+    df = spark.createDataFrame([(s,)], "text string")
+    r = with_mojibake_repaired(df).collect()[0]
+    return r.text, r.was_mojibake
+
+
+def _corrupt(s: str) -> str:
+    """Simulate the upstream bug: UTF-8 bytes decoded as Latin-1."""
+    return s.encode("utf-8").decode("iso-8859-1")
+
+
+@pytest.mark.parametrize("clean", [
+    "café au lait",
+    "curly ’quotes“ and — dashes…",
+    "mixed 日本語 and ASCII",
+    "emoji 🎉 four-byte",
+    "naïve Ångström's œuvre",
+])
+def test_roundtrip_repairs_exactly(spark, clean):
+    fixed, flag = _repair(spark, _corrupt(clean))
+    assert flag is True
+    assert fixed == clean
+
+
+@pytest.mark.parametrize("s", [
+    "plain ascii only",
+    "genuine latin-1: café ±2°",         # marker absent -> untouched
+    "stray lead byte Ã not mojibake",     # invalid UTF-8 -> untouched
+    "already wide 日本語",                 # not latin-1 -> untouched
+    "",
+    "tabs\tand\nnewlines stay ascii",
+])
+def test_clean_text_passes_through(spark, s):
+    fixed, flag = _repair(spark, s)
+    assert flag is False
+    assert fixed == s
+
+
+def test_idempotent_on_repaired_output(spark):
+    once, _ = _repair(spark, _corrupt("café — ’…"))
+    twice, flag = _repair(spark, once)
+    assert twice == once and flag is False
+
+
+def test_double_corruption_one_layer_per_pass(spark):
+    clean = "café"
+    twice_corrupted = _corrupt(_corrupt(clean))
+    once_fixed, f1 = _repair(spark, twice_corrupted)
+    assert f1 is True and once_fixed == _corrupt(clean)
+    fully_fixed, f2 = _repair(spark, once_fixed)
+    assert f2 is True and fully_fixed == clean
+
+
+def test_out_col_and_plan_shape(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(_corrupt("é"),)], "text string")
+    out = with_mojibake_repaired(df, out_col="fixed")
+    row = out.collect()[0]
+    assert row.text == _corrupt("é") and row.fixed == "é"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only
+
+
+def test_column_batch(spark):
+    """Mixed batch: each row independently gated (no task failure from
+    ANSI encode/decode on the unrepairable rows)."""
+    rows = [(_corrupt("déjà vu"),), ("plain",), ("日本語",), ("Ã",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.text for r in with_mojibake_repaired(df).collect()]
+    assert got == ["déjà vu", "plain", "日本語", "Ã"]
