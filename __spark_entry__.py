@@ -879,6 +879,19 @@ def _q_robots_gate(spark, sf_dir):
     return star.join(bot, "url")
 
 
+def _q_sitemap_entries(spark, sf_dir):
+    """Sitemap protocol parse (operators/sitemaps.py) over PLANTED
+    per-host urlsets (sources/synthetic.py sitemaps_for_hosts — entity
+    escapes, namespace prefixes on odd hosts, all 7 changefreq values,
+    fractional priorities).  The oracle recomputes every field as a
+    closed form in doc_id, so a hash match proves element extraction,
+    entity unescaping, trimming, and the try_cast priority."""
+    from go_readability_spark.operators import parse_sitemap
+    from go_readability_spark.sources import sitemaps_for_hosts
+
+    return parse_sitemap(sitemaps_for_hosts(spark, sf_dir))
+
+
 _MOJI_SUFFIX = " — café naïve 日本語"
 
 
@@ -1006,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "anchor_stats": _q_anchor_stats,
         "mojibake_repair": _q_mojibake_repair,
+        "sitemap_entries": _q_sitemap_entries,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
@@ -1473,6 +1487,22 @@ def oracle_sql() -> dict[str, str]:
                              = CAST(i % 5 AS VARCHAR)
                         THEN '/docs/' || CAST(i % 5 AS VARCHAR)
                         ELSE '/docs/' END AS bot_rule
+            FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for sitemap_entries: the planted urlset fields as
+        # closed forms in doc_id; priority as the same decimal division
+        # both engines round once.
+        "sitemap_entries": """
+            SELECT 'host' || CAST(i % 5 AS VARCHAR) || '.example.org' AS host,
+                   'https://host' || CAST(i % 5 AS VARCHAR)
+                       || '.example.org/docs/' || CAST(i AS VARCHAR)
+                       || '.html?a=1&b=2' AS loc,
+                   '2025-01-' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0')
+                       AS lastmod,
+                   list_extract(['always', 'hourly', 'daily', 'weekly',
+                                 'monthly', 'yearly', 'never'],
+                                CAST(i % 7 + 1 AS INTEGER)) AS changefreq,
+                   CAST(i % 10 AS DOUBLE) / 10.0 AS priority
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
         """,
         # Ground truth for mojibake_repair: md5 of the ORIGINAL text +

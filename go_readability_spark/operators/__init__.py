@@ -58,6 +58,10 @@ from .linkgraph import (  # noqa: F401
     link_edges,
     resolve_links,
 )
+from .sitemaps import (  # noqa: F401
+    parse_sitemap,
+    sitemap_index,
+)
 from .robots import (  # noqa: F401
     crawl_delays,
     filter_by_robots,

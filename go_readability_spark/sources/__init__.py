@@ -25,6 +25,7 @@ from .synthetic import (  # noqa: F401
     pages_from_documents,
     pages_from_documents_linked,
     robots_for_hosts,
+    sitemaps_for_hosts,
     synth_corpus_rows,
     synth_pages_dataframe,
     synth_pages_distributed,

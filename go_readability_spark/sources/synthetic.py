@@ -308,3 +308,56 @@ def cdxj_from_documents(spark, sf_dir: str):
                  F.lit(".warc.gz")),
     ).alias("line"))
     return old.unionByName(new)
+
+
+def sitemaps_for_hosts(spark, sf_dir: str):
+    """(host, sitemap_xml) — one PLANTED urlset per host{h}.example.org
+    containing a <url> entry for every doc with doc_id % 5 == h:
+    loc with an &amp; entity, lastmod, changefreq cycling the 7 spec
+    values, priority 0.{d}.  Odd hosts use a namespace prefix (<sm:url>)
+    to exercise prefix handling.  The driver oracle recomputes every
+    field as a closed form in doc_id (see __spark_entry__
+    `sitemap_entries`), so a hash match proves element extraction,
+    entity unescaping, and field picking."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    i_s = i.cast("string")
+    h = (i % 5).cast("string")
+    pfx = F.when(i % 5 % 2 == 1, "sm:").otherwise("")
+    cf = F.element_at(
+        F.array(*[F.lit(x) for x in (
+            "always", "hourly", "daily", "weekly", "monthly", "yearly",
+            "never")]),
+        (i % 7 + 1).cast("int"),
+    )
+
+    def tag(name, body):
+        return F.concat(F.lit("<"), pfx, F.lit(name), F.lit(">"), body,
+                        F.lit("</"), pfx, F.lit(name), F.lit(">"))
+
+    entry = tag("url", F.concat(
+        tag("loc", F.concat(
+            F.lit("https://host"), h, F.lit(".example.org/docs/"), i_s,
+            F.lit(".html?a=1&amp;b=2"))),
+        tag("lastmod", F.concat(
+            F.lit("2025-01-"), F.lpad((i % 28 + 1).cast("string"), 2, "0"))),
+        tag("changefreq", cf),
+        tag("priority", F.concat(F.lit("0."), (i % 10).cast("string"))),
+    ))
+    per_host = (
+        docs.select(
+            F.concat(F.lit("host"), h, F.lit(".example.org")).alias("host"),
+            F.struct(i.alias("i"), entry.alias("e")).alias("se"),
+        )
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list("se")).alias("ses"))
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        F.array_join(F.transform("ses", lambda s: s["e"]), "\n"),
+        F.lit("\n</urlset>"),
+    )
+    return per_host.select("host", xml.alias("sitemap_xml"))
