@@ -920,6 +920,29 @@ def _q_mojibake_repair(spark, sf_dir):
     )
 
 
+def _q_mojibake_segments(spark, sf_dir):
+    """Segment-level mojibake repair (functions/mojibake.py
+    with_fixed_text, the mixed-content path): each document gets a REAL
+    em-dash plus a corrupted multibyte tail, so the repair must fix the
+    tail while leaving the genuine non-Latin-1 char alone.  Oracle
+    hashes the expected clean result — closed form because documents
+    text is ASCII (asserted by the pipeline's own text_features runs)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.functions import with_fixed_text
+
+    docs = _read(spark, sf_dir, "documents")
+    corrupted_tail = F.decode(
+        F.encode(F.lit("café naïve “quoted”"), "UTF-8"), "ISO-8859-1")
+    mixed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" — "), corrupted_tail).alias("text"),
+    )
+    fixed = with_fixed_text(mixed)
+    return fixed.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fixed_md5"))
+
+
 def _q_frontier_schedule(spark, sf_dir):
     """Politeness-aware fetch schedule (operators/robots.py
     frontier_schedule): per-host deterministic fetch sequencing with
@@ -1020,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "mojibake_repair": _q_mojibake_repair,
         "sitemap_entries": _q_sitemap_entries,
+        "mojibake_segments": _q_mojibake_segments,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
@@ -1512,6 +1536,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(text || ' — café naïve 日本語') AS fixed_md5,
                    TRUE AS was_mojibake
+            FROM documents
+        """,
+        # Segment path: the em-dash survives, the corrupted tail inverts.
+        "mojibake_segments": """
+            SELECT doc_id,
+                   md5(text || ' — café naïve “quoted”') AS fixed_md5
             FROM documents
         """,
         # Ground truth for frontier_schedule: every planted host carries

@@ -9,7 +9,9 @@ from .text import (  # noqa: F401
     ws_token_count,
 )
 from .mojibake import (  # noqa: F401
+    fix_mojibake_text,
     mojibake_flag,
     repair_mojibake,
+    with_fixed_text,
     with_mojibake_repaired,
 )

@@ -77,3 +77,77 @@ def with_mojibake_repaired(df: DataFrame, text_col: str = "text",
                F.decode(F.encode(text, "ISO-8859-1"), "UTF-8"))
         .otherwise(text),
     )
+
+
+# ---------------------------------------------------------------- segments
+#
+# Real pages are often only PARTIALLY corrupted: a CMS re-encoded the
+# body but an editor pasted a clean em-dash into the title, so the
+# string mixes genuine non-Latin-1 chars with mojibake units.  The
+# whole-string path above correctly refuses those rows (guard 1).  The
+# segment path repairs them: find each maximal run of mojibake UNITS —
+# a UTF-8 lead byte followed by the right number of continuation bytes,
+# both viewed through the cp1252 lens the corruption used — and invert
+# just that run.  cp1252, not ISO-8859-1, because that is what web
+# stacks actually decode with: bytes 0x80-0x9F surface as "€™"-class
+# punctuation, not C1 controls.  Per-match byte transcoding is not
+# expressible with the builtin whole-column encode/decode, so this path
+# is an Arrow-batched pandas UDF (the documented slow path) — use
+# with_mojibake_repaired for bulk fully-corrupted corpora and
+# with_fixed_text when mixed content matters.
+
+import re as _re
+
+# cp1252 images of continuation bytes 0x80-0xBF: the Latin-1 range plus
+# the 27 punctuation/letter chars cp1252 maps into 0x80-0x9F (unmapped
+# bytes 81 8D 8F 90 9D stay as the control chars, inside \x80-\xbf).
+_CONT = ("[\\x80-\\xbf€‚ƒ„…†‡ˆ"
+         "‰Š‹ŒŽ‘’“”•"
+         "–—˜™š›œžŸ]")
+# UTF-8 structure through the cp1252 lens: C2-DF+1, E0-EF+2, F0-F4+3.
+_UNIT = _re.compile(
+    f"(?:[\\xc2-\\xdf]{_CONT}"
+    f"|[\\xe0-\\xef]{_CONT}{{2}}"
+    f"|[\\xf0-\\xf4]{_CONT}{{3}})+"
+)
+
+
+def _cp1252_byte(ch: str) -> bytes:
+    try:
+        return ch.encode("cp1252")
+    except UnicodeEncodeError:
+        # cp1252-unmapped controls (0x81 8D 8F 90 9D) keep their byte
+        return bytes([ord(ch)])
+
+
+def fix_mojibake_text(s: str) -> str:
+    """Segment-level cp1252 mojibake repair of one string (driver-side
+    twin of with_fixed_text; also its per-row kernel).  Clean text —
+    including genuine 'é'/'—'/curly quotes — is untouched: a unit needs
+    a lead-byte char AND its continuation chars adjacent."""
+    def _repair(m: "_re.Match[str]") -> str:
+        seg = m.group(0)
+        try:
+            return b"".join(map(_cp1252_byte, seg)).decode("utf-8")
+        except UnicodeDecodeError:
+            # structurally a unit but not valid UTF-8 (overlong,
+            # surrogate range): genuine text, keep it
+            return seg
+    return _UNIT.sub(_repair, s)
+
+
+def with_fixed_text(df: DataFrame, text_col: str = "text",
+                    out_col: str | None = None) -> DataFrame:
+    """Segment-level repair over a DataFrame column (Arrow-batched
+    pandas UDF — see the segment-path note above for why this one is
+    not pure column expressions)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or text_col
+
+    @pandas_udf("string")
+    def _fix(s):
+        return s.map(lambda x: None if x is None else fix_mojibake_text(x))
+
+    return df.withColumn(out_col, _fix(F.col(text_col)))
