@@ -274,6 +274,7 @@ def cmd_curate(args) -> int:
             redact_pii=args.redact_pii,
             max_lm_nll_per_bigram=args.max_lm_nll,
             host_rank_floor=args.host_rank_floor,
+            fix_mojibake=args.fix_mojibake,
             quality_model=(
                 json.load(open(args.quality_model)) if args.quality_model else None
             ),
@@ -365,6 +366,9 @@ def main(argv=None) -> int:
                    help="apply Gopher/C4 repetition + structure gates")
     c.add_argument("--redact-pii", action="store_true",
                    help="mask emails/IPs/phones in text_content")
+    c.add_argument("--fix-mojibake", action="store_true",
+                   help="repair UTF-8 double-decode corruption in "
+                        "extracted text (segment-level cp1252 inversion)")
     c.add_argument("--host-rank-floor", type=float, default=None,
                    help="drop pages whose host PageRank (computed over "
                         "the input's own link graph) is below this floor; "

@@ -34,6 +34,7 @@ def curate_corpus(
     quality_model: dict | None = None,
     host_rank_floor: float | None = None,
     host_rank_iterations: int = 5,
+    fix_mojibake: bool = False,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -83,6 +84,19 @@ def curate_corpus(
         checkpoint_dir=checkpoint_dir,
         resume=False,
     )
+
+    if fix_mojibake:
+        # segment-level repair (functions/mojibake.py with_fixed_text):
+        # curation already pays an Arrow pass for the extraction UDF, so
+        # one more batched pass is marginal here, and the segment kernel
+        # subsumes the whole-string JVM path with cp1252-correct
+        # semantics (mixed-content pages included). Runs BEFORE the
+        # lang/quality features so they score the repaired text; the
+        # `length` gate below still uses the extraction-time length
+        # (repair only ever shrinks mojibake, never grows text).
+        from ..functions.mojibake import with_fixed_text
+
+        articles = with_fixed_text(articles, "text_content")
 
     c = F.col("text_content")
     enriched = (

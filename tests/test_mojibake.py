@@ -77,3 +77,29 @@ def test_column_batch(spark):
     df = spark.createDataFrame(rows, "text string")
     got = [r.text for r in with_mojibake_repaired(df).collect()]
     assert got == ["déjà vu", "plain", "日本語", "Ã"]
+
+
+def test_curate_fix_mojibake_end_to_end(spark):
+    """--fix-mojibake repairs extracted article text inside the full
+    curation pipeline (extraction -> repair -> gates -> dedup)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.plans import curate_corpus
+
+    body = ("This is a long enough clean paragraph about data pipelines "
+            "and their curious habits, repeated for length. " * 5)
+    clean_tail = "café — naïve “quoted” résumé"
+    corrupted_tail = clean_tail.encode("utf-8").decode("iso-8859-1")
+    html = (f"<html><body><div class='article-content'><h1>T</h1>"
+            f"<p>{body}</p><p>{body} {corrupted_tail}</p></div>"
+            f"</body></html>").encode()
+    pages = spark.createDataFrame(
+        [("https://m.example.org/a.html", None, bytearray(html), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = curate_corpus(pages, min_length=50, min_quality=0.0,
+                        languages=(), fix_mojibake=True).collect()
+    assert len(out) == 1
+    text = out[0].text_content
+    assert clean_tail in text
+    assert "Ã©" not in text and "â€" not in text
