@@ -275,6 +275,10 @@ def cmd_curate(args) -> int:
             max_lm_nll_per_bigram=args.max_lm_nll,
             host_rank_floor=args.host_rank_floor,
             fix_mojibake=args.fix_mojibake,
+            robots=(
+                spark.read.parquet(args.robots) if args.robots else None
+            ),
+            robots_agent=args.robots_agent,
             quality_model=(
                 json.load(open(args.quality_model)) if args.quality_model else None
             ),
@@ -369,6 +373,12 @@ def main(argv=None) -> int:
     c.add_argument("--fix-mojibake", action="store_true",
                    help="repair UTF-8 double-decode corruption in "
                         "extracted text (segment-level cp1252 inversion)")
+    c.add_argument("--robots", default=None,
+                   help="parquet of (host, robots_txt): drop pages the "
+                        "current policy disallows (takedown sweep, "
+                        "RFC 9309 longest-match semantics)")
+    c.add_argument("--robots-agent", default="*",
+                   help="product token for robots group selection")
     c.add_argument("--host-rank-floor", type=float, default=None,
                    help="drop pages whose host PageRank (computed over "
                         "the input's own link graph) is below this floor; "

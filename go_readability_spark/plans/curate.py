@@ -35,6 +35,8 @@ def curate_corpus(
     host_rank_floor: float | None = None,
     host_rank_iterations: int = 5,
     fix_mojibake: bool = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -63,6 +65,17 @@ def curate_corpus(
     buckets' rows (run_extraction_job). curate_corpus returns a DataFrame
     with no such output, so resuming would silently drop every
     previously-'done' bucket from the corpus."""
+    if robots is not None:
+        # retroactive robots.txt takedown sweep (operators/robots.py):
+        # drop pages the publisher's CURRENT policy disallows before any
+        # extraction work. robots is (host, robots_txt); the verdict
+        # aggregation shuffles only (url, rule-match) pairs — the wide
+        # html column rides the cheap semi-join back.
+        from ..operators.robots import filter_by_robots, robots_rules
+
+        pages = filter_by_robots(
+            pages, robots_rules(robots), agent=robots_agent)
+
     if host_rank_floor is not None:
         from ..operators.hosts import host_of_url
         from ..operators.linkgraph import host_graph, host_rank, link_edges

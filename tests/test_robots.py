@@ -184,3 +184,29 @@ def test_frontier_schedule(spark):
     # unknown host gets the default delay
     assert out["https://other.example.net/x"] == (0, 0.0)
     assert out["https://other.example.net/y"] == (1, 1.0)
+
+
+def test_curate_robots_takedown_sweep(spark):
+    """curate_corpus(robots=...) drops disallowed pages before
+    extraction (CLI --robots)."""
+    from go_readability_spark.plans import curate_corpus
+
+    body = ("A sufficiently long clean paragraph about crawling and "
+            "curation pipelines, repeated for length and substance. " * 5)
+    def page(url):
+        html = (f"<html><body><div class='article-content'><h1>T</h1>"
+                f"<p>{body}</p><p>{body}</p></div></body></html>").encode()
+        return (url, None, bytearray(html), None, None)
+
+    pages = spark.createDataFrame(
+        [page("https://a.example.org/private/x.html"),
+         page("https://a.example.org/public/y.html")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    out = curate_corpus(pages, min_length=50, min_quality=0.0,
+                        languages=(), robots=robots).collect()
+    assert [r.url for r in out] == ["https://a.example.org/public/y.html"]
