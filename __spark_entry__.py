@@ -1403,7 +1403,24 @@ def _pinned_output_oracles() -> dict[str, str]:
     arts = _os.path.join(src, "extract_articles_sf001.json")
     media = _os.path.join(src, "media_features_sf001.json")
     bpe = _os.path.join(src, "bpe_merges_sf001.json")
+    salted = _os.path.join(src, "extract_salted_sf001.json")
+    mh = _os.path.join(src, "minhash_pairs_sf001.json")
     return {
+        # xxhash64-keyed queries: the LOGIC is hash-verified by the md5
+        # twins (extract_salted_md5 / minhash_pairs_md5); these pins
+        # freeze the production hash's output so the driver hash-checks
+        # the xxhash64 path too instead of row-counting it.
+        "extract_salted": f"""
+            SELECT CAST(salt AS BIGINT) AS salt,
+                   CAST(n_pages AS BIGINT) AS n_pages
+            FROM read_json_auto('{salted}')
+        """,
+        "minhash_pairs": f"""
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(jaccard AS DOUBLE) AS jaccard
+            FROM read_json_auto('{mh}')
+        """,
         "bpe_merges": f"""
             SELECT CAST(rank AS INTEGER) AS rank, "left", "right", merged
             FROM read_json_auto('{bpe}')

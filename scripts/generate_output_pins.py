@@ -15,6 +15,16 @@ queries whose computation is not expressible in ANSI SQL:
     _q_bpe_merges at sf0.01. The iterative trainer is independently
     verified against a pure-Python BPE reference with identical
     tie-breaking in tests/test_bpe.py.
+  * sources/extract_salted_sf001.json — (salt, n_pages) of
+    _q_extract_salted at sf0.01. xxhash64 is a deterministic Spark
+    built-in; the PARTITIONING LOGIC is independently hash-verified by
+    the md5 twin (extract_salted_md5); the pin freezes the production
+    hash's bucket histogram.
+  * sources/minhash_pairs_sf001.json — (id_a, id_b, jaccard) of
+    _q_minhash_pairs at sf0.01. The signature->band->verify PIPELINE is
+    independently hash-verified by the md5 twin (minhash_pairs_md5) and
+    the recall-subset pytest; the pin freezes the xxhash64 production
+    hashes' candidate set.
 
 Run from the repo root: python scripts/generate_output_pins.py
 Regenerating invalidates the driver oracles if extraction/decoding
@@ -67,6 +77,25 @@ def main():
         with open(os.path.join(OUT_DIR, "bpe_merges_sf001.json"), "w") as f:
             json.dump([r.asDict() for r in bpe], f, ensure_ascii=False, indent=1)
         print(f"bpe_merges_sf001.json: {len(bpe)} rows")
+
+        salted = (
+            entry.queries()["extract_salted"](spark, "/root/testdata/sf0.01")
+            .orderBy("salt")
+            .collect()
+        )
+        with open(os.path.join(OUT_DIR, "extract_salted_sf001.json"), "w") as f:
+            json.dump([r.asDict() for r in salted], f, ensure_ascii=False,
+                      indent=1)
+        print(f"extract_salted_sf001.json: {len(salted)} rows")
+
+        mh = (
+            entry.queries()["minhash_pairs"](spark, "/root/testdata/sf0.01")
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        with open(os.path.join(OUT_DIR, "minhash_pairs_sf001.json"), "w") as f:
+            json.dump([r.asDict() for r in mh], f, ensure_ascii=False, indent=1)
+        print(f"minhash_pairs_sf001.json: {len(mh)} rows")
     finally:
         spark.stop()
 
