@@ -879,6 +879,23 @@ def _q_robots_gate(spark, sf_dir):
     return star.join(bot, "url")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram bucket distributions of raw-vs-target and the
+    per-document integer-micro-nat log-ratio sum.  Target = the docs
+    with doc_id % 7 == 0 (a deterministic in-corpus 'quality' subset).
+    The oracle replays the whole estimator in DuckDB — portable md5
+    buckets, add-alpha smoothing over the full bucket space, micro-nat
+    quantization before summing — so the hash match is bit-exact."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return dsir_weights(docs, target, n_buckets=1000)
+
+
 def _q_sitemap_entries(spark, sf_dir):
     """Sitemap protocol parse (operators/sitemaps.py) over PLANTED
     per-host urlsets (sources/synthetic.py sitemaps_for_hosts — entity
@@ -1044,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q_mojibake_repair,
         "sitemap_entries": _q_sitemap_entries,
         "mojibake_segments": _q_mojibake_segments,
+        "dsir_weights": _q_dsir_weights,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
@@ -1554,6 +1572,62 @@ def oracle_sql() -> dict[str, str]:
                    md5(text || ' — café naïve 日本語') AS fixed_md5,
                    TRUE AS was_mojibake
             FROM documents
+        """,
+        # DSIR replayed end-to-end in DuckDB: same tokenization as the
+        # Spark side (lowercase whitespace split), same portable md5
+        # bucket hash, add-alpha smoothing over ALL 1000 buckets, and
+        # integer micro-nat quantization BEFORE the per-doc sum (order-
+        # independent — the float-sum order difference between engines
+        # can't surface).
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       toks || list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1]) AS gs
+                FROM tok
+            ),
+            feats AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                           % 1000 AS bucket
+                FROM grams, unnest(gs) AS t(g)
+            ),
+            buckets AS (SELECT unnest(range(0, 1000)) AS bucket),
+            tgt AS (
+                SELECT b.bucket,
+                       (coalesce(c.c, 0) + 1.0)
+                           / ((SELECT count(*) FROM feats
+                               WHERE doc_id % 7 = 0) + 1.0 * 1000) AS p_t
+                FROM buckets b LEFT JOIN (
+                    SELECT bucket, count(*) AS c FROM feats
+                    WHERE doc_id % 7 = 0 GROUP BY 1
+                ) c USING (bucket)
+            ),
+            raw AS (
+                SELECT b.bucket,
+                       (coalesce(c.c, 0) + 1.0)
+                           / ((SELECT count(*) FROM feats) + 1.0 * 1000) AS p_r
+                FROM buckets b LEFT JOIN (
+                    SELECT bucket, count(*) AS c FROM feats GROUP BY 1
+                ) c USING (bucket)
+            ),
+            lr AS (
+                SELECT bucket,
+                       CAST(round(ln(p_t / p_r) * 1000000) AS BIGINT)
+                           AS lr_micro
+                FROM tgt JOIN raw USING (bucket)
+            )
+            SELECT f.doc_id, count(*) AS n_feats,
+                   CAST(sum(lr.lr_micro) AS BIGINT) AS w_micro
+            FROM feats f JOIN lr USING (bucket)
+            GROUP BY 1
         """,
         # Segment path: the em-dash survives, the corrupted tail inverts.
         "mojibake_segments": """

@@ -58,6 +58,10 @@ from .linkgraph import (  # noqa: F401
     link_edges,
     resolve_links,
 )
+from .dsir import (  # noqa: F401
+    dsir_resample,
+    dsir_weights,
+)
 from .sitemaps import (  # noqa: F401
     parse_sitemap,
     sitemap_index,
