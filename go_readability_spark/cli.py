@@ -308,6 +308,54 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_crawl_plan(args) -> int:
+    """CDX index lines -> robots-gated, politeness-scheduled fetch plan.
+
+    The crawl-side composition of the discovery suite: parse the CDXJ
+    index, select the newest good capture per SURT key, drop URLs the
+    robots policies disallow, and sequence the remainder per host with
+    Crawl-delay spacing. Output parquet: (url, host, slot, eta_sec,
+    filename, offset, length) — the byte-range fetch worklist, ordered
+    for politeness."""
+    from pyspark.sql import functions as F
+
+    from .plans import build_session, ship_package
+    from .sources.cdx import cdx_fetch_plan, parse_cdxj
+
+    spark = build_session(master=args.master)
+    try:
+        ship_package(spark)
+        lines = spark.read.text(args.index).withColumnRenamed("value", "line")
+        plan = cdx_fetch_plan(parse_cdxj(lines))
+        delays = None
+        if args.robots:
+            from .operators.robots import (
+                crawl_delays,
+                filter_by_robots,
+                robots_rules,
+            )
+
+            robots = spark.read.parquet(args.robots)
+            plan = filter_by_robots(
+                plan, robots_rules(robots), agent=args.robots_agent)
+            delays = crawl_delays(robots, agent=args.robots_agent)
+        else:
+            delays = spark.createDataFrame(
+                [], "host string, delay_sec double")
+        from .operators.robots import frontier_schedule
+
+        sched = frontier_schedule(plan, delays,
+                                  default_delay=args.default_delay)
+        out = sched.join(
+            plan.select("url", "filename", "offset", "length"), "url")
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"crawl plan: {n} fetches -> {args.output}")
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="go_readability_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -392,6 +440,19 @@ def main(argv=None) -> int:
                         "flat parquet dir")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=cmd_curate)
+
+    cp = sub.add_parser("crawl-plan", help="CDXJ index -> robots-gated, "
+                        "politeness-scheduled byte-range fetch plan")
+    cp.add_argument("--index", required=True,
+                    help="CDXJ index file(s)/dir (text lines)")
+    cp.add_argument("--output", required=True, help="fetch-plan parquet")
+    cp.add_argument("--robots", default=None,
+                    help="parquet of (host, robots_txt) to gate + pace by")
+    cp.add_argument("--robots-agent", default="*")
+    cp.add_argument("--default-delay", type=float, default=1.0,
+                    help="per-host spacing (sec) when no Crawl-delay")
+    cp.add_argument("--master", default=None)
+    cp.set_defaults(fn=cmd_crawl_plan)
 
     args = ap.parse_args(argv)
     return args.fn(args)

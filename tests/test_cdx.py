@@ -149,3 +149,43 @@ def test_fetch_plan_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+
+
+def test_crawl_plan_cli(spark, tmp_path):
+    """CLI crawl-plan: CDXJ lines -> robots-gated, scheduled fetch plan."""
+    import subprocess
+    import sys
+
+    lines = [
+        'org,example)/keep/a 20240101000000 {"url": "https://example.org/keep/a", '
+        '"mime": "text/html", "status": "200", "digest": "d1", "length": "10", '
+        '"offset": "0", "filename": "f.warc.gz"}',
+        'org,example)/keep/b 20240101000000 {"url": "https://example.org/keep/b", '
+        '"mime": "text/html", "status": "200", "digest": "d2", "length": "10", '
+        '"offset": "9", "filename": "f.warc.gz"}',
+        'org,example)/private/x 20240101000000 {"url": "https://example.org/private/x", '
+        '"mime": "text/html", "status": "200", "digest": "d3", "length": "10", '
+        '"offset": "20", "filename": "f.warc.gz"}',
+    ]
+    idx = tmp_path / "index.cdxj"
+    idx.write_text("\n".join(lines) + "\n")
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("example.org", "User-agent: *\nDisallow: /private/\nCrawl-delay: 3\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_dir)
+    out = str(tmp_path / "plan")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-plan",
+         "--index", str(idx), "--output", out, "--robots", robots_dir,
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rows = {x.url: x for x in spark.read.parquet(out).collect()}
+    assert set(rows) == {"https://example.org/keep/a",
+                         "https://example.org/keep/b"}
+    a, b = rows["https://example.org/keep/a"], rows["https://example.org/keep/b"]
+    assert (a.slot, a.eta_sec) == (0, 0.0)
+    assert (b.slot, b.eta_sec) == (1, 3.0)  # Crawl-delay spacing
+    assert a.filename == "f.warc.gz" and b.offset == 9
