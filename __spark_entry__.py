@@ -879,6 +879,30 @@ def _q_robots_gate(spark, sf_dir):
     return star.join(bot, "url")
 
 
+def _q_nfc_text(spark, sf_dir):
+    """Unicode NFC normalization (functions/mojibake.py
+    with_normalized_text, Python unicodedata) cross-checked against
+    DuckDB's INDEPENDENT nfc_normalize implementation: every document
+    gets a decomposed suffix (e+combining acute, fullwidth-adjacent
+    script-H stays untouched under NFC), both engines normalize, hashes
+    must agree — two unrelated UCD implementations verifying each
+    other."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.functions import with_normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    # 'Cafe' + U+0301 (combining acute, DECOMPOSED in this source
+    # literal - NFC must compose it) + U+210C (script H — NFC
+    # leaves it; NFKC would fold it, which nfc_normalize must NOT do)
+    suffix = " Café ℌ"
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text"))
+    out = with_normalized_text(staged, "text", form="NFC")
+    return out.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("nfc_md5"))
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
     hashed unigram+bigram bucket distributions of raw-vs-target and the
@@ -1062,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "mojibake_segments": _q_mojibake_segments,
         "dsir_weights": _q_dsir_weights,
+        "nfc_text": _q_nfc_text,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pdf_extract": _q_pdf_extract,
@@ -1571,6 +1596,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(text || ' — café naïve 日本語') AS fixed_md5,
                    TRUE AS was_mojibake
+            FROM documents
+        """,
+        # Two independent UCD implementations must agree: Python
+        # unicodedata (Spark side) vs DuckDB nfc_normalize.
+        "nfc_text": """
+            SELECT doc_id,
+                   md5(nfc_normalize(text || ' Cafe' || chr(769) || ' '
+                       || chr(8460))) AS nfc_md5
             FROM documents
         """,
         # DSIR replayed end-to-end in DuckDB: same tokenization as the

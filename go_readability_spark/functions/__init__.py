@@ -14,4 +14,5 @@ from .mojibake import (  # noqa: F401
     repair_mojibake,
     with_fixed_text,
     with_mojibake_repaired,
+    with_normalized_text,
 )

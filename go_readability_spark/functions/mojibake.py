@@ -151,3 +151,36 @@ def with_fixed_text(df: DataFrame, text_col: str = "text",
         return s.map(lambda x: None if x is None else fix_mojibake_text(x))
 
     return df.withColumn(out_col, _fix(F.col(text_col)))
+
+
+# ------------------------------------------------------------- normalize
+#
+# Unicode normalization is the other half of web-text cleanup: the same
+# visible string arrives as precomposed (é) or decomposed (e + U+0301)
+# codepoints, and NFKC additionally folds compatibility forms
+# (ligatures, fullwidth ASCII, font variants) that otherwise defeat
+# exact dedup, tokenization, and fingerprinting.  Spark has no built-in
+# normalizer, so this is an Arrow-batched pandas UDF over Python's
+# unicodedata (the authoritative UCD implementation); the driver oracle
+# replays the NFC form with DuckDB's independent nfc_normalize, so the
+# two implementations check each other.
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         form: str = "NFC",
+                         out_col: str | None = None) -> DataFrame:
+    """Adds/overwrites `out_col` with the `form`-normalized text
+    (NFC/NFD/NFKC/NFKD).  Map-only; NULLs pass through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    out_col = out_col or text_col
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x))
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

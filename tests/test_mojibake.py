@@ -103,3 +103,22 @@ def test_curate_fix_mojibake_end_to_end(spark):
     text = out[0].text_content
     assert clean_tail in text
     assert "Ã©" not in text and "â€" not in text
+
+
+def test_unicode_normalization_forms(spark):
+    import unicodedata
+
+    from go_readability_spark.functions import with_normalized_text
+
+    decomposed = "Café ℌ ﬁne Ａ"
+    df = spark.createDataFrame([(decomposed,), (None,)], "text string")
+    nfc = [r.text for r in with_normalized_text(df, form="NFC").collect()]
+    assert nfc[0] == unicodedata.normalize("NFC", decomposed)
+    assert "Café" in nfc[0] and "ℌ" in nfc[0]  # NFC keeps script H
+    assert nfc[1] is None
+    nfkc = [r.text for r in with_normalized_text(df, form="NFKC").collect()]
+    assert nfkc[0] == unicodedata.normalize("NFKC", decomposed)
+    assert "H" in nfkc[0] and "fine" in nfkc[0] and " A" in nfkc[0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="form"):
+        with_normalized_text(df, form="NFX")
