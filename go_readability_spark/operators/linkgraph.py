@@ -78,8 +78,13 @@ def resolve_links(edges: DataFrame, src_col: str = "src",
     href = F.trim(F.col(href_col))
     scheme = F.regexp_extract(src, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     authority = F.regexp_extract(src, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
-    src_dir = F.regexp_replace(
-        F.regexp_replace(src, "[?#].*$", ""), "[^/]*$", "")
+    base = F.regexp_replace(src, "[?#].*$", "")
+    # A path-less src ("https://example.org") must resolve same-directory
+    # hrefs against authority + "/" — stripping the trailing [^/]* run
+    # would eat the host itself and mint phantom hosts like "page.html".
+    src_dir = F.when(
+        F.length(base) == F.length(authority), F.concat(authority, F.lit("/"))
+    ).otherwise(F.regexp_replace(base, "[^/]*$", ""))
 
     dst = (
         F.when(href.rlike("^https?://"), href)

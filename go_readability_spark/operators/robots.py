@@ -48,13 +48,23 @@ from .hosts import host_of_url
 # `*` is handled separately (wildcard), `$` only as a trailing anchor.
 _META = r"([.^$+?(){}\[\]\\|])"
 
+# Every group-scoped field the engine understands.  Group boundaries are
+# segmented over ALL of these regardless of which fields the caller
+# extracts — otherwise a group whose only lines are other known fields
+# (e.g. `User-agent: a / Crawl-delay: 5 / User-agent: b / Disallow: /x`)
+# would merge into the next group and mis-bind its rules (RFC 9309
+# §2.2.1: any rule line ends a user-agent run).  Sitemap stays out: it is
+# group-independent per the sitemaps.org protocol.
+_GROUP_FIELDS = ("allow", "disallow", "crawl-delay")
+
 
 def _grouped_fields(robots: DataFrame, fields: tuple,
                     host_col: str, txt_col: str):
     """Shared RFC 9309 group recovery (module docstring): explode lines,
-    strip comments, keep `fields` + user-agent, and assign group_id with
-    the one window over (host, line number).  Returns (grouped, agents,
-    is_ua) for the caller to pair rule rows with agent rows."""
+    strip comments, segment groups over every known group-scoped field
+    with the one window over (host, line number), THEN filter to the
+    caller's `fields` + user-agent.  Returns (grouped, agents, is_ua)
+    for the caller to pair rule rows with agent rows."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -66,7 +76,7 @@ def _grouped_fields(robots: DataFrame, fields: tuple,
         "host", "pos",
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("field"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
-    ).where(F.col("field").isin("user-agent", *fields))
+    ).where(F.col("field").isin("user-agent", *_GROUP_FIELDS))
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("field") == "user-agent"
     starts_group = is_ua & (
@@ -74,7 +84,10 @@ def _grouped_fields(robots: DataFrame, fields: tuple,
     )
     grouped = parsed.withColumn(
         "group_id", F.sum(starts_group.cast("int")).over(w)
-    ).where(F.col("group_id").isNotNull())
+    ).where(
+        F.col("group_id").isNotNull()
+        & F.col("field").isin("user-agent", *fields)
+    )
     agents = (
         grouped.where(is_ua)
         .select("host", "group_id", F.lower(F.col("value")).alias("agent"))
@@ -86,8 +99,13 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
                  txt_col: str = "robots_txt") -> DataFrame:
     """(host, group_id, agent, allow, path, pattern_len, path_regex) —
     one row per (agent line x rule line) pair of every group in every
-    robots.txt.  Empty-value Disallow lines (allow-all idiom) drop out
-    here, which yields the same verdict downstream (no match = allowed).
+    robots.txt.  A group with NO surviving rule lines (empty file tail,
+    or only empty-value `Disallow:` — the allow-all idiom) still emits
+    one no-op marker row per agent with NULL path/pattern_len/path_regex:
+    a marker never matches a URL, but it keeps the group VISIBLE to
+    `_rules_for_agent`'s specific-group selection, so `User-agent:
+    goodbot / Disallow:` correctly shields goodbot from the `*` group
+    (RFC 9309 §2.2.1: the matching specific group wins even when empty).
     Unknown fields (Sitemap, ...) are ignored per RFC §2.2.3;
     `sitemap_urls` / `crawl_delays` recover those separately."""
     grouped, agents, is_ua = _grouped_fields(
@@ -113,7 +131,9 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
             regex.alias("path_regex"),
         )
     )
-    return agents.join(rules, ["host", "group_id"])
+    # left join: agent groups with zero surviving rules become no-op
+    # marker rows (NULL path_regex never matches in robots_verdicts).
+    return agents.join(rules, ["host", "group_id"], "left")
 
 
 def sitemap_urls(robots: DataFrame, host_col: str = "host",

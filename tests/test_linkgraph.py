@@ -57,6 +57,25 @@ def test_resolve_cases(spark, href, expect):
     assert got == ([expect] if expect else [])
 
 
+@pytest.mark.parametrize(
+    "src,href,expect",
+    [
+        # path-less homepage src: same-dir href resolves against
+        # authority + "/" (not against the host-eaten "https://")
+        ("https://example.org", "page.html", "https://example.org/page.html"),
+        ("https://example.org?q=1", "page.html",
+         "https://example.org/page.html"),
+        ("https://example.org#top", "./p.html", "https://example.org/p.html"),
+        ("https://example.org/", "page.html", "https://example.org/page.html"),
+    ],
+)
+def test_resolve_pathless_src(spark, src, href, expect):
+    edges = spark.createDataFrame([(src, href)], "src string, href string")
+    row = resolve_links(edges).collect()[0]
+    assert row["dst"] == expect
+    assert row["dst_host"] == "example.org"  # no phantom 'page.html' host
+
+
 def test_resolve_hosts_strip_userinfo_port(spark):
     edges = spark.createDataFrame(
         [("https://u:p@s.example:8443/d/p", "https://o.example:80/x")],

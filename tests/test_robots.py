@@ -186,6 +186,59 @@ def test_frontier_schedule(spark):
     assert out["https://other.example.net/y"] == (1, 1.0)
 
 
+def test_group_boundary_segmented_over_all_fields(spark):
+    """A group whose only line is a field the caller does NOT extract
+    (Crawl-delay) must still terminate the user-agent run: Disallow /x
+    binds to agent b only, and the delay binds to agent a only."""
+    from go_readability_spark.operators import crawl_delays
+
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    robots = spark.createDataFrame(
+        [("a.example.org", txt)], "host string, robots_txt string")
+    rules = robots_rules(robots)
+    assert _verdict(spark, rules, "https://a.example.org/x/1", "a") == (True, None)
+    assert _verdict(spark, rules, "https://a.example.org/x/1", "b") \
+        == (False, "/x")
+    delays = {r.host: r.delay_sec for r in crawl_delays(robots, "a").collect()}
+    assert delays == {"a.example.org": 5.0}
+    # b's group carries no delay and there is no * group to fall back to
+    assert crawl_delays(robots, "b").collect() == []
+    # the common real-world shape: '*' keeps its delay, BadBot's Disallow
+    # must NOT leak into the '*' group (would drop the whole host)
+    txt2 = ("User-agent: *\nCrawl-delay: 10\n\n"
+            "User-agent: BadBot\nDisallow: /\n")
+    robots2 = spark.createDataFrame(
+        [("b.example.org", txt2)], "host string, robots_txt string")
+    rules2 = robots_rules(robots2)
+    assert _verdict(spark, rules2, "https://b.example.org/page", "*") \
+        == (True, None)
+    assert _verdict(spark, rules2, "https://b.example.org/page", "badbot") \
+        == (False, "/")
+
+
+def test_empty_disallow_group_shields_agent(spark):
+    """RFC 9309: a specific group whose only rule is the allow-all idiom
+    `Disallow:` (or that has no rules at all) still WINS group selection
+    — the `*` group must not apply to that agent."""
+    txt = "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    robots = spark.createDataFrame(
+        [("a.example.org", txt)], "host string, robots_txt string")
+    rules = robots_rules(robots)
+    assert _verdict(spark, rules, "https://a.example.org/any", "goodbot") \
+        == (True, None)
+    assert _verdict(spark, rules, "https://a.example.org/any", "*") \
+        == (False, "/")
+    # group with zero rule lines at the end of the file: same shield
+    txt2 = "User-agent: *\nDisallow: /\n\nUser-agent: trustedbot\n"
+    robots2 = spark.createDataFrame(
+        [("b.example.org", txt2)], "host string, robots_txt string")
+    rules2 = robots_rules(robots2)
+    assert _verdict(spark, rules2, "https://b.example.org/any", "trustedbot") \
+        == (True, None)
+    assert _verdict(spark, rules2, "https://b.example.org/any", "otherbot") \
+        == (False, "/")
+
+
 def test_curate_robots_takedown_sweep(spark):
     """curate_corpus(robots=...) drops disallowed pages before
     extraction (CLI --robots)."""
