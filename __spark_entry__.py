@@ -1032,6 +1032,42 @@ def _q_pdf_extract(spark, sf_dir):
     return pdf_roundtrip(_read(spark, sf_dir, "documents"))
 
 
+def _q_ranged_fetch(spark, sf_dir):
+    """The closed crawl loop (round 5): REAL .warc.gz archives + a CDXJ
+    index with measured byte offsets (sources/synthetic.py
+    warc_archives_from_documents) -> parse_cdxj -> cdx_fetch_plan ->
+    BYTE-RANGE member reads (sources/warc.py pages_from_fetch_plan) ->
+    (url, html md5).  The oracle recomputes the embedded html payload
+    closed-form from `documents`, so a hash match proves index parse,
+    offset/length bookkeeping, ranged gzip-member decode, WARC record
+    parse, and HTTP body split end-to-end — the fetch stage that turns
+    the crawl-plan worklist into pages."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.sources import (
+        cdx_fetch_plan,
+        pages_from_fetch_plan,
+        parse_cdxj,
+        warc_archives_from_documents,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "grs_warc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    warc_archives_from_documents(spark, sf_dir, base)
+    lines = spark.read.text(os.path.join(base, "index.cdxj")) \
+        .withColumnRenamed("value", "line")
+    plan = cdx_fetch_plan(parse_cdxj(lines))
+    pages = pages_from_fetch_plan(plan, base)
+    return pages.select(
+        "url", F.md5(F.col("html")).alias("html_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -1089,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_text": _q_nfc_text,
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
+        "ranged_fetch": _q_ranged_fetch,
         "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
@@ -1669,10 +1706,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # Ground truth for frontier_schedule: every planted host carries
-        # Crawl-delay: 10 in its `*` group, so per host the k-th url (in
-        # lexicographic url order) is scheduled at k*10.0s.  DuckDB
-        # recomputes the sequence with its own window over the
-        # closed-form url set — independent of the Spark plan.
+        # Crawl-delay: 10 in its `*` group, so per host the k-th url in
+        # the portable hash order (md5 bucket of 'frontier:url', url
+        # tiebreak — the order the two-phase block rank produces) is
+        # scheduled at k*10.0s.  DuckDB recomputes the sequence with its
+        # own window over the closed-form url set — independent of the
+        # Spark plan (single window here; the block-splitting is a Spark
+        # physical concern, not a semantic one).
         "frontier_schedule": """
             WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
             u AS (
@@ -1684,10 +1724,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT url, host,
-                   CAST(row_number() OVER (PARTITION BY host ORDER BY url)
-                        - 1 AS INTEGER) AS slot,
-                   CAST((row_number() OVER (PARTITION BY host ORDER BY url)
-                        - 1) * 10.0 AS DOUBLE) AS eta_sec
+                   CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY CAST(('0x' || substr(md5('frontier:' || url), 1, 8)) AS BIGINT) % 1000000,
+                                url
+                   ) - 1 AS INTEGER) AS slot,
+                   CAST((row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY CAST(('0x' || substr(md5('frontier:' || url), 1, 8)) AS BIGINT) % 1000000,
+                                url
+                   ) - 1) * 10.0 AS DOUBLE) AS eta_sec
             FROM u
         """,
         # Ground truth for anchor_stats: the same 5 planted kept anchors
@@ -1746,6 +1792,19 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE i % 4 END AS VARCHAR)
                        || '.warc.gz' AS filename
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for ranged_fetch: the html payload the generator
+        # embedded in each WARC member, recomputed closed-form from
+        # `documents` — so the md5 match proves the CDXJ offsets, the
+        # ranged gzip-member read, and the WARC/HTTP parse returned the
+        # exact bytes written.
+        "ranged_fetch": """
+            SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR)
+                       || '.html' AS url,
+                   md5('<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>' || text || '</p></body></html>')
+                       AS html_md5
+            FROM documents
         """,
         "pdf_extract": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -356,6 +356,36 @@ def cmd_crawl_plan(args) -> int:
     return 0
 
 
+def cmd_crawl_fetch(args) -> int:
+    """Execute a crawl-plan worklist: byte-range reads of the planned
+    gzip members under --warc-dir (sources/warc.py pages_from_fetch_plan)
+    into the pages shape — the stage that closes CDX -> robots ->
+    frontier -> FETCH -> extract.  With --extract the fetched pages run
+    straight through the salted extraction plan."""
+    from .plans import build_session, ship_package
+    from .sources.warc import pages_from_fetch_plan
+
+    spark = build_session(master=args.master)
+    try:
+        ship_package(spark)
+        plan = spark.read.parquet(args.plan)
+        pages = pages_from_fetch_plan(plan, args.warc_dir)
+        if args.extract:
+            from .plans.extract import extract_pages
+
+            out_df = extract_pages(pages, n_buckets=args.buckets)
+            what = "articles"
+        else:
+            out_df = pages
+            what = "pages"
+        out_df.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"crawl fetch: {n} {what} -> {args.output}")
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="go_readability_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -453,6 +483,21 @@ def main(argv=None) -> int:
                     help="per-host spacing (sec) when no Crawl-delay")
     cp.add_argument("--master", default=None)
     cp.set_defaults(fn=cmd_crawl_plan)
+
+    cf = sub.add_parser("crawl-fetch", help="execute a crawl-plan worklist: "
+                        "byte-range reads against WARC archives -> pages "
+                        "(or extracted articles with --extract)")
+    cf.add_argument("--plan", required=True,
+                    help="fetch-plan parquet (from crawl-plan)")
+    cf.add_argument("--warc-dir", required=True,
+                    help="directory holding the plan's .warc.gz archives")
+    cf.add_argument("--output", required=True, help="output parquet")
+    cf.add_argument("--extract", action="store_true",
+                    help="run extraction on the fetched pages")
+    cf.add_argument("--buckets", type=int, default=64,
+                    help="salt buckets for --extract")
+    cf.add_argument("--master", default=None)
+    cf.set_defaults(fn=cmd_crawl_fetch)
 
     args = ap.parse_args(argv)
     return args.fn(args)

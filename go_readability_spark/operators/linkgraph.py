@@ -141,27 +141,66 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
     )
 
 
+def _anchor_texts_topk(resolved: DataFrame, max_texts: int,
+                       text_subkeys: int) -> DataFrame:
+    """(dst, text) — at most `text_subkeys * max_texts` rows per dst:
+    the lexicographically-smallest `max_texts` DISTINCT texts within each
+    of `text_subkeys` hash sub-keys of dst.  Because the final cap keeps
+    the globally-smallest `max_texts` texts and every one of those is
+    also among the smallest of its own sub-key, the union is a superset
+    of the global top-k — the pre-cap loses nothing.
+
+    This is the two-phase top-k of stratified_sample/global_shuffle
+    applied to the agg buffer problem: a mega-inlinked homepage with 10^7
+    distinct anchor texts must not build a GB-wide collect_set buffer
+    (aggregation state for ONE key cannot spill).  Each window partition
+    here holds ~1/text_subkeys of the dst's texts and the sort spills to
+    disk, so memory stays bounded no matter the fan-in."""
+    from pyspark.sql.window import Window
+
+    sub = F.pmod(F.xxhash64("text"), F.lit(text_subkeys))
+    # distinct (dst, sub, text) via groupBy: constant-size agg state
+    dt = resolved.groupBy("dst", sub.alias("_sub"), "text").agg(F.lit(1))
+    w = Window.partitionBy("dst", "_sub").orderBy("text")
+    return (
+        dt.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_texts)
+        .select("dst", "text")
+    )
+
+
 def anchor_text_stats(pages: DataFrame, url_col: str = "url",
                       html_col: str = "html",
-                      max_texts: int = 64) -> DataFrame:
+                      max_texts: int = 64,
+                      text_subkeys: int = 16) -> DataFrame:
     """(dst, n_anchors, n_srcs, texts) — inbound anchor-text profile per
     resolved target URL, the classic relevance/label signal for URL
     selection and weak supervision.
 
     texts is the sorted distinct inner texts joined with '|', capped at
     `max_texts` AFTER sorting so the value is deterministic; the cap
-    bounds row width on mega-inlinked targets (a homepage with 10^7
-    distinct anchor texts must not produce a GB-wide row).  One shuffle:
-    groupBy(dst) with map-side partial aggregation."""
+    bounds row width on mega-inlinked targets.  The distinct-text set is
+    pre-capped per (dst, hash(text) % text_subkeys) sub-key
+    (_anchor_texts_topk) BEFORE the final aggregation, so no collect_set
+    buffer ever exceeds text_subkeys * max_texts entries — the count
+    stats aggregate separately with constant-size state (countDistinct
+    rewrites to an expand + two-phase agg, never a buffered set)."""
     at = extract_anchor_texts(pages, url_col, html_col)
     resolved = resolve_links(at, carry=("text",))
-    return resolved.groupBy("dst").agg(
+    stats = resolved.groupBy("dst").agg(
         F.count("*").alias("n_anchors"),
         F.countDistinct("src").alias("n_srcs"),
+    )
+    texts = _anchor_texts_topk(resolved, max_texts, text_subkeys).groupBy(
+        "dst"
+    ).agg(
         F.array_join(
             F.slice(F.array_sort(F.collect_set("text")), 1, max_texts), "|"
         ).alias("texts"),
     )
+    # inner: every resolved row carries a text (possibly ""), so the topk
+    # side has >= 1 row for every dst in stats.
+    return stats.join(texts, "dst")
 
 
 def host_graph(edges: DataFrame, keep_self_loops: bool = False) -> DataFrame:

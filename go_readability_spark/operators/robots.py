@@ -180,24 +180,59 @@ def crawl_delays(robots: DataFrame, agent: str = "*",
 
 def frontier_schedule(fetch_plan: DataFrame, delays: DataFrame,
                       default_delay: float = 1.0,
-                      url_col: str = "url") -> DataFrame:
+                      url_col: str = "url",
+                      n_blocks: int = 1024) -> DataFrame:
     """(url, host, slot, eta_sec) — a politeness-aware fetch schedule:
-    per host, fetches are sequenced deterministically (by url) and the
-    k-th fetch is eligible at k * delay_sec seconds (host's Crawl-delay,
-    else `default_delay`).
+    per host, fetches are sequenced deterministically and the k-th fetch
+    is eligible at k * delay_sec seconds (host's Crawl-delay, else
+    `default_delay`).
 
     This is the frontier math of a polite distributed crawler: the
     per-host sequence IS the partition order a fetcher task walks, and
     eta_sec bounds request rate per host no matter how many executors
-    fetch in parallel.  One window shuffle on host (the delays side is
-    per-host tiny — broadcast)."""
+    fetch in parallel.
+
+    The sequence order is (md5-bucket of url, url) — deterministic,
+    engine-portable (the DuckDB oracle replays it), and chosen over
+    plain lexicographic url so the rank can be computed TWO-PHASE: a
+    naive row_number over Window.partitionBy(host) would funnel a CDN
+    mega-host's entire URL set through one task.  Here the md5 bucket's
+    top bits pre-split each host's order into `n_blocks` hash ranges
+    (the block-rank machinery of sampling.global_shuffle, keyed per
+    host): per-(host, block) counts roll into exclusive offsets with a
+    window over ≤ n_blocks tiny count rows per host, and each (host,
+    block) ranks locally — the widest sorted partition is ~1/n_blocks
+    of the worst host.  Hash order also interleaves a host's fetches
+    across path prefixes, which is what a crawl frontier wants anyway.
+    The delays side is per-host tiny — broadcast."""
+    from .sampling import _BUCKETS, hash_bucket
+
     url = F.col(url_col)
-    keyed = fetch_plan.select(
-        url.alias("url"), host_of_url(url).alias("host"))
-    w = Window.partitionBy("host").orderBy("url")
+    block_span = max(1, _BUCKETS // n_blocks)
+    staged = fetch_plan.select(
+        url.alias("url"), host_of_url(url).alias("host"),
+    ).withColumn("_fs_h", hash_bucket(F.col("url"), salt="frontier")) \
+     .withColumn("_fs_blk", F.expr(f"_fs_h div {block_span}"))
+    counts = staged.groupBy("host", "_fs_blk").agg(
+        F.count(F.lit(1)).alias("_fs_n"))
+    w_off = (
+        Window.partitionBy("host").orderBy("_fs_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host", "_fs_blk",
+        F.coalesce(F.sum("_fs_n").over(w_off), F.lit(0)).alias("_fs_off"),
+    )
+    w_blk = Window.partitionBy("host", "_fs_blk").orderBy("_fs_h", "url")
+    ranked = (
+        staged.join(offsets, ["host", "_fs_blk"])
+        .withColumn(
+            "slot",
+            (F.row_number().over(w_blk) - 1 + F.col("_fs_off")).cast("int"),
+        )
+    )
     return (
-        keyed.join(F.broadcast(delays), "host", "left")
-        .withColumn("slot", F.row_number().over(w) - F.lit(1))
+        ranked.join(F.broadcast(delays), "host", "left")
         .select(
             "url", "host", "slot",
             (F.col("slot")

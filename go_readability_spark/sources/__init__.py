@@ -10,6 +10,7 @@ from .pages_table import read_pages  # noqa: F401
 from .pdf import docs_from_pdf, pdf_roundtrip, pdf_text, write_pdf  # noqa: F401
 from .warc import (  # noqa: F401
     docs_from_wet,
+    pages_from_fetch_plan,
     pages_from_warc,
     write_warc,
     write_wet,
@@ -29,4 +30,5 @@ from .synthetic import (  # noqa: F401
     synth_corpus_rows,
     synth_pages_dataframe,
     synth_pages_distributed,
+    warc_archives_from_documents,
 )

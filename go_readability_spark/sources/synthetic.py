@@ -361,3 +361,75 @@ def sitemaps_for_hosts(spark, sf_dir: str):
         F.lit("\n</urlset>"),
     )
     return per_host.select("host", xml.alias("sitemap_xml"))
+
+
+def warc_archives_from_documents(spark, sf_dir: str, out_dir: str,
+                                 n_archives: int = 4) -> str:
+    """Write REAL .warc.gz archives + a CDXJ index with REAL byte offsets
+    for the `documents` table, deterministically (BASELINE input_hint: no
+    external data — synthesize at small scale).  Archive j holds docs
+    with doc_id % n_archives == j in doc_id order, one gzip member per
+    record (the Common Crawl layout), and every index line's
+    offset/length is measured while writing — so a ranged fetch of the
+    plan (sources/warc.py pages_from_fetch_plan) must reproduce the
+    whole-archive read byte-for-byte.
+
+    Driver-side generation is test scaffolding (500 docs at contract
+    scale), NOT the fetch path — the ranged reader itself is a
+    distributed mapInPandas.  Idempotent: generation goes to a tmp dir
+    that is atomically renamed into place, so concurrent callers race
+    safely and an existing out_dir is reused as-is.  Returns out_dir."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from .warc import write_warc
+
+    done = os.path.join(out_dir, "index.cdxj")
+    if os.path.exists(done):
+        return out_dir
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect(),
+        key=lambda r: int(r.doc_id),
+    )
+    tmp = tempfile.mkdtemp(prefix="grs_warc_gen_",
+                           dir=os.path.dirname(out_dir) or ".")
+    try:
+        offsets = {}
+        handles = {}
+        lines = []
+        ts = datetime(2025, 1, 1)
+        for r in docs:
+            i = int(r.doc_id)
+            fname = f"crawl-{i % n_archives:02d}.warc.gz"
+            if fname not in handles:
+                handles[fname] = open(os.path.join(tmp, fname), "wb")
+                offsets[fname] = 0
+            url = f"https://docs.example.org/{i}.html"
+            html = (f"<html><body><h1>Doc {i}</h1><p>{r.text}</p>"
+                    f"</body></html>").encode()
+            member = write_warc([(url, ts, html)], gz=True)
+            off = offsets[fname]
+            handles[fname].write(member)
+            offsets[fname] = off + len(member)
+            lines.append(
+                f'org,example,docs)/{i}.html 20250101000000 '
+                f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+                f'"digest": "sha1:{i}", "length": "{len(member)}", '
+                f'"offset": "{off}", "filename": "{fname}"}}'
+            )
+        for fh in handles.values():
+            fh.close()
+        with open(os.path.join(tmp, "index.cdxj"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp)  # concurrent winner already renamed
+    finally:
+        if os.path.isdir(tmp) and not os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

@@ -185,7 +185,58 @@ def test_crawl_plan_cli(spark, tmp_path):
     rows = {x.url: x for x in spark.read.parquet(out).collect()}
     assert set(rows) == {"https://example.org/keep/a",
                          "https://example.org/keep/b"}
-    a, b = rows["https://example.org/keep/a"], rows["https://example.org/keep/b"]
+    from test_robots import _frontier_order
+
+    first, second = _frontier_order(list(rows))  # portable hash order
+    a, b = rows[first], rows[second]
     assert (a.slot, a.eta_sec) == (0, 0.0)
     assert (b.slot, b.eta_sec) == (1, 3.0)  # Crawl-delay spacing
-    assert a.filename == "f.warc.gz" and b.offset == 9
+    assert a.filename == "f.warc.gz" and {rows[u].offset for u in rows} == {0, 9}
+
+
+def test_crawl_fetch_cli_end_to_end(spark, tmp_path):
+    """Full CLI crawl loop: index with REAL offsets -> crawl-plan ->
+    crawl-fetch --extract -> extracted articles parquet."""
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    from go_readability_spark.sources.warc import write_warc
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    body = ("<html><head><title>T%d</title></head><body><article><p>"
+            + "Readable sentence, with commas, and length. " * 8
+            + "</p></article></body></html>")
+    lines, off, blob = [], 0, b""
+    for i in range(4):
+        url = f"https://example.org/keep/{i}"
+        member = write_warc([(url, datetime(2024, 5, 1, 0, 0, i),
+                              (body % i).encode())])
+        lines.append(
+            f'org,example)/keep/{i} 2024050100000{i} '
+            f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+            f'"digest": "sha1:{i}", "length": "{len(member)}", '
+            f'"offset": "{off}", "filename": "f.warc.gz"}}')
+        blob += member
+        off += len(member)
+    (d / "f.warc.gz").write_bytes(blob)
+    idx = tmp_path / "index.cdxj"
+    idx.write_text("\n".join(lines) + "\n")
+    plan_out = str(tmp_path / "plan")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-plan",
+         "--index", str(idx), "--output", plan_out, "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    arts_out = str(tmp_path / "articles")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-fetch",
+         "--plan", plan_out, "--warc-dir", str(d), "--output", arts_out,
+         "--extract", "--buckets", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    arts = {a.url: a for a in spark.read.parquet(arts_out).collect()}
+    assert set(arts) == {f"https://example.org/keep/{i}" for i in range(4)}
+    assert arts["https://example.org/keep/2"].title == "T2"
+    assert all(a.error is None for a in arts.values())

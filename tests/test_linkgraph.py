@@ -195,6 +195,44 @@ def test_anchor_text_stats_cap_and_agg(spark):
     assert r.texts == "t00|t01|t02"  # sorted, capped at 3
 
 
+def test_anchor_stats_bounded_precap_mega_target(spark):
+    """A mega-inlinked target with many distinct anchor texts: the
+    two-phase pre-cap (_anchor_texts_topk) must (a) bound the rows per
+    dst entering the final collect_set to text_subkeys * max_texts, and
+    (b) leave the capped output IDENTICAL to the global sorted-distinct
+    slice (the pre-cap is a lossless superset of the global top-k)."""
+    from go_readability_spark.operators import anchor_text_stats
+    from go_readability_spark.operators.linkgraph import (
+        _anchor_texts_topk,
+        extract_anchor_texts,
+        resolve_links,
+    )
+
+    n_pages, per_page = 40, 25  # 1000 distinct texts at one target
+    rows = [
+        (f"https://s{i}.example.org/p",
+         "".join(f'<a href="https://hot.example.org/">w{i * per_page + k:04d}</a>'
+                 for k in range(per_page)))
+        for i in range(n_pages)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    max_texts, subkeys = 7, 4
+    out = anchor_text_stats(pages, max_texts=max_texts,
+                            text_subkeys=subkeys).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_anchors == n_pages * per_page and r.n_srcs == n_pages
+    # ground truth: globally sorted distinct texts, first max_texts
+    expect = "|".join(sorted(f"w{j:04d}" for j in range(n_pages * per_page))
+                      [:max_texts])
+    assert r.texts == expect
+    # the pre-capped intermediate is bounded per dst
+    resolved = resolve_links(extract_anchor_texts(pages), carry=("text",))
+    topk = _anchor_texts_topk(resolved, max_texts, subkeys)
+    per_dst = topk.groupBy("dst").count().collect()
+    assert all(row["count"] <= subkeys * max_texts for row in per_dst)
+
+
 def test_anchor_stats_planted_closed_form(spark):
     """anchor_text_stats over the planted pages equals the arithmetic
     ground truth (same closed form the driver oracle uses)."""

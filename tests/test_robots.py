@@ -164,6 +164,18 @@ def test_crawl_delays_group_selection(spark):
     assert nod == {"a.example.org": 10.0}
 
 
+def _frontier_order(urls):
+    """The engine-portable sequence frontier_schedule produces per host:
+    (md5 bucket of 'frontier:url', url)."""
+    import hashlib
+
+    def bucket(u):
+        return int(hashlib.md5(f"frontier:{u}".encode()).hexdigest()[:8],
+                   16) % 1_000_000
+
+    return sorted(urls, key=lambda u: (bucket(u), u))
+
+
 def test_frontier_schedule(spark):
     from go_readability_spark.operators import crawl_delays, frontier_schedule
 
@@ -171,19 +183,43 @@ def test_frontier_schedule(spark):
         [("a.example.org", "User-agent: *\nCrawl-delay: 2\n")],
         "host string, robots_txt string",
     )
-    plan = spark.createDataFrame(
-        [("https://a.example.org/b",), ("https://a.example.org/a",),
-         ("https://other.example.net/x",), ("https://other.example.net/y",)],
-        "url string",
-    )
+    a_urls = ["https://a.example.org/b", "https://a.example.org/a"]
+    o_urls = ["https://other.example.net/x", "https://other.example.net/y"]
+    plan = spark.createDataFrame([(u,) for u in a_urls + o_urls], "url string")
     out = {r.url: (r.slot, r.eta_sec)
            for r in frontier_schedule(plan, crawl_delays(robots), 1.0).collect()}
-    # per-host url order; host with Crawl-delay 2 spaces at 2s
-    assert out["https://a.example.org/a"] == (0, 0.0)
-    assert out["https://a.example.org/b"] == (1, 2.0)
+    # per-host portable hash order; host with Crawl-delay 2 spaces at 2s
+    a0, a1 = _frontier_order(a_urls)
+    assert out[a0] == (0, 0.0) and out[a1] == (1, 2.0)
     # unknown host gets the default delay
-    assert out["https://other.example.net/x"] == (0, 0.0)
-    assert out["https://other.example.net/y"] == (1, 1.0)
+    o0, o1 = _frontier_order(o_urls)
+    assert out[o0] == (0, 0.0) and out[o1] == (1, 1.0)
+
+
+def test_frontier_schedule_mega_host_two_phase(spark):
+    """A CDN mega-host: slots must be the exact 0..n-1 sequence in hash
+    order (the two-phase block rank equals a single global window), and
+    the plan must NOT contain a window partitioned by host alone — the
+    sort partitions are (host, block)."""
+    from go_readability_spark.operators import frontier_schedule
+
+    urls = [f"https://cdn.example.net/obj/{i:05d}" for i in range(3000)]
+    plan = spark.createDataFrame([(u,) for u in urls], "url string")
+    delays = spark.createDataFrame([], "host string, delay_sec double")
+    sched = frontier_schedule(plan, delays, 1.0, n_blocks=64)
+    rows = sched.collect()
+    got = {r.url: r.slot for r in rows}
+    expect = {u: k for k, u in enumerate(_frontier_order(urls))}
+    assert got == expect
+    assert all(r.eta_sec == float(r.slot) for r in rows)
+    # plan shape: every window partitions by (host, _fs_blk), never host
+    # alone — no single-task mega-host sort
+    plan_str = sched._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan_str):
+        cols = [c.split("#")[0].strip() for c in spec.split(",")]
+        assert cols != ["host"], plan_str
 
 
 def test_group_boundary_segmented_over_all_fields(spark):

@@ -272,3 +272,80 @@ def test_lf_headers_with_crlfcrlf_in_body():
     rows = list(warc_bytes_to_page_rows(_wrap_http(http)))
     assert len(rows) == 1
     assert rows[0]["html"] == b"<html>before\r\n\r\nafter</html>"
+
+
+def test_ranged_fetch_matches_whole_archive(spark, tmp_path):
+    """The closed crawl loop: CDXJ index (real measured offsets) ->
+    cdx_fetch_plan -> byte-range member reads -> rows byte-identical to
+    the whole-archive path -> extraction.  A 404 capture in the index is
+    excluded by the plan, so its (bogus) byte range is never read."""
+    from go_readability_spark.plans.extract import extract_pages
+    from go_readability_spark.sources import (
+        cdx_fetch_plan,
+        pages_from_fetch_plan,
+        parse_cdxj,
+    )
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    lines, urls = [], []
+    for j in range(2):
+        off, blob = 0, b""
+        fname = f"a{j}.warc.gz"
+        for k in range(3):
+            i = j * 3 + k
+            url = f"http://example.org/r{i}"
+            member = write_warc(
+                [(url, datetime(2024, 5, 1, 0, 0, i),
+                  DOC.replace(b"%d", str(i).encode()))])
+            lines.append(
+                f'org,example)/r{i} 2024050100000{i} '
+                f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+                f'"digest": "sha1:{i}", "length": "{len(member)}", '
+                f'"offset": "{off}", "filename": "{fname}"}}')
+            blob += member
+            off += len(member)
+            urls.append(url)
+        (d / fname).write_bytes(blob)
+    # 404 capture: the plan must drop it BEFORE any read — its byte range
+    # is garbage on purpose
+    lines.append(
+        'org,example)/gone 20240501000009 '
+        '{"url": "http://example.org/gone", "mime": "text/html", '
+        '"status": "404", "digest": "x", "length": "7", '
+        '"offset": "999999", "filename": "a0.warc.gz"}')
+    idx = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    plan = cdx_fetch_plan(parse_cdxj(idx))
+    fetched = {r.url: r
+               for r in pages_from_fetch_plan(plan, str(d)).collect()}
+    whole = {r.url: r for r in pages_from_warc(spark, str(d)).collect()}
+    assert set(fetched) == set(whole) == set(urls)
+    for u in urls:
+        assert bytes(fetched[u].html) == bytes(whole[u].html)
+        assert fetched[u].warc_ts == whole[u].warc_ts
+    arts = {r.url: r
+            for r in extract_pages(pages_from_fetch_plan(plan, str(d)),
+                                   n_buckets=2, num_partitions=2).collect()}
+    assert len(arts) == len(urls)
+    assert arts["http://example.org/r0"].title == "T0"
+    assert arts["http://example.org/r0"].error is None
+
+
+def test_ranged_fetch_corrupt_member_skipped(spark, tmp_path):
+    """A plan row whose byte range is garbage skips that member only
+    (strict=False), like corrupt archives elsewhere; strict=True raises."""
+    from go_readability_spark.sources import pages_from_fetch_plan
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    member = write_warc([("http://example.org/ok", datetime(2024, 5, 1),
+                          DOC.replace(b"%d", b"ok"))])
+    (d / "a.warc.gz").write_bytes(member + b"\x1f\x8bGARBAGE-NOT-GZIP")
+    plan = spark.createDataFrame(
+        [("http://example.org/ok", "a.warc.gz", 0, len(member)),
+         ("http://example.org/bad", "a.warc.gz", len(member), 16)],
+        "url string, filename string, offset long, length long")
+    rows = pages_from_fetch_plan(plan, str(d)).collect()
+    assert [r.url for r in rows] == ["http://example.org/ok"]
+    with pytest.raises(Exception):
+        pages_from_fetch_plan(plan, str(d), strict=True).count()
