@@ -100,11 +100,13 @@ def normalize_parity_col(col):
     )
 
 
-# The 4 goldens imported verbatim from mozilla/readability are js-beautified
-# (whitespace reflowed) — byte identity against expected.html is impossible
-# even for the reference itself; their content_md5 golden comes from the
-# pins file below instead (tests/conftest.py:16 documents the same set).
-BEAUTIFIED_GOLDENS = {"theverge", "videos-2", "visibility-hidden", "wapo-2"}
+# Goldens whose expected.html was generated from a differently-formatted
+# source revision (FIXTURES.md §7) — byte identity against expected.html is
+# impossible even for the reference itself; their content_md5 golden comes
+# from the pins file below instead (tests/conftest.py documents the same
+# set).  videos-2/wapo-2 byte-match since round 4 (their pins equal
+# md5(expected.html), so cached golden parquets are unchanged).
+BEAUTIFIED_GOLDENS = {"theverge", "visibility-hidden"}
 
 # Pinned regression values checked into the repo
 # (sources/fixture_pins.json): `image` and `favicon` per fixture, plus

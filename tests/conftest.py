@@ -13,7 +13,10 @@ BASE_URL = "http://fakehost/test/page.html"
 # also only compares whitespace-normalized text (parser_test.go:175-256), so
 # byte-identity is defined over the goldens the reference generator itself
 # produced (scripts/generate-test.go) and normalized identity over the rest.
-BEAUTIFIED_GOLDENS = {"theverge", "videos-2", "visibility-hidden", "wapo-2"}
+# Only these 2 remain non-byte-reachable (FIXTURES.md §7: their goldens were
+# generated from a differently-formatted source revision); videos-2/wapo-2
+# byte-match since round 4 and are held to full byte identity.
+BEAUTIFIED_GOLDENS = {"theverge", "visibility-hidden"}
 
 
 def fixture_cases():
