@@ -303,17 +303,19 @@ def synth_media_dataframe(spark, n: int = 32, seed: int = 42) -> DataFrame:
 
 
 def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Deterministic REAL media table: decodable PNG + baseline-JPEG
-    images (alternating — JPEGs cycle through 4:4:4/4:2:2/4:2:0
-    subsampling and restart intervals so the decoder's real paths are
-    exercised), WAV PCM audio, and motion-PNG video, synthesized with
-    the repo's own encoders (no external fixtures)."""
+    """Deterministic REAL media table: decodable PNG + JPEG images
+    (alternating — JPEGs cycle through 4:4:4/4:2:2/4:2:0 subsampling and
+    restart intervals, and the second half of the corpus encodes
+    PROGRESSIVE (SOF2) streams so the decoder's spectral-selection /
+    successive-approximation paths are exercised), WAV PCM audio, and
+    motion-PNG video, synthesized with the repo's own encoders (no
+    external fixtures)."""
     import math
 
     import numpy as np
 
     from .image_ops import encode_motion_png
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
     from .png import encode_png
     from .wav import encode_wav
 
@@ -330,12 +332,19 @@ def synth_real_media_dataframe(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 + i
             ) % 256
             if (i // 3) % 2:
-                payload = encode_jpeg(
-                    grad.astype(np.uint8),
-                    quality=85 + (i % 3) * 5,
-                    subsample=("444", "422", "420")[(i // 6) % 3],
-                    restart_interval=(i // 6) % 3,
-                )
+                if i >= 12:  # progressive share of the corpus
+                    payload = encode_jpeg_progressive(
+                        grad.astype(np.uint8),
+                        quality=85 + (i % 3) * 5,
+                        subsample=("444", "422", "420")[(i // 6) % 3],
+                    )
+                else:
+                    payload = encode_jpeg(
+                        grad.astype(np.uint8),
+                        quality=85 + (i % 3) * 5,
+                        subsample=("444", "422", "420")[(i // 6) % 3],
+                        restart_interval=(i // 6) % 3,
+                    )
             else:
                 payload = encode_png(grad.astype(np.uint8), filter_type=i % 5)
             width, height = w, h

@@ -75,15 +75,60 @@ def test_single_pixel_and_tiny():
         assert px.shape == (h, w, 1)
 
 
-def test_progressive_raises_not_implemented():
-    """Honest-stub contract: SOF2 (progressive) must refuse loudly, not
-    decode garbage."""
+def test_lossless_sof_raises_not_implemented():
+    """Honest-stub contract: processes beyond baseline+progressive
+    (e.g. SOF3 lossless) must refuse loudly, not decode garbage."""
     enc = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
     idx = bytes(enc).find(b"\xff\xc0")
     assert idx > 0
-    enc[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_decode_equals_baseline(sub):
+    """Progressive (SOF2) and baseline encodes quantize identically, so
+    their decodes must be pixel-EQUAL — the entropy layer (spectral
+    selection, successive approximation, DC/AC refinement, EOB runs) is
+    lossless.  Partial MCUs in both axes."""
+    from go_readability_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _smooth_rgb(37, 29)
+    base = encode_jpeg(rgb, quality=88, subsample=sub)
+    prog = encode_jpeg_progressive(rgb, quality=88, subsample=sub)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") > 3  # a real multi-scan script
+    wb, hb, pb = decode_jpeg(base)
+    wp, hp, pp = decode_jpeg(prog)
+    assert (wb, hb) == (wp, hp) == (29, 37)
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_decode_gray_and_noise():
+    """Grayscale progressive + dense random coefficients (exercises ZRL
+    spans and correction-bit interleaving in the refinement scans)."""
+    from go_readability_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, size=(25, 18)).astype(np.uint8)
+    pb = decode_jpeg(encode_jpeg(g, quality=92))[2]
+    pp = decode_jpeg(encode_jpeg_progressive(g, quality=92))[2]
+    assert np.array_equal(pb, pp)
+    noisy = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    pb = decode_jpeg(encode_jpeg(noisy, quality=35))[2]
+    pp = decode_jpeg(encode_jpeg_progressive(noisy, quality=35))[2]
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_round_trip_error_bound():
+    """Progressive decode is a faithful JPEG decode of the original."""
+    from go_readability_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _smooth_rgb(24, 31)
+    w, h, px = decode_jpeg(encode_jpeg_progressive(rgb, quality=90))
+    assert (w, h) == (31, 24)
+    assert np.abs(px.astype(float) - rgb.astype(float)).mean() < 2.0
 
 
 def test_twelve_bit_raises_not_implemented():
