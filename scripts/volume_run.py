@@ -91,9 +91,93 @@ def phase_verify(args):
     return 0 if ok else 1
 
 
+def phase_crawl(args):
+    """Crawl-discovery suite at volume over the generated pages corpus:
+    planted cross-host anchors are appended Spark-side (map-only concat —
+    the extraction regex still scans every page's full html), then
+
+      link_edges -> host_graph            (map-only + ONE groupBy)
+      host_rank(5 iters, checkpoint_every=2)
+      robots_verdicts over every url      (planted per-host policy)
+
+    Each stage is timed and forced separately; the RESULT line carries
+    pages/s per stage so BENCH/BASELINE.md can compare 1M vs 10M
+    linearity the way the extraction volume runs do."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import (
+        host_graph,
+        host_rank,
+        link_edges,
+        robots_rules,
+        robots_verdicts,
+    )
+    from go_readability_spark.plans import build_session
+
+    spark = build_session(master=args.master)
+    pages = spark.read.parquet(f"{args.workdir}/pages")
+    n = pages.count()
+
+    # 3 planted outlinks per page, targets keyed on a url hash: two
+    # cross-host (site{k}, cdn) and one same-host (dropped by host_graph)
+    k1 = F.pmod(F.xxhash64(F.col("url")), F.lit(32)).cast("string")
+    k2 = F.pmod(F.xxhash64(F.col("url")) + 7, F.lit(32)).cast("string")
+    anchors = F.concat(
+        F.lit('<p><a href="https://site'), k1,
+        F.lit('.example.org/x/'), k2, F.lit('.html">a</a>'),
+        F.lit('<a href="//cdn.example.net/lib'), k2,
+        F.lit('.js.html">cdn</a>'),
+        F.lit('<a href="/local/'), k1, F.lit('.html">l</a></p>'),
+    )
+    linked = pages.select(
+        "url", F.concat(F.col("html").cast("string"), anchors).alias("html"))
+
+    t0 = time.time()
+    g = host_graph(link_edges(linked)).persist()
+    host_pairs = g.count()
+    n_links = g.agg(F.sum("n_links")).collect()[0][0]
+    t_graph = time.time() - t0
+
+    t0 = time.time()
+    rank = host_rank(g, iterations=5, damping=0.85, checkpoint_every=2)
+    top = rank.orderBy(F.desc("rank")).limit(3).collect()
+    t_rank = time.time() - t0
+
+    # planted policy: every site host disallows /t/ (the synth sidebar
+    # path) for *; ONLY megahost additionally blocks graftbot outright,
+    # so the graftbot verdict pass blocks exactly the megahost share
+    star = "User-agent: *\nDisallow: /t/\nAllow: /t/open\n"
+    robots = spark.createDataFrame(
+        [(f"site{i}.example.org", star) for i in range(32)]
+        + [("megahost.example.org",
+            star + "\nUser-agent: graftbot\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    t0 = time.time()
+    verd = robots_verdicts(
+        pages.select("url"), robots_rules(robots), agent="graftbot")
+    blocked = verd.where("NOT allowed").count()  # megahost share (~30%)
+    allowed = verd.where("allowed").count()
+    t_robots = time.time() - t0
+
+    print(json.dumps({
+        "phase": "crawl", "rows": n,
+        "graph_sec": round(t_graph, 1),
+        "graph_pages_per_sec": round(n / t_graph, 1),
+        "host_pairs": host_pairs, "links": int(n_links),
+        "rank_sec": round(t_rank, 1),
+        "top_hosts": [[r.host, r.rank] for r in top],
+        "robots_sec": round(t_robots, 1),
+        "robots_pages_per_sec": round(n / t_robots, 1),
+        "blocked": blocked, "allowed": allowed,
+    }))
+    spark.stop()
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("phase", choices=["gen", "extract", "verify"])
+    p.add_argument("phase", choices=["gen", "extract", "verify", "crawl"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--n-docs", type=int, default=10_000_000)
     p.add_argument("--size-scale", type=float, default=0.5)
@@ -113,5 +197,7 @@ if __name__ == "__main__":
         phase_gen(a)
     elif a.phase == "extract":
         raise SystemExit(phase_extract(a))
+    elif a.phase == "crawl":
+        raise SystemExit(phase_crawl(a))
     else:
         raise SystemExit(phase_verify(a))

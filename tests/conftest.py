@@ -39,9 +39,27 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "6g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     yield spark
     spark.stop()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_cache_between_modules(request):
+    """Drop cached blocks after each test module so persisted
+    intermediates (operator-internal persists like minhash's shingle
+    table, module fixtures' .cache()) don't accumulate across the whole
+    suite and squeeze execution memory — the source of the round-4
+    TaskMemoryManager page-allocation flake under full-suite load."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.catalog.clearCache()
+        except Exception:
+            pass  # session already stopped by the module itself

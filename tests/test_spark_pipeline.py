@@ -276,20 +276,24 @@ def test_curate_with_pii_and_lm_gate(spark):
 
     base = curate_corpus(pages, **kw).cache()
     redacted = curate_corpus(pages, redact_pii=True, **kw).cache()
-    assert redacted.columns == base.columns
-    assert redacted.count() == base.count()
-    joined = (base.alias("b").join(redacted.alias("r"), "url")
-              .select(F.col("b.text_content").alias("bt"),
-                      F.col("r.text_content").alias("rt")).collect())
-    assert any("<EMAIL>" in r.rt and "<IP>" in r.rt for r in joined)
-    assert all("alice@example.com" not in r.rt for r in joined)
-    assert any(r.bt != r.rt for r in joined)
+    try:
+        assert redacted.columns == base.columns
+        assert redacted.count() == base.count()
+        joined = (base.alias("b").join(redacted.alias("r"), "url")
+                  .select(F.col("b.text_content").alias("bt"),
+                          F.col("r.text_content").alias("rt")).collect())
+        assert any("<EMAIL>" in r.rt and "<IP>" in r.rt for r in joined)
+        assert all("alice@example.com" not in r.rt for r in joined)
+        assert any(r.bt != r.rt for r in joined)
 
-    # a generous cap keeps everything; cap 0 drops every doc with bigrams
-    loose = curate_corpus(pages, max_lm_nll_per_bigram=1000.0, **kw)
-    tight = curate_corpus(pages, max_lm_nll_per_bigram=0.0, **kw)
-    assert loose.count() == base.count()
-    assert tight.count() < base.count()
+        # generous cap keeps everything; cap 0 drops every doc with bigrams
+        loose = curate_corpus(pages, max_lm_nll_per_bigram=1000.0, **kw)
+        tight = curate_corpus(pages, max_lm_nll_per_bigram=0.0, **kw)
+        assert loose.count() == base.count()
+        assert tight.count() < base.count()
+    finally:
+        base.unpersist()
+        redacted.unpersist()
 
 
 def test_cli_curate_from_warc(tmp_path):
