@@ -72,6 +72,60 @@ def main():
         out.append(formatted(semantic_dedup(emb, cents, threshold=0.35)))
         out.append("```\n")
 
+        # crawl-discovery suite (rounds 4-5)
+        from go_readability_spark.functions import with_mojibake_repaired
+        from go_readability_spark.operators import (
+            anchor_text_stats,
+            crawl_delays,
+            frontier_schedule,
+            robots_rules,
+            robots_verdicts,
+        )
+        from go_readability_spark.sources import (
+            cdx_fetch_plan,
+            pages_from_fetch_plan,
+            parse_cdxj,
+            robots_for_hosts,
+        )
+
+        out.append("# Crawl-discovery suite (rounds 4-5)\n")
+        robots = robots_for_hosts(spark)
+        rules = robots_rules(robots)
+        out.append("## robots_verdicts (robots_gate)\n```")
+        out.append(formatted(robots_verdicts(pages.select("url"), rules)))
+        out.append("```\n")
+
+        lines = spark.createDataFrame(
+            [('org,example)/a 20240101000000 {"url": "https://example.org/a", '
+              '"mime": "text/html", "status": "200", "digest": "d", '
+              '"length": "10", "offset": "0", "filename": "f.warc.gz"}',)],
+            "line string")
+        plan_df = cdx_fetch_plan(parse_cdxj(lines))
+        out.append("## cdx_fetch_plan (parse -> filter -> newest-good window)\n```")
+        out.append(formatted(plan_df))
+        out.append("```\n")
+
+        out.append("## anchor_stats (extract -> resolve -> bounded two-phase "
+                   "text top-k + count agg)\n```")
+        out.append(formatted(anchor_text_stats(pages)))
+        out.append("```\n")
+
+        out.append("## frontier_schedule (two-phase block rank per "
+                   "(host, md5-block) — no per-host single-task window)\n```")
+        out.append(formatted(frontier_schedule(
+            pages.select("url"), crawl_delays(robots))))
+        out.append("```\n")
+
+        out.append("## ranged fetch (crawl-plan worklist -> repartition by "
+                   "archive -> monotone offset sweep in mapInPandas)\n```")
+        out.append(formatted(pages_from_fetch_plan(plan_df, "/tmp")))
+        out.append("```\n")
+
+        out.append("## mojibake_repair (pure codegen, no exchange)\n```")
+        out.append(formatted(with_mojibake_repaired(
+            pages.select("url", F.col("html").cast("string").alias("text")))))
+        out.append("```\n")
+
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "EXPLAIN.md"), "w").write("\n".join(out))
     spark.stop()
