@@ -1068,6 +1068,51 @@ def _q_ranged_fetch(spark, sf_dir):
         "url", F.md5(F.col("html")).alias("html_md5"))
 
 
+def _q_warc_revisits(spark, sf_dir):
+    """WARC revisit resolution (operators/revisits.py): Common Crawl's
+    server-side dedup pointers materialized back into pages.  The
+    record table is synthesized Spark-side from `documents` — every
+    third doc stores a payload (digest sha1:R{i}); the other two are
+    body-less revisit records pointing at their group's digest — and
+    resolve_revisits joins them back (canonical-payload groupBy + one
+    digest equi-join).  The oracle reconstructs the same pointer
+    structure with a DuckDB self-join, so a hash match proves the
+    canon-pick + digest-join semantics end-to-end.  The WARC-bytes leg
+    (revisit record parse) is pytest-verified against real archives
+    (tests/test_warc.py)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import resolve_revisits
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    i_s = i.cast("string")
+    canon = (i - i % 3).cast("string")
+    url = F.concat(F.lit("https://w.example.org/"), i_s, F.lit(".html"))
+    payload = F.concat(
+        F.lit("<html><body><h1>Doc "), i_s, F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p></body></html>"))
+    responses = docs.where(i % 3 == 0).select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("warc_ts"),
+        F.lit("response").alias("record_type"),
+        F.concat(F.lit("sha1:R"), i_s).alias("digest"),
+        F.lit(None).cast("string").alias("refers_to"),
+        payload.cast("binary").alias("html"),
+    )
+    revisits = docs.where(i % 3 != 0).select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2025-02-01")).alias("warc_ts"),
+        F.lit("revisit").alias("record_type"),
+        F.concat(F.lit("sha1:R"), canon).alias("digest"),
+        F.concat(F.lit("https://w.example.org/"), canon,
+                 F.lit(".html")).alias("refers_to"),
+        F.lit(None).cast("binary").alias("html"),
+    )
+    out = resolve_revisits(responses.unionByName(revisits))
+    return out.select("url", F.md5(F.col("html")).alias("html_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -1126,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": _q_frontier_schedule,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "ranged_fetch": _q_ranged_fetch,
+        "warc_revisits": _q_warc_revisits,
         "pdf_extract": _q_pdf_extract,
         "resume_antijoin": _q_resume_antijoin,
         "partition_metrics": _q_partition_metrics,
@@ -1792,6 +1838,18 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE i % 4 END AS VARCHAR)
                        || '.warc.gz' AS filename
             FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+        """,
+        # Ground truth for warc_revisits: the same pointer structure as a
+        # DuckDB self-join — every doc resolves to its group-canonical
+        # payload (i - i%3); responses resolve to themselves.
+        "warc_revisits": """
+            SELECT 'https://w.example.org/' || CAST(a.doc_id AS VARCHAR)
+                       || '.html' AS url,
+                   md5('<html><body><h1>Doc ' || CAST(c.doc_id AS VARCHAR)
+                       || '</h1><p>' || c.text || '</p></body></html>')
+                       AS html_md5
+            FROM documents a
+            JOIN documents c ON c.doc_id = a.doc_id - (a.doc_id % 3)
         """,
         # Ground truth for ranged_fetch: the html payload the generator
         # embedded in each WARC member, recomputed closed-form from

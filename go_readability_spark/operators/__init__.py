@@ -74,3 +74,7 @@ from .robots import (  # noqa: F401
     robots_verdicts,
     sitemap_urls,
 )
+from .revisits import (  # noqa: F401
+    resolve_revisits,
+    revisit_stats,
+)

@@ -12,6 +12,7 @@ from .warc import (  # noqa: F401
     docs_from_wet,
     pages_from_fetch_plan,
     pages_from_warc,
+    records_from_warc,
     write_warc,
     write_wet,
 )

@@ -197,6 +197,73 @@ def warc_bytes_to_page_rows(raw: bytes) -> Iterator[dict]:
         }
 
 
+def warc_bytes_to_record_rows(raw: bytes) -> Iterator[dict]:
+    """Full-fidelity record table of one archive: response records (with
+    their decoded html AND the recorded WARC-Payload-Digest) and
+    `revisit` records — Common Crawl's server-side dedup pointers
+    (WARC/1.1 §6.7.2): when a re-fetch returns content already stored,
+    the crawler writes a body-less revisit record carrying the payload
+    digest of the original.  A real crawl snapshot is 10-30% revisits;
+    dropping them (what pages_from_warc does, correctly, for the
+    pages-only view) silently loses those URLs' membership in the
+    corpus.  `resolve_revisits` (operators/revisits.py) joins them back
+    to the stored payloads by digest."""
+    for headers, payload in iter_warc_records(raw):
+        wtype = headers.get("warc-type")
+        url = headers.get("warc-target-uri")
+        if not url or wtype not in ("response", "revisit"):
+            continue
+        digest = headers.get("warc-payload-digest")
+        if wtype == "revisit":
+            yield {
+                "url": url,
+                "warc_ts": _parse_warc_date(headers),
+                "record_type": "revisit",
+                "digest": digest,
+                "refers_to": headers.get("warc-refers-to-target-uri"),
+                "html": None,
+            }
+            continue
+        parsed = _split_http_response(payload)
+        if parsed is None:
+            continue
+        status, http_headers, body = parsed
+        if not 200 <= status < 300:
+            continue
+        ctype = http_headers.get("content-type", "")
+        if "html" not in ctype.lower():
+            continue
+        body = _decode_http_body(http_headers, body)
+        if body is None:
+            continue
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_date(headers),
+            "record_type": "response",
+            "digest": digest,
+            "refers_to": None,
+            "html": body,
+        }
+
+
+WARC_RECORDS_SCHEMA = (
+    "url string, warc_ts timestamp, record_type string, digest string, "
+    "refers_to string, html binary"
+)
+
+
+def records_from_warc(spark, path: str, strict: bool = False) -> DataFrame:
+    """Read .warc/.warc.gz archives into the full-fidelity record table
+    (responses + revisits, see warc_bytes_to_record_rows).  Same
+    one-archive-per-task parallelism and corrupt-archive containment as
+    :func:`pages_from_warc`."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        archive_parser(warc_bytes_to_record_rows, strict),
+        schema=WARC_RECORDS_SCHEMA,
+    )
+
+
 def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
     """Text `conversion` records of a WET archive (Common Crawl's
     pre-extracted text sidecar format — same ISO 28500 framing, payload is
@@ -358,24 +425,55 @@ def pages_from_fetch_plan(
     return ranges.mapInPandas(fetch, schema=PAGES_SCHEMA)
 
 
-def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True) -> bytes:
+def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True,
+               digests: list[str] | None = None) -> bytes:
     """Build a spec-shaped WARC blob from (url, ts, html_body) triples —
     for tests and examples (each record its own gzip member, like Common
-    Crawl's archives)."""
+    Crawl's archives).  `digests` optionally carries a parallel list of
+    WARC-Payload-Digest values to record (the anchor revisit records
+    point at)."""
     out = b""
-    for url, ts, body in records:
+    for idx, (url, ts, body) in enumerate(records):
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
             b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
         )
+        digest_hdr = b""
+        if digests is not None and digests[idx]:
+            digest_hdr = (b"WARC-Payload-Digest: "
+                          + digests[idx].encode() + b"\r\n")
         headers = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
             b"WARC-Target-URI: " + url.encode() + b"\r\n"
             b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + digest_hdr +
             b"Content-Type: application/http; msgtype=response\r\n"
             b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
         )
         rec = headers + http + b"\r\n\r\n"
         out += gzip.compress(rec) if gz else rec
     return out
+
+
+def write_revisit(url: str, ts: datetime, digest: str,
+                  refers_to: str | None = None, gz: bool = True) -> bytes:
+    """Build one body-less `revisit` record (WARC/1.1 §6.7.2) — the
+    server-side dedup pointer records_from_warc parses."""
+    refers_hdr = b""
+    if refers_to:
+        refers_hdr = (b"WARC-Refers-To-Target-URI: "
+                      + refers_to.encode() + b"\r\n")
+    headers = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+        b"WARC-Payload-Digest: " + digest.encode() + b"\r\n"
+        + refers_hdr +
+        b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        b"identical-payload-digest\r\n"
+        b"Content-Length: 0\r\n\r\n"
+    )
+    rec = headers + b"\r\n\r\n"
+    return gzip.compress(rec) if gz else rec

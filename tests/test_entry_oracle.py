@@ -76,7 +76,7 @@ def test_every_query_runs(spark, entry_mod):
     "pii_redaction", "lm_perplexity", "substring_dedup",
     "latest_snapshot", "snapshot_history", "host_stats", "blocked_hosts",
     "link_edges", "host_graph", "host_rank", "pdf_extract", "robots_gate",
-    "cdx_fetch_plan", "ranged_fetch", "anchor_stats", "frontier_schedule", "mojibake_repair",
+    "cdx_fetch_plan", "ranged_fetch", "warc_revisits", "anchor_stats", "frontier_schedule", "mojibake_repair",
     "sitemap_entries", "mojibake_segments", "dsir_weights", "nfc_text",
     "sequence_packing", "sequence_manifest", "shard_stats", "stratified_sample",
     "global_shuffle",

@@ -349,3 +349,70 @@ def test_ranged_fetch_corrupt_member_skipped(spark, tmp_path):
     assert [r.url for r in rows] == ["http://example.org/ok"]
     with pytest.raises(Exception):
         pages_from_fetch_plan(plan, str(d), strict=True).count()
+
+
+def test_revisit_records_parse_and_resolve(spark, tmp_path):
+    """Server-side dedup pointers (WARC revisit records) parse from real
+    archives and resolve back to the stored payloads by digest; a
+    revisit whose digest was never stored is dropped; responses ride
+    through unchanged."""
+    from go_readability_spark.operators import resolve_revisits, revisit_stats
+    from go_readability_spark.sources import records_from_warc
+    from go_readability_spark.sources.warc import write_revisit
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    body_a = DOC.replace(b"%d", b"A")
+    body_b = DOC.replace(b"%d", b"B")
+    blob = write_warc(
+        [("http://example.org/a", datetime(2024, 5, 1), body_a),
+         ("http://example.org/b", datetime(2024, 5, 2), body_b)],
+        digests=["sha1:DIGA", "sha1:DIGB"],
+    )
+    # two resolvable pointers (one with Refers-To, one without) and one
+    # dangling pointer into an earlier snapshot
+    blob += write_revisit("http://mirror.example.net/a-copy",
+                          datetime(2024, 6, 1), "sha1:DIGA",
+                          refers_to="http://example.org/a")
+    blob += write_revisit("http://example.org/a?utm=x",
+                          datetime(2024, 6, 2), "sha1:DIGA")
+    blob += write_revisit("http://example.org/old",
+                          datetime(2024, 6, 3), "sha1:GONE")
+    (d / "a.warc.gz").write_bytes(blob)
+
+    records = records_from_warc(spark, str(d))
+    stats = {r.record_type: r for r in revisit_stats(records).collect()}
+    assert stats["response"].n == 2 and stats["revisit"].n == 3
+    rows = {r.url: r for r in records.collect()}
+    rv = rows["http://mirror.example.net/a-copy"]
+    assert rv.record_type == "revisit" and rv.digest == "sha1:DIGA"
+    assert rv.refers_to == "http://example.org/a" and rv.html is None
+
+    out = {r.url: r for r in resolve_revisits(records).collect()}
+    assert set(out) == {
+        "http://example.org/a", "http://example.org/b",
+        "http://mirror.example.net/a-copy", "http://example.org/a?utm=x",
+    }  # dangling sha1:GONE dropped
+    assert bytes(out["http://mirror.example.net/a-copy"].html) == body_a
+    assert bytes(out["http://example.org/a?utm=x"].html) == body_a
+    assert bytes(out["http://example.org/b"].html) == body_b
+    assert out["http://mirror.example.net/a-copy"].warc_ts \
+        == datetime(2024, 6, 1)  # the REVISIT's timestamp, not the original's
+    # revisit-only view
+    only = resolve_revisits(records, keep_responses=False).collect()
+    assert len(only) == 2
+
+
+def test_pages_from_warc_still_skips_revisits(spark, tmp_path):
+    """The pages-only view must not surface body-less revisit records."""
+    d = tmp_path / "arch"
+    d.mkdir()
+    from go_readability_spark.sources.warc import write_revisit
+
+    blob = write_warc([("http://example.org/a", datetime(2024, 5, 1),
+                        DOC.replace(b"%d", b"A"))], digests=["sha1:X"])
+    blob += write_revisit("http://example.org/dup", datetime(2024, 6, 1),
+                          "sha1:X")
+    (d / "a.warc.gz").write_bytes(blob)
+    assert [r.url for r in pages_from_warc(spark, str(d)).collect()] \
+        == ["http://example.org/a"]
