@@ -57,6 +57,12 @@ _META = r"([.^$+?(){}\[\]\\|])"
 # group-independent per the sitemaps.org protocol.
 _GROUP_FIELDS = ("allow", "disallow", "crawl-delay")
 
+# RFC 9309 §2.5: a parser MUST process at least 500 KiB and MAY ignore
+# the rest.  Enforcing the cap bounds the per-host window partition (the
+# module's scale claim) against adversarial or broken mega-files —
+# without it one 2 GB robots.txt becomes one 2 GB sort partition.
+_MAX_ROBOTS_CHARS = 512_000
+
 
 def _grouped_fields(robots: DataFrame, fields: tuple,
                     host_col: str, txt_col: str):
@@ -67,7 +73,9 @@ def _grouped_fields(robots: DataFrame, fields: tuple,
     for the caller to pair rule rows with agent rows."""
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(
+            F.substring(F.col(txt_col), 1, _MAX_ROBOTS_CHARS), "\n"
+        )).alias("pos", "line"),
     ).select(
         "host", "pos",
         F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),

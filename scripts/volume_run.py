@@ -160,6 +160,18 @@ def phase_crawl(args):
     allowed = verd.where("allowed").count()
     t_robots = time.time() - t0
 
+    # frontier: the two-phase block rank against the megahost (~30% of
+    # all urls on ONE host — the exact single-task-window stressor the
+    # round-5 rewrite removes)
+    from go_readability_spark.operators import crawl_delays, frontier_schedule
+
+    t0 = time.time()
+    sched = frontier_schedule(
+        pages.select("url"), crawl_delays(robots, agent="*"))
+    agg = sched.agg(
+        F.count("*").alias("n"), F.max("slot").alias("max_slot")).collect()[0]
+    t_frontier = time.time() - t0
+
     print(json.dumps({
         "phase": "crawl", "rows": n,
         "graph_sec": round(t_graph, 1),
@@ -170,6 +182,9 @@ def phase_crawl(args):
         "robots_sec": round(t_robots, 1),
         "robots_pages_per_sec": round(n / t_robots, 1),
         "blocked": blocked, "allowed": allowed,
+        "frontier_sec": round(t_frontier, 1),
+        "frontier_pages_per_sec": round(n / t_frontier, 1),
+        "frontier_rows": agg.n, "frontier_max_slot": int(agg.max_slot),
     }))
     spark.stop()
     return 0

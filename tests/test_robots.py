@@ -299,3 +299,21 @@ def test_curate_robots_takedown_sweep(spark):
     out = curate_corpus(pages, min_length=50, min_quality=0.0,
                         languages=(), robots=robots).collect()
     assert [r.url for r in out] == ["https://a.example.org/public/y.html"]
+
+
+def test_robots_500kib_cap(spark):
+    """RFC 9309 §2.5: rules beyond the 500 KiB processing cap are
+    ignored (bounds the per-host window partition against adversarial
+    mega-files); rules before the cap still apply."""
+    filler = ("# pad" + "x" * 94 + "\n") * 5300  # ~530 KB of comments
+    txt = ("User-agent: *\nDisallow: /early/\n" + filler
+           + "Disallow: /late/\n")
+    assert len(txt) > 520_000
+    robots = spark.createDataFrame(
+        [("a.example.org", txt)], "host string, robots_txt string")
+    rules = robots_rules(robots)
+    assert _verdict(spark, rules, "https://a.example.org/early/x", "*") \
+        == (False, "/early/")
+    # the post-cap rule never materializes
+    assert _verdict(spark, rules, "https://a.example.org/late/x", "*") \
+        == (True, None)
