@@ -202,3 +202,100 @@ def test_host_graph_single_exchange_partial_agg(spark):
     assert plan.count("Exchange") == 1, plan
     # partial_count before the exchange, final count after it
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
+
+
+def test_minhash_flood_cap_single_aggregation(spark):
+    """The max_bucket_size cap must ride the ONE band-bucket aggregation
+    (sorted-id collect + streamed pair generators), not a separate
+    count + semi-join pass (the round-4 +50% regression): exactly one
+    ObjectHashAggregate exchange for the bucket collect, pair
+    enumeration as Generate nodes, and no join before the verify stage's
+    shingle joins."""
+    from go_readability_spark.operators.dedup import (
+        _band_bucket_md5,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs.limit(50), num_hashes=16)
+    plan = _plan(minhash_lsh_candidates(
+        sigs, num_bands=4, rows_per_band=4,
+        bucket_fn=_band_bucket_md5, max_bucket_size=100))
+    assert "Join" not in plan, plan  # candidates need NO join at all now
+    assert plan.count("Generate") >= 2, plan  # streamed pair explode
+    # two aggregations total: the bucket collect + the pair distinct
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_frontier_schedule_no_host_window(spark):
+    """frontier_schedule must never sort a whole host in one window
+    partition: every window/sort key set includes the block column, and
+    the offsets side is a tiny per-(host, block) count aggregation."""
+    import re as _re
+
+    from go_readability_spark.operators import frontier_schedule
+
+    plan_df = spark.createDataFrame(
+        [(f"https://m.example.net/{i}",) for i in range(50)], "url string")
+    delays = spark.createDataFrame([], "host string, delay_sec double")
+    plan = _plan(frontier_schedule(plan_df, delays, 1.0, n_blocks=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for spec in _re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        cols = [c.split("#")[0].strip() for c in spec.split(",")]
+        assert cols != ["host"], plan
+
+
+def test_anchor_stats_bounded_topk_shape(spark):
+    """anchor_text_stats must pre-cap texts with the two-phase rank: a
+    row_number window over (dst, sub-key) feeding the final collect_set,
+    and the count stats must come from an expand-rewritten
+    count-distinct (constant-size agg state), never a collected set of
+    srcs."""
+    from go_readability_spark.operators import anchor_text_stats
+    from go_readability_spark.sources import pages_from_documents_linked
+
+    pages = pages_from_documents_linked(spark, "/root/testdata/sf0.001")
+    plan = _plan(anchor_text_stats(pages))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "row_number" in plan, plan          # the pre-cap rank
+    assert plan.count("collect_set") <= 2, plan  # only the capped texts agg
+    assert "collect_set(src" not in plan, plan
+    # count(DISTINCT src) rewritten to constant-state aggregation: either
+    # an Expand (multi-distinct) or a two-level group-by-(dst, src) pass
+    assert "Expand" in plan or "keys=[dst" in plan and "src" in plan, plan
+    assert "partial_count(distinct" in plan or "Expand" in plan, plan
+
+
+def test_ranged_fetch_partitions_by_archive(spark):
+    """pages_from_fetch_plan must repartition by filename (archive
+    locality) and sort within partitions by (filename, offset) — the
+    monotone sweep — with the parse as MapInPandas, never a row UDF."""
+    from go_readability_spark.sources import pages_from_fetch_plan
+
+    plan_df = spark.createDataFrame(
+        [("u1", "a.warc.gz", 0, 10), ("u2", "a.warc.gz", 10, 10)],
+        "url string, filename string, offset long, length long")
+    plan = _plan(pages_from_fetch_plan(plan_df, "/tmp"))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "hashpartitioning(filename" in plan, plan
+    assert "Sort [filename" in plan, plan
+
+
+def test_revisit_resolution_join_is_digest_equi(spark):
+    """resolve_revisits must join revisits to the canonical-payload
+    table on digest (equi-join, broadcast or shuffled) — never a
+    cartesian — and the canon pick must be an aggregation with partial
+    combine (min_by), not a window over all responses."""
+    from go_readability_spark.operators import resolve_revisits
+
+    records = spark.createDataFrame(
+        [("u1", None, "response", "d1", None, bytearray(b"<html>1</html>")),
+         ("u2", None, "revisit", "d1", "u1", None)],
+        "url string, warc_ts timestamp, record_type string, digest string, "
+        "refers_to string, html binary")
+    plan = _plan(resolve_revisits(records))
+    assert "CartesianProduct" not in plan, plan
+    assert "min_by" in plan or "partial_min_by" in plan, plan
+    assert "Window" not in plan, plan
