@@ -359,7 +359,8 @@ def pages_from_warc(
 
 
 def pages_from_fetch_plan(
-    plan: DataFrame, base_dir: str, strict: bool = False
+    plan: DataFrame, base_dir: str, strict: bool = False,
+    chunk_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Execute a crawl-plan worklist with BYTE-RANGE reads: each plan row
     (filename, offset, length) names one gzip member inside a .warc.gz
@@ -370,25 +371,32 @@ def pages_from_fetch_plan(
     of a plan: the index selection (sources/cdx.py) already pruned ~99%
     of the corpus, and this reads exactly the surviving ranges.
 
-    Plan shape: repartition by filename co-locates all ranges of one
-    archive on one task; sortWithinPartitions(filename, offset) turns
-    them into a monotone sweep, so each file is opened once and read
+    Plan shape: repartition by (filename, offset div chunk_bytes)
+    co-locates each ~chunk of one archive on one task;
+    sortWithinPartitions(filename, offset) turns the chunk into a
+    monotone sweep, so each file is opened once per task and read
     sequentially (on object storage each read is one ranged GET — the
     seek+read here is its filesystem equivalent; adjacent members
-    coalesce in the OS readahead).  Parsing reuses the exact record
-    pipeline of the whole-archive path (warc_bytes_to_page_rows), so a
-    ranged fetch of every member is byte-identical to reading the whole
-    archive.  Corrupt members skip (strict=False) like corrupt archives
-    do elsewhere."""
+    coalesce in the OS readahead).  The default chunk (1 GiB) equals
+    Common Crawl's archive granularity, so normal archives stay one
+    task; a pathological 100 GB archive splits into 100 independent
+    monotone sweeps instead of serializing through one task.  Parsing
+    reuses the exact record pipeline of the whole-archive path
+    (warc_bytes_to_page_rows), so a ranged fetch of every member is
+    byte-identical to reading the whole archive.  Corrupt members skip
+    (strict=False) like corrupt archives do elsewhere."""
     import os
 
     import pandas as pd
+
+    from pyspark.sql import functions as F
 
     from ..plans.schema import PAGES_SCHEMA
 
     ranges = (
         plan.select("filename", "offset", "length")
-        .repartition("filename")
+        .repartition("filename",
+                     F.floor(F.col("offset") / F.lit(int(chunk_bytes))))
         .sortWithinPartitions("filename", "offset")
     )
 

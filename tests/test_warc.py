@@ -416,3 +416,33 @@ def test_pages_from_warc_still_skips_revisits(spark, tmp_path):
     (d / "a.warc.gz").write_bytes(blob)
     assert [r.url for r in pages_from_warc(spark, str(d)).collect()] \
         == ["http://example.org/a"]
+
+
+def test_ranged_fetch_mega_archive_chunked(spark, tmp_path):
+    """A mega-archive's ranges split into independent monotone sweeps
+    (chunk_bytes) instead of serializing through one task; output is
+    identical to the single-task read."""
+    from go_readability_spark.sources import pages_from_fetch_plan
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    blob, offs = b"", []
+    for i in range(20):
+        member = write_warc([(f"http://example.org/m{i}",
+                              datetime(2024, 5, 1, 0, 0, i),
+                              DOC.replace(b"%d", str(i).encode()))])
+        offs.append((len(blob), len(member)))
+        blob += member
+    (d / "big.warc.gz").write_bytes(blob)
+    plan = spark.createDataFrame(
+        [(f"http://example.org/m{i}", "big.warc.gz", o, ln)
+         for i, (o, ln) in enumerate(offs)],
+        "url string, filename string, offset long, length long")
+    whole = {r.url: bytes(r.html)
+             for r in pages_from_fetch_plan(plan, str(d)).collect()}
+    # chunk small enough to split this archive across many tasks
+    chunked_df = pages_from_fetch_plan(plan, str(d), chunk_bytes=1024)
+    chunked = {r.url: bytes(r.html) for r in chunked_df.collect()}
+    assert chunked == whole and len(chunked) == 20
+    p = chunked_df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(filename" in p and "FLOOR" in p.upper(), p
