@@ -370,15 +370,29 @@ def cmd_crawl_fetch(args) -> int:
         ship_package(spark)
         plan = spark.read.parquet(args.plan)
         pages = pages_from_fetch_plan(plan, args.warc_dir)
-        if args.extract:
+        if args.extract and args.atomic_sink:
+            # the resumable leg: bucket-granular atomic publishes, so a
+            # killed fetch+extract restarts from the checkpoint table
+            from .plans import run_extraction_job_atomic
+
+            n = run_extraction_job_atomic(
+                pages,
+                output_dir=args.output,
+                checkpoint_dir=args.checkpoint,
+                n_buckets=args.buckets,
+            )
+            print(f"atomic sink: {n} buckets written this run",
+                  file=sys.stderr)
+            what = "articles"
+        elif args.extract:
             from .plans.extract import extract_pages
 
-            out_df = extract_pages(pages, n_buckets=args.buckets)
+            extract_pages(pages, n_buckets=args.buckets).write.mode(
+                "overwrite").parquet(args.output)
             what = "articles"
         else:
-            out_df = pages
+            pages.write.mode("overwrite").parquet(args.output)
             what = "pages"
-        out_df.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"crawl fetch: {n} {what} -> {args.output}")
     finally:
@@ -496,6 +510,11 @@ def main(argv=None) -> int:
                     help="run extraction on the fetched pages")
     cf.add_argument("--buckets", type=int, default=64,
                     help="salt buckets for --extract")
+    cf.add_argument("--atomic-sink", action="store_true",
+                    help="with --extract: bucket-granular atomic sink "
+                         "(kill+restart resumes from --checkpoint)")
+    cf.add_argument("--checkpoint", default=None,
+                    help="checkpoint table dir for --atomic-sink")
     cf.add_argument("--master", default=None)
     cf.set_defaults(fn=cmd_crawl_fetch)
 

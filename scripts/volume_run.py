@@ -190,9 +190,100 @@ def phase_crawl(args):
     return 0
 
 
+def phase_warcgen(args):
+    """Distributed WARC+CDXJ corpus: every generator partition writes ONE
+    real .warc.gz archive (one gzip member per record, offsets measured
+    while writing) plus its CDXJ index shard — the on-disk shape of an
+    actual crawl snapshot, produced executor-side with no driver
+    bottleneck.  Feeds phase_crawlfetch."""
+    import json as _json
+
+    from go_readability_spark.plans import build_session
+    from go_readability_spark.sources import synth_pages_distributed
+
+    spark = build_session(master=args.master)
+    warc_dir = os.path.abspath(f"{args.workdir}/warc")
+    os.makedirs(warc_dir, exist_ok=True)
+    pages = synth_pages_distributed(
+        spark, args.n_docs, seed=args.seed, skew=True,
+        num_partitions=args.gen_partitions, size_scale=args.size_scale)
+
+    def write_archives(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from go_readability_spark.sources.warc import write_warc
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        off, lines = 0, []
+        with open(os.path.join(warc_dir, fname), "wb") as fh:
+            for pdf in batches:
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                         pdf["html"]):
+                    member = write_warc(
+                        [(url, ts.to_pydatetime(), bytes(html))])
+                    fh.write(member)
+                    body = _json.dumps({
+                        "url": url, "mime": "text/html", "status": "200",
+                        "digest": f"sha1:{pid}-{len(lines)}",
+                        "length": str(len(member)), "offset": str(off),
+                        "filename": fname,
+                    })
+                    lines.append(f"{url.lower()} 20250101000000 {body}")
+                    off += len(member)
+        yield pd.DataFrame({"line": lines})
+
+    t0 = time.time()
+    idx = pages.mapInPandas(write_archives, schema="line string")
+    idx.write.mode("overwrite").text(f"{args.workdir}/index")
+    dt = time.time() - t0
+    n = spark.read.text(f"{args.workdir}/index").count()
+    size = 0
+    for root, _dirs, files in os.walk(warc_dir):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    print(json.dumps({"phase": "warcgen", "index_lines": n,
+                      "sec": round(dt, 1), "warc_mb": size // (1 << 20),
+                      "archives": args.gen_partitions}))
+    spark.stop()
+
+
+def phase_crawlfetch(args):
+    """The closed crawl loop at volume: CDXJ index -> crawl-plan CLI
+    (selection + frontier) -> crawl-fetch CLI (byte-range member reads
+    -> extraction, ATOMIC resumable sink) -> verify row counts.  A
+    kill+restart probe SIGKILLs this phase mid-extract and re-invokes
+    it; the atomic sink resumes bucket-granular."""
+    from go_readability_spark.cli import main
+
+    base = ["--master", args.master] if args.master else []
+    t0 = time.time()
+    rc = main(["crawl-plan", "--index", f"{args.workdir}/index",
+               "--output", f"{args.workdir}/plan"] + base)
+    t_plan = time.time() - t0
+    if rc:
+        return rc
+    t0 = time.time()
+    rc = main(["crawl-fetch", "--plan", f"{args.workdir}/plan",
+               "--warc-dir", f"{args.workdir}/warc",
+               "--output", f"{args.workdir}/articles",
+               "--extract", "--atomic-sink",
+               "--checkpoint", f"{args.workdir}/ckpt",
+               "--buckets", str(args.buckets)] + base)
+    t_fetch = time.time() - t0
+    print(json.dumps({
+        "phase": "crawlfetch", "rc": rc,
+        "plan_sec": round(t_plan, 1),
+        "fetch_extract_sec": round(t_fetch, 1),
+        "docs_per_sec": round(args.n_docs / t_fetch, 1),
+    }))
+    return rc
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("phase", choices=["gen", "extract", "verify", "crawl"])
+    p.add_argument("phase", choices=["gen", "extract", "verify", "crawl",
+                                     "warcgen", "crawlfetch"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--n-docs", type=int, default=10_000_000)
     p.add_argument("--size-scale", type=float, default=0.5)
@@ -214,5 +305,9 @@ if __name__ == "__main__":
         raise SystemExit(phase_extract(a))
     elif a.phase == "crawl":
         raise SystemExit(phase_crawl(a))
+    elif a.phase == "warcgen":
+        phase_warcgen(a)
+    elif a.phase == "crawlfetch":
+        raise SystemExit(phase_crawlfetch(a))
     else:
         raise SystemExit(phase_verify(a))
