@@ -22,6 +22,7 @@ Design notes for 10^12-row scale:
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 import uuid
@@ -346,7 +347,22 @@ def make_sink_extractor(output_dir: str, checkpoint_dir: str | None):
             bucket_dir = os.path.join(output_dir, f"salt={salt_val}")
             os.makedirs(bucket_dir, exist_ok=True)
             final = os.path.join(bucket_dir, f"part-{salt_val:05d}.parquet")
-            tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+            # staging name MUST be dot-prefixed: Spark/parquet directory
+            # listings ignore '.'/'_' files, so a kill mid-write (ENOSPC,
+            # SIGKILL) leaves garbage that readers and the resume
+            # verifier never see.  (A non-hidden '<final>.tmp-…' name
+            # broke the 10M crawl-fetch resume: the truncated staging
+            # file failed the whole output read.)  Stale tmps from dead
+            # attempts are swept before this attempt writes its own.
+            for stale in glob.glob(os.path.join(
+                    bucket_dir, f".part-{salt_val:05d}.parquet.tmp-*")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+            tmp = os.path.join(
+                bucket_dir,
+                f".part-{salt_val:05d}.parquet.tmp-{uuid.uuid4().hex}")
             pq.write_table(_bucket_table(frames), tmp,
                            compression=_output_codec())
             os.replace(tmp, final)  # atomic publish

@@ -42,6 +42,14 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.ui.enabled", "false")
     )
+    # arbitrary per-job conf via env — the spark-submit --conf equivalent
+    # for python-invoked paths (e.g. SPARK_GRAFT_CONF=
+    # "spark.io.compression.codec=zstd" shrinks HTML-heavy shuffles
+    # ~40% vs lz4 when local disk, not CPU, is the constraint)
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     for k, v in extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

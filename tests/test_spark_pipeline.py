@@ -492,13 +492,23 @@ def test_atomic_sink_roundtrip_and_bucket_resume(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in files} == mtimes
 
     # lose one bucket's data (simulates a kill after some buckets
-    # published): only that bucket is re-extracted
+    # published): only that bucket is re-extracted.  The dead attempt
+    # also left a TRUNCATED dot-prefixed staging file (what an ENOSPC /
+    # SIGKILL mid-write leaves): readers and the resume verifier must
+    # never see it, and the rewrite must sweep it.
     lost_dir = os.path.dirname(files[0])
     shutil.rmtree(lost_dir)
+    os.makedirs(lost_dir)
+    salt_name = os.path.basename(files[0])
+    stale = os.path.join(lost_dir, f".{salt_name}.tmp-deadbeef")
+    with open(stale, "wb") as fh:
+        fh.write(b"PAR1 truncated garbage")
     n3 = run_extraction_job_atomic(pages, out, checkpoint_dir=ck,
                                    n_buckets=8, num_partitions=4)
     assert n3 >= 1
-    assert spark.read.parquet(out).count() == 24
+    assert spark.read.parquet(out).count() == 24  # garbage invisible
+    assert not os.path.exists(stale)  # swept by the bucket rewrite
+    assert not glob.glob(os.path.join(out, "salt=*", "*.tmp-*"))  # hidden only
     survivors = [f for f in files if not f.startswith(lost_dir + os.sep)]
     for f in survivors:
         assert os.path.getmtime(f) == mtimes[f], f  # untouched
