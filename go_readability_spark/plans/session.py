@@ -8,6 +8,20 @@ from __future__ import annotations
 import os
 
 
+def env_confs(raw: str | None = None) -> dict:
+    """Parse SPARK_GRAFT_CONF ("k=v;k=v") into a conf dict — malformed
+    segments (no '=') are skipped, whitespace trimmed."""
+    if raw is None:
+        raw = os.environ.get("SPARK_GRAFT_CONF", "")
+    out = {}
+    for pair in raw.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            if k.strip():
+                out[k.strip()] = v.strip()
+    return out
+
+
 def build_session(master: str | None = None, app_name: str = "go-readability-spark", **extra):
     from pyspark.sql import SparkSession
 
@@ -46,10 +60,8 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
     # for python-invoked paths (e.g. SPARK_GRAFT_CONF=
     # "spark.io.compression.codec=zstd" shrinks HTML-heavy shuffles
     # ~40% vs lz4 when local disk, not CPU, is the constraint)
-    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
-        if "=" in pair:
-            k, v = pair.split("=", 1)
-            b = b.config(k.strip(), v.strip())
+    for k, v in env_confs().items():
+        b = b.config(k, v)
     for k, v in extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -252,3 +252,15 @@ def test_compression_ratio(spark):
 
     with _pytest.raises(ValueError):
         with_compression_ratio(df.withColumnRenamed("doc_id", "compression_ratio"))
+
+
+def test_env_confs_parsing():
+    """SPARK_GRAFT_CONF grammar: 'k=v;k=v', malformed segments skipped,
+    values may contain '=' (only the first splits)."""
+    from go_readability_spark.plans.session import env_confs
+
+    assert env_confs("spark.io.compression.codec=zstd") == {
+        "spark.io.compression.codec": "zstd"}
+    assert env_confs(" a = 1 ; b=x=y ; garbage ; =v ; c=") == {
+        "a": "1", "b": "x=y", "c": ""}
+    assert env_confs("") == {}
