@@ -411,8 +411,17 @@ def pages_from_fetch_plan(
                     if fn != cur_name:
                         if fh is not None:
                             fh.close()
-                        fh = open(os.path.join(base_dir, str(fn)), "rb")
-                        cur_name = fn
+                        cur_name, fh = fn, None
+                        try:
+                            fh = open(os.path.join(base_dir, str(fn)), "rb")
+                        except OSError:
+                            # a missing/unreadable archive among 10^5
+                            # must skip its ranges, not kill the job
+                            # (same containment as corrupt members)
+                            if strict:
+                                raise
+                    if fh is None:
+                        continue  # ranges of a missing archive
                     fh.seek(int(off))
                     blob = fh.read(int(ln))
                     try:

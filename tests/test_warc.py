@@ -446,3 +446,71 @@ def test_ranged_fetch_mega_archive_chunked(spark, tmp_path):
     assert chunked == whole and len(chunked) == 20
     p = chunked_df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(filename" in p and "FLOOR" in p.upper(), p
+
+
+def test_ranged_fetch_missing_archive_skipped(spark, tmp_path):
+    """One deleted/renamed archive among many must skip its ranges
+    (strict=False), not kill the job; strict=True raises."""
+    from go_readability_spark.sources import pages_from_fetch_plan
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    member = write_warc([("http://example.org/ok", datetime(2024, 5, 1),
+                          DOC.replace(b"%d", b"ok"))])
+    (d / "present.warc.gz").write_bytes(member)
+    plan = spark.createDataFrame(
+        [("http://example.org/ok", "present.warc.gz", 0, len(member)),
+         ("http://example.org/gone1", "deleted.warc.gz", 0, 100),
+         ("http://example.org/gone2", "deleted.warc.gz", 100, 100)],
+        "url string, filename string, offset long, length long")
+    rows = pages_from_fetch_plan(plan, str(d)).collect()
+    assert [r.url for r in rows] == ["http://example.org/ok"]
+    with pytest.raises(Exception):
+        pages_from_fetch_plan(plan, str(d), strict=True).count()
+
+
+def test_ranged_fetch_random_layouts_fuzz(spark, tmp_path):
+    """Seeded fuzz: random member sizes, random plan subsets in random
+    order, duplicate plan rows, random chunk sizes — every planned
+    member must come back byte-identical to the whole-archive read."""
+    import random
+
+    from go_readability_spark.sources import pages_from_fetch_plan
+
+    rng = random.Random(7)
+    d = tmp_path / "arch"
+    d.mkdir()
+    plan_rows, expect = [], {}
+    for j in range(3):
+        fname = f"r{j}.warc.gz"
+        blob, off = b"", 0
+        for k in range(rng.randint(3, 12)):
+            url = f"http://example.org/{j}/{k}"
+            body = (b"<html><title>T" + str(k).encode() + b"</title><p>"
+                    + bytes([97 + (k % 26)]) * rng.randint(10, 4000)
+                    + b"</p></html>")
+            member = write_warc([(url, datetime(2024, 5, 1, 0, j, k), body)])
+            blob += member
+            if rng.random() < 0.8:  # random subset is planned
+                plan_rows.append((url, fname, off, len(member)))
+                expect[url] = body
+                if rng.random() < 0.2:  # duplicate plan row
+                    plan_rows.append((url, fname, off, len(member)))
+            off += len(member)
+        (d / fname).write_bytes(blob)
+    rng.shuffle(plan_rows)
+    plan = spark.createDataFrame(
+        plan_rows, "url string, filename string, offset long, length long")
+    out = pages_from_fetch_plan(
+        plan, str(d), chunk_bytes=rng.choice([512, 1 << 30]))
+    got = {}
+    dup_total = 0
+    for r in out.collect():
+        got.setdefault(r.url, []).append(bytes(r.html))
+        dup_total += 1
+    assert set(got) == set(expect)
+    for u, bodies in got.items():
+        assert all(b == expect[u] for b in bodies), u
+    # duplicate plan rows produce duplicate rows (plan hygiene is the
+    # planner's job — cdx_fetch_plan dedups per urlkey upstream)
+    assert dup_total == len(plan_rows)
