@@ -213,9 +213,19 @@ def cmd_extract(args) -> int:
     try:
         ship_package(spark)
         if args.input_format == "warc":
-            from .sources.warc import pages_from_warc
+            if args.resolve_revisits:
+                # full-fidelity record table: body-less revisit records
+                # (10-30% of a real snapshot) resolve to their stored
+                # payloads by digest before extraction
+                from .operators.revisits import resolve_revisits
+                from .sources.warc import records_from_warc
 
-            pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
+                pages = resolve_revisits(records_from_warc(spark, args.input))
+            else:
+                from .sources.warc import pages_from_warc
+
+                pages = pages_from_warc(
+                    spark, args.input, num_partitions=args.partitions)
         else:
             from .sources.pages_table import read_pages
 
@@ -256,9 +266,16 @@ def cmd_curate(args) -> int:
     try:
         ship_package(spark)
         if args.input_format == "warc":
-            from .sources.warc import pages_from_warc
+            if getattr(args, "resolve_revisits", False):
+                from .operators.revisits import resolve_revisits
+                from .sources.warc import records_from_warc
 
-            pages = pages_from_warc(spark, args.input, num_partitions=args.partitions)
+                pages = resolve_revisits(records_from_warc(spark, args.input))
+            else:
+                from .sources.warc import pages_from_warc
+
+                pages = pages_from_warc(
+                    spark, args.input, num_partitions=args.partitions)
         else:
             from .sources.pages_table import read_pages
 
@@ -441,6 +458,10 @@ def main(argv=None) -> int:
     e.add_argument("--no-verify-output", action="store_true",
                    help="trust checkpoint rows without verifying the output "
                         "(unsafe if a prior run died mid-commit)")
+    e.add_argument("--resolve-revisits", action="store_true",
+                   help="with --input-format warc: resolve body-less "
+                        "revisit records (dedup pointers) to their stored "
+                        "payloads by digest before extraction")
     e.set_defaults(fn=cmd_extract)
 
     c = sub.add_parser("curate", help="full curation pipeline: extract -> "
@@ -452,6 +473,9 @@ def main(argv=None) -> int:
                         "(train_quality_classifier); gates curated docs")
     c.add_argument("--input-format", choices=("parquet", "warc", "iceberg"),
                    default="parquet")
+    c.add_argument("--resolve-revisits", action="store_true",
+                   help="with --input-format warc: resolve revisit "
+                        "records to stored payloads before curation")
     c.add_argument("--output", required=True, help="curated parquet path")
     c.add_argument("--min-length", type=int, default=200)
     c.add_argument("--min-quality", type=float, default=0.3)

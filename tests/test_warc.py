@@ -514,3 +514,35 @@ def test_ranged_fetch_random_layouts_fuzz(spark, tmp_path):
     # duplicate plan rows produce duplicate rows (plan hygiene is the
     # planner's job — cdx_fetch_plan dedups per urlkey upstream)
     assert dup_total == len(plan_rows)
+
+
+def test_cli_extract_resolve_revisits(spark, tmp_path):
+    """extract --input-format warc --resolve-revisits: revisit-record
+    URLs reach the extracted articles table carrying the referred
+    payload's content."""
+    from go_readability_spark.sources.warc import write_revisit
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    blob = write_warc(
+        [("http://example.org/orig", datetime(2024, 5, 1),
+          DOC.replace(b"%d", b"99"))],
+        digests=["sha1:D99"],
+    )
+    blob += write_revisit("http://mirror.example.net/copy",
+                          datetime(2024, 6, 1), "sha1:D99")
+    (d / "a.warc.gz").write_bytes(blob)
+    out = tmp_path / "articles"
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "extract",
+         "--input", str(d), "--input-format", "warc", "--resolve-revisits",
+         "--output", str(out), "--buckets", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    arts = {a.url: a for a in spark.read.parquet(str(out)).collect()}
+    assert set(arts) == {"http://example.org/orig",
+                         "http://mirror.example.net/copy"}
+    assert arts["http://mirror.example.net/copy"].title == "T99"
+    assert arts["http://mirror.example.net/copy"].text_content \
+        == arts["http://example.org/orig"].text_content
