@@ -78,3 +78,8 @@ from .revisits import (  # noqa: F401
     resolve_revisits,
     revisit_stats,
 )
+from .bloom import (  # noqa: F401
+    bloom_build,
+    bloom_maybe_seen,
+    filter_unseen,
+)

@@ -1,0 +1,134 @@
+"""Distributed Bloom filter over URL sets — the crawl-frontier
+"have we seen this URL?" structure.
+
+At 10^12 crawled URLs the exact answer (left_anti join against the
+history table) shuffles the full history every scheduling round.  The
+classic crawler answer is a Bloom filter: ~1.2 GB of bits answers
+membership with ~0.1% false positives (a false positive means one URL
+is wrongly skipped — an acceptable crawl-side loss; false negatives
+never happen, so nothing is fetched twice because of the filter).
+
+Representation is RELATIONAL, not a driver-side bitmap: the filter is a
+(word:long, bits:long) DataFrame — at most n_bits/64 rows — built with
+ONE groupBy(word) + bit_or aggregation.  Membership tests JOIN on word
+(Spark broadcasts the filter when it fits; at the multi-GB end it stays
+a shuffled equi-join on a table orders of magnitude smaller than the
+history).  A candidate is "maybe seen" iff ALL k probe bits are set.
+
+Hashes are the repo's engine-portable md5 scheme (functions/text.py):
+probe i's position is the first 16 md5 hex chars of "bf{i}:{key}" mod
+n_bits (two 32-bit words composed with overflow-safe modular
+arithmetic).  One filter caps at 2^31 bits; the 10^10 bits a 10^12-URL
+universe needs come from the standard partitioned-Bloom layout (shard
+by key hash, one filter per shard — also how the build parallelizes).
+Everything is JVM column expressions; a DuckDB twin can replay the
+bitmap bit-for-bit (same conv/md5 trick the decontamination oracle
+uses), and the pytest reference recomputes it in pure Python.
+
+Reference N/A (single-document library) — this is the LLM-data-ops /
+crawl-discovery surface on top of extraction parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _position(key: Column, i: int, n_bits: int) -> Column:
+    """Engine-portable probe position: the first 16 md5 hex chars of
+    "bf{i}:{key}" as an unsigned 64-bit value, mod n_bits — composed
+    from two 32-bit words with modular arithmetic so no intermediate
+    overflows a signed long (hence the n_bits <= 2^31 guard in
+    bloom_build: ((m-1) * (2^32 mod m) + m) stays under 2^63).
+    Equals int(md5(...)[:16], 16) % n_bits exactly."""
+    md5 = F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string")))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    m = F.lit(n_bits)
+    return F.pmod(
+        F.pmod(hi, m) * F.lit((1 << 32) % n_bits) + F.pmod(lo, m), m)
+
+
+def _probes(key: Column, n_bits: int, k: int):
+    """(word, mask) pairs for the k probe positions of a key."""
+    out = []
+    for i in range(k):
+        pos = _position(key, i, n_bits)
+        # F.shiftleft only takes a literal shift count; the SQL function
+        # accepts column expressions for both operands
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(64)).cast("int"))
+        out.append((
+            (pos / 64).cast("long").alias("word"),
+            mask.alias("mask"),
+        ))
+    return out
+
+
+def bloom_build(df: DataFrame, key_col: str = "url",
+                n_bits: int = 1 << 22, k: int = 5) -> DataFrame:
+    """(word, bits) — the Bloom filter of df's key column.  One explode
+    (k rows per key) + one groupBy(word) with map-side partial bit_or;
+    output has at most n_bits/64 rows regardless of input size.
+
+    n_bits caps at 2^31 (a 256 MB filter, good for ~2×10^8 keys at 1%
+    FP with k=7) so the positional arithmetic never overflows; a
+    10^12-URL universe uses the standard partitioned-Bloom layout —
+    shard keys by hash and give each shard its own filter (which is
+    also how the build parallelizes)."""
+    if not 64 <= n_bits <= (1 << 31):
+        raise ValueError(f"n_bits must be in [64, 2^31], got {n_bits}")
+    key = F.col(key_col)
+    pairs = F.array(*[
+        F.struct(w.alias("word"), m.alias("mask"))
+        for w, m in _probes(key, n_bits, k)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.word").alias("word"), F.col("p.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_maybe_seen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
+                     n_bits: int = 1 << 22, k: int = 5) -> DataFrame:
+    """df + `maybe_seen:boolean`: true iff ALL k probe bits are set.
+    One explode + one equi-join on word (broadcast when the filter
+    fits) + one groupBy on the key — never a join against the history
+    table itself."""
+    key = F.col(key_col)
+    probes = df.select(
+        key.alias("_bf_key"),
+        F.explode(F.array(*[
+            F.struct(w.alias("word"), m.alias("mask"))
+            for w, m in _probes(key, n_bits, k)
+        ])).alias("p"),
+    ).select("_bf_key", F.col("p.word").alias("word"),
+             F.col("p.mask").alias("mask"))
+    hit = probes.join(bloom, "word", "left").select(
+        "_bf_key",
+        (F.col("bits").isNotNull()
+         & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+         ).alias("_bf_hit"),
+    )
+    verdict = hit.groupBy("_bf_key").agg(
+        F.min(F.col("_bf_hit").cast("int")).alias("_bf_all"))
+    return df.join(
+        verdict.select(F.col("_bf_key").alias(key_col),
+                       (F.col("_bf_all") == 1).alias("maybe_seen")),
+        key_col,
+    )
+
+
+def filter_unseen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
+                  n_bits: int = 1 << 22, k: int = 5) -> DataFrame:
+    """Rows whose key is DEFINITELY not in the filter (no false
+    negatives: every truly-seen key is dropped; ~FP-rate of unseen keys
+    are wrongly dropped too — the crawl-side trade)."""
+    return (
+        bloom_maybe_seen(df, bloom, key_col, n_bits, k)
+        .where(~F.col("maybe_seen"))
+        .drop("maybe_seen")
+    )
