@@ -81,5 +81,6 @@ from .revisits import (  # noqa: F401
 from .bloom import (  # noqa: F401
     bloom_build,
     bloom_maybe_seen,
+    bloom_merge,
     filter_unseen,
 )

@@ -132,3 +132,18 @@ def filter_unseen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
         .where(~F.col("maybe_seen"))
         .drop("maybe_seen")
     )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union of Bloom filters built with the SAME (n_bits, k): bitwise OR
+    per word — one groupBy over the (tiny) filter relations.  The
+    incremental-crawl composition: yesterday's filter ∪ today's newly
+    crawled keys without touching either history table.  (Bloom unions
+    are exact: the merged filter equals the filter of the merged key
+    sets.)"""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -87,3 +87,20 @@ def test_relational_shape(spark, bloom):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "bit_or" in bloom._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_merge_equals_filter_of_union(spark, seen_urls):
+    """bloom_merge(A, B) is bit-identical to building one filter over
+    A ∪ B (Bloom unions are exact), and lookups behave accordingly."""
+    from go_readability_spark.operators.bloom import bloom_merge
+
+    a_urls, b_urls = seen_urls[:150], seen_urls[150:]
+    a = bloom_build(spark.createDataFrame([(u,) for u in a_urls],
+                                          "url string"), n_bits=N_BITS, k=K)
+    b = bloom_build(spark.createDataFrame([(u,) for u in b_urls],
+                                          "url string"), n_bits=N_BITS, k=K)
+    merged = {r.word: r.bits for r in bloom_merge(a, b).collect()}
+    union = {r.word: r.bits for r in bloom_build(
+        spark.createDataFrame([(u,) for u in seen_urls], "url string"),
+        n_bits=N_BITS, k=K).collect()}
+    assert merged == union
