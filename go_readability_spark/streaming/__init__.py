@@ -2,6 +2,7 @@ from .extract_stream import (  # noqa: F401
     extract_pages_stream,
     read_pages_stream,
     read_pages_stream_warc,
+    run_discovery_stream,
     run_stream_to_parquet,
 )
 from .metrics_stream import pages_ingest_metrics  # noqa: F401

@@ -52,6 +52,62 @@ def extract_pages_stream(pages_stream: DataFrame, n_buckets: int = 64) -> DataFr
     return df.mapInPandas(make_extractor(None), schema=ARTICLES_SCHEMA)
 
 
+def run_discovery_stream(
+    spark,
+    index_dir: str,
+    warc_base_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    robots: DataFrame | None = None,
+    agent: str = "*",
+    max_files_per_trigger: int = 4,
+    trigger_once: bool = True,
+):
+    """Continuous-crawl discovery: CDXJ index shards landing in
+    `index_dir` stream through selection -> (optional robots gate) ->
+    byte-range fetch -> extraction — the streaming composition of the
+    batch crawl loop (crawl-plan + crawl-fetch CLIs).
+
+    Each micro-batch OVERWRITES its own `output_dir/batch=<id>`
+    partition, so a retried batch is idempotent — the foreachBatch
+    analog of the atomic sink's bucket renames.  Newest-good capture
+    selection runs per micro-batch (an index shard is one crawl
+    segment's captures); cross-segment url-level dedup is the
+    downstream snapshot dedup (operators/snapshots.py latest_snapshot)
+    or the Bloom seen-filter (operators/bloom.py), both batch
+    operators over the accumulated output."""
+    from ..plans.extract import make_extractor, with_salt
+    from ..sources.cdx import cdx_fetch_plan, parse_cdxj
+    from ..sources.warc import pages_from_fetch_plan
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(index_dir)
+        .withColumnRenamed("value", "line")
+    )
+
+    def sink(batch_df, batch_id):
+        plan = cdx_fetch_plan(parse_cdxj(batch_df))
+        if robots is not None:
+            from ..operators.robots import filter_by_robots, robots_rules
+
+            plan = filter_by_robots(plan, robots_rules(robots), agent=agent)
+        pages = pages_from_fetch_plan(plan, warc_base_dir)
+        arts = with_salt(pages.select("url", "warc_ts", "html"), 64) \
+            .mapInPandas(make_extractor(None), schema=ARTICLES_SCHEMA)
+        arts.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+
+    writer = (
+        lines.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_parquet(
     pages_stream: DataFrame,
     output_dir: str,

@@ -546,3 +546,59 @@ def test_cli_extract_resolve_revisits(spark, tmp_path):
     assert arts["http://mirror.example.net/copy"].title == "T99"
     assert arts["http://mirror.example.net/copy"].text_content \
         == arts["http://example.org/orig"].text_content
+
+
+def _mk_indexed_archives(d, j, n):
+    """n records in one archive + its CDXJ shard lines (real offsets)."""
+    lines, blob, off = [], b"", 0
+    fname = f"seg{j}.warc.gz"
+    for k in range(n):
+        url = f"http://example.org/seg{j}/{k}"
+        member = write_warc([(url, datetime(2024, 5, 1, j, 0, k),
+                              DOC.replace(b"%d", f"{j}{k}".encode()))])
+        lines.append(
+            f'org,example)/seg{j}/{k} 202405010{j}000{k} '
+            f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+            f'"digest": "sha1:{j}{k}", "length": "{len(member)}", '
+            f'"offset": "{off}", "filename": "{fname}"}}')
+        blob += member
+        off += len(member)
+    (d / fname).write_bytes(blob)
+    return lines
+
+
+def test_streaming_discovery_loop(spark, tmp_path):
+    """Continuous-crawl discovery: CDXJ shards landing in a directory
+    stream through selection -> ranged fetch -> extraction; a second
+    shard arriving later is picked up incrementally (the streaming
+    checkpoint skips the already-processed shard)."""
+    from go_readability_spark.streaming import run_discovery_stream
+
+    warc_dir = tmp_path / "warc"
+    idx_dir = tmp_path / "index"
+    warc_dir.mkdir()
+    idx_dir.mkdir()
+    out = str(tmp_path / "articles")
+    ckpt = str(tmp_path / "ckpt")
+
+    lines1 = _mk_indexed_archives(warc_dir, 1, 3)
+    (idx_dir / "shard1.cdxj").write_text("\n".join(lines1) + "\n")
+    q = run_discovery_stream(spark, str(idx_dir), str(warc_dir), out, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.where("error is null").count() == 3
+
+    # a new segment lands: only IT is processed on the next trigger
+    lines2 = _mk_indexed_archives(warc_dir, 2, 2)
+    (idx_dir / "shard2.cdxj").write_text("\n".join(lines2) + "\n")
+    q = run_discovery_stream(spark, str(idx_dir), str(warc_dir), out, ckpt)
+    q.awaitTermination(180)
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    assert got["http://example.org/seg2/1"].title == "T21"
+    # batch partitioning: each micro-batch owns its own subdir
+    import os as _os
+
+    batch_dirs = [p for p in _os.listdir(out) if p.startswith("batch=")]
+    assert len(batch_dirs) >= 2
