@@ -45,16 +45,24 @@ HREF_PATTERN = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
 _DROP_SCHEMES = "^(javascript:|mailto:|data:|tel:|#)"
 
 
+# First <base href> of the document (HTML spec: only the first counts).
+BASE_PATTERN = "(?i)<base\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
 def extract_links(pages: DataFrame, url_col: str = "url",
                   html_col: str = "html") -> DataFrame:
-    """(src, href) for every quoted <a href> occurrence, document order.
+    """(src, href, base) for every quoted <a href> occurrence, document
+    order; `base` is the page's first <base href> (NULL when absent —
+    the common case), which resolve_links honors for relative hrefs.
     Map-only; html may be binary (cast) or string."""
     html_str = F.col(html_col).cast("string")
+    base = F.regexp_extract(html_str, BASE_PATTERN, 1)
     return (
         pages.select(
             F.col(url_col).alias("src"),
             F.explode(F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1))
             .alias("href"),
+            F.when(base == "", None).otherwise(base).alias("base"),
         )
     )
 
@@ -70,16 +78,32 @@ def _host_of(url_expr: str) -> str:
 
 def resolve_links(edges: DataFrame, src_col: str = "src",
                   href_col: str = "href",
-                  carry: tuple = ()) -> DataFrame:
+                  carry: tuple = (),
+                  base_col: str = "base") -> DataFrame:
     """(src, dst, *carry, src_host, dst_host) with hrefs resolved against
-    src; `carry` names extra columns to keep (e.g. anchor text).
-    Pure column CASE logic — stays in whole-stage codegen."""
+    the page's effective base; `carry` names extra columns to keep
+    (e.g. anchor text).  Pure column CASE logic — stays in whole-stage
+    codegen.
+
+    When the edges carry a `base` column (extract_links emits the
+    page's first <base href>), relative hrefs resolve against it
+    instead of the page URL — the HTML base-element semantics old pages
+    rely on.  Only ABSOLUTE http(s) bases are honored (the overwhelming
+    real-world case); a relative or exotic base falls back to the page
+    URL, consistent with this module's deliberately bounded
+    resolution."""
     src = F.col(src_col)
     href = F.trim(F.col(href_col))
-    scheme = F.regexp_extract(src, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    authority = F.regexp_extract(src, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
-    base = F.regexp_replace(src, "[?#].*$", "")
-    # A path-less src ("https://example.org") must resolve same-directory
+    if base_col and base_col in edges.columns:
+        eff = F.when(
+            F.col(base_col).rlike("^https?://"), F.col(base_col)
+        ).otherwise(src)
+    else:
+        eff = src
+    scheme = F.regexp_extract(eff, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    authority = F.regexp_extract(eff, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    base = F.regexp_replace(eff, "[?#].*$", "")
+    # A path-less base ("https://example.org") must resolve same-directory
     # hrefs against authority + "/" — stripping the trailing [^/]* run
     # would eat the host itself and mint phantom hosts like "page.html".
     src_dir = F.when(
@@ -125,11 +149,13 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
     """(src, href, text) — every quoted-href anchor with its rendered
     inner text (tags stripped, whitespace collapsed).  Map-only."""
     html_str = F.col(html_col).cast("string")
+    base = F.regexp_extract(html_str, BASE_PATTERN, 1)
     picked = pages.select(
         F.col(url_col).alias("src"),
         F.explode(
             F.regexp_extract_all(html_str, F.lit(FULL_ANCHOR_PATTERN), 0)
         ).alias("m"),
+        F.when(base == "", None).otherwise(base).alias("base"),
     )
     inner = F.regexp_extract("m", "(?is)>(.*)</a>$", 1)
     text = F.trim(F.regexp_replace(
@@ -138,6 +164,7 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
         "src",
         F.regexp_extract("m", HREF_PATTERN, 1).alias("href"),
         text.alias("text"),
+        "base",
     )
 
 

