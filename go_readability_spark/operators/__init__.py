@@ -3,7 +3,9 @@ from .dedup import (  # noqa: F401
     deduplicate_exact,
     exact_duplicates,
     minhash_dedup_pairs,
+    minhash_index,
     minhash_lsh_candidates,
+    minhash_probe,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_pairs,

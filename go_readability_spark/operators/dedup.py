@@ -212,6 +212,31 @@ def _band_bucket_md5(band_str, b: int):
     return F.md5(F.concat(F.lit(f"{b}:"), band_str))
 
 
+def _band_buckets(signatures: DataFrame, num_bands: int, rows_per_band: int,
+                  bucket_fn) -> DataFrame:
+    """(id, band, bucket) — one row per signature band, the shared
+    banding of the batch candidate join AND the incremental index/probe
+    pair (both sides MUST band identically for recall)."""
+    bands = F.posexplode(
+        F.array(
+            *[
+                bucket_fn(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("signature"), b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    b,
+                )
+                for b in range(num_bands)
+            ]
+        )
+    )
+    return signatures.select(F.col("id"), bands.alias("band", "bucket"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     num_bands: int = 8,
@@ -245,24 +270,7 @@ def minhash_lsh_candidates(
     agg buffer holds one bucket's ids — 8 bytes/member, transient and
     spill-capable; a 10^7-doc flood bucket costs an 80 MB sort-agg
     buffer, orders of magnitude below the old self-join's k² blow-up."""
-    bands = F.posexplode(
-        F.array(
-            *[
-                bucket_fn(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("signature"), b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                    b,
-                )
-                for b in range(num_bands)
-            ]
-        )
-    )
-    buckets = signatures.select(F.col("id"), bands.alias("band", "bucket"))
+    buckets = _band_buckets(signatures, num_bands, rows_per_band, bucket_fn)
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
@@ -373,6 +381,130 @@ def _minhash_pairs_impl(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- incremental (index/probe)
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    hash_fn=_minhash_fn_xxhash64,
+    bucket_fn=_band_bucket_xxhash64,
+    max_bucket_size: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The STORED side of incremental near-dedup: (buckets, shingles).
+
+    A production pipeline dedups each NEW crawl segment against the
+    EXISTING corpus, not just within the batch — re-running pairwise
+    dedup over corpus ∪ batch would redo the whole corpus every
+    segment.  Instead the corpus is indexed ONCE: `buckets` is the
+    (id, band, bucket) banding (flood buckets dropped at build time —
+    cheaper than re-filtering on every probe) and `shingles` is the
+    (id, shingles) table the probe's exact-Jaccard verify joins.  Both
+    are plain DataFrames — persist them as tables and append each
+    accepted segment's rows (the banding is deterministic, so
+    incremental appends compose exactly).
+
+    The probe side (minhash_probe) MUST use identical
+    (n, num_hashes, num_bands, hash_fn, bucket_fn)."""
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}")
+    rows_per_band = num_hashes // num_bands
+    shingled = shingle_table(df, id_col, text_col, n).persist()
+    sigs = shingled.select(
+        "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn)
+        .alias("signature"))
+    buckets = _band_buckets(sigs, num_bands, rows_per_band, bucket_fn)
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("pop"))
+            .where(F.col("pop") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        # index build is a one-time artifact: the count+semi-join pass
+        # is fine here (the hot per-segment path is the probe)
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
+    return buckets, shingled.select("id", "shingles")
+
+
+def minhash_probe(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn=_minhash_fn_xxhash64,
+    bucket_fn=_band_bucket_xxhash64,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(id_new, id_corpus, inter, size_new, size_corpus, jaccard) — the
+    new segment's near-duplicates OF THE INDEXED CORPUS (directional:
+    within-segment pairs come from minhash_dedup_pairs on the segment
+    itself).
+
+    Shape: band the new docs identically, cap the new side's own flood
+    buckets, equi-join against the stored buckets on (band, bucket)
+    — candidate fan-out per key is new-side × index-side populations,
+    both ≤ max_bucket_size — then exact-verify the (small) candidate
+    set against the stored shingle table.  The corpus is touched ONLY
+    through the index relations: no corpus rescans, no corpus shuffle
+    beyond the candidate ids' shingle rows."""
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}")
+    rows_per_band = num_hashes // num_bands
+    shingled = shingle_table(new_df, id_col, text_col, n).persist()
+    sigs = shingled.select(
+        "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn)
+        .alias("signature"))
+    buckets = _band_buckets(sigs, num_bands, rows_per_band, bucket_fn)
+    if max_bucket_size is not None:
+        grouped = buckets.groupBy("band", "bucket").agg(
+            F.collect_list("id").alias("ids"))
+        buckets = grouped.where(F.size("ids") <= max_bucket_size).select(
+            "band", "bucket", F.explode("ids").alias("id"))
+    cand = (
+        buckets.join(
+            index_buckets.select(
+                "band", "bucket", F.col("id").alias("id_corpus")),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("id_new"), "id_corpus")
+        .distinct()
+    )
+    sa = shingled.select(F.col("id").alias("id_new"),
+                         F.col("shingles").alias("sh_a"))
+    sb = index_shingles.select(F.col("id").alias("id_corpus"),
+                               F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_new")
+        .join(sb, "id_corpus")
+        .withColumn("inter", inter)
+        .withColumn("size_new", F.size("sh_a"))
+        .withColumn("size_corpus", F.size("sh_b"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.col("size_new") + F.col("size_corpus") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "inter", "size_new", "size_corpus",
+                "jaccard")
     )
 
 

@@ -1,0 +1,95 @@
+"""Incremental near-dedup (minhash_index / minhash_probe): a new crawl
+segment dedups against a STORED corpus index without rescanning the
+corpus.  Probe results must equal the cross-pairs of the batch pipeline
+run over corpus ∪ segment; appended index increments compose exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_readability_spark.operators import (
+    minhash_dedup_pairs,
+    minhash_index,
+    minhash_probe,
+)
+
+KW = dict(n=3, num_hashes=16, num_bands=4, max_bucket_size=100)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet dark woods tonight")
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        rows.append((i, " ".join(words)))
+    # plus some unrelated docs
+    for i in range(40, 60):
+        rows.append((i, " ".join(f"tok{i}x{j}" for j in range(30))))
+    return rows
+
+
+def test_probe_equals_batch_cross_pairs(spark, corpus):
+    """probe(segment, index(corpus)) == the corpus×segment pairs of
+    minhash_dedup_pairs over the union (same params, same hashes)."""
+    seg = [(1000 + i, corpus[i][1] + " tail") for i in range(0, 20, 2)]
+    seg += [(2000 + i, " ".join(f"novel{i}y{j}" for j in range(25)))
+            for i in range(5)]
+    buckets, shingles = minhash_index(_docs(spark, corpus), **KW)
+    probe = {
+        (r.id_new, r.id_corpus): r.jaccard
+        for r in minhash_probe(_docs(spark, seg), buckets, shingles,
+                               threshold=0.5, **KW).collect()
+    }
+    union = minhash_dedup_pairs(
+        _docs(spark, corpus + seg), threshold=0.5,
+        n=3, num_hashes=16, num_bands=4, max_bucket_size=100).collect()
+    cross = {}
+    for r in union:
+        a, b = r.id_a, r.id_b
+        if a < 1000 <= b:
+            cross[(b, a)] = r.jaccard
+        elif b < 1000 <= a:
+            cross[(a, b)] = r.jaccard
+    assert probe == cross and probe  # non-empty and identical
+
+
+def test_incremental_append_composes(spark, corpus):
+    """index(corpus) + index(segment) appended == index(corpus∪segment):
+    the banding is deterministic, so increments compose exactly."""
+    seg = [(1000 + i, corpus[i][1] + " tail") for i in range(6)]
+    b1, s1 = minhash_index(_docs(spark, corpus), **KW)
+    b2, s2 = minhash_index(_docs(spark, seg), **KW)
+    b_all, s_all = minhash_index(_docs(spark, corpus + seg), **KW)
+    merged = {(r.id, r.band, r.bucket)
+              for r in b1.unionByName(b2).collect()}
+    whole = {(r.id, r.band, r.bucket) for r in b_all.collect()}
+    assert merged == whole
+    # a later probe against the appended index finds segment-2 dupes
+    seg3 = [(3000, seg[0][1])]
+    hits = minhash_probe(
+        _docs(spark, seg3), b1.unionByName(b2), s1.unionByName(s2),
+        threshold=0.9, **KW).collect()
+    assert any(r.id_corpus == 1000 for r in hits)
+
+
+def test_index_flood_bucket_dropped_at_build(spark):
+    """A template flood in the corpus disappears from the index at
+    build time (max_bucket_size), so probes never fan into it."""
+    flood = [(i, "identical template page body " * 5) for i in range(50)]
+    normal = [(100 + i, " ".join(f"u{i}v{j}" for j in range(25)))
+              for i in range(5)]
+    buckets, shingles = minhash_index(
+        _docs(spark, flood + normal), n=3, num_hashes=16, num_bands=4,
+        max_bucket_size=10)
+    assert buckets.where(F.col("id") < 50).count() == 0  # flood gone
+    probe = minhash_probe(
+        _docs(spark, [(9000, "identical template page body " * 5)]),
+        buckets, shingles, threshold=0.5,
+        n=3, num_hashes=16, num_bands=4, max_bucket_size=10)
+    assert probe.count() == 0
