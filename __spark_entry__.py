@@ -1114,48 +1114,57 @@ def _q_warc_revisits(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver correctness snapshot has historically capped
+    # at the FIRST 50 entries (CORRECTNESS_r04/r05 both recorded rows 1-50 in
+    # dict order).  The 11 rows that were never driver-verified through r5
+    # therefore come first; 11 long-stable near-duplicate rows (each shadowed
+    # by a sibling that stays in the top 50, and all 61 still replayed against
+    # the local DuckDB oracle in tests/test_entry_oracle.py) rotate to the
+    # tail.
     return {
+        # -- never driver-verified through r5: must land in the snapshot -----
+        "ranged_fetch": _q_ranged_fetch,
+        "warc_revisits": _q_warc_revisits,
+        "frontier_schedule": _q_frontier_schedule,
+        "cdx_fetch_plan": _q_cdx_fetch_plan,
+        "dsir_weights": _q_dsir_weights,
+        "nfc_text": _q_nfc_text,
+        "mojibake_segments": _q_mojibake_segments,
+        "pdf_extract": _q_pdf_extract,
+        "resume_antijoin": _q_resume_antijoin,
+        "partition_metrics": _q_partition_metrics,
+        "quality_partition": _q_quality_partition,
+        # -- long-verified core rows -----------------------------------------
         "extract_articles": _q_extract_articles,
-        "extract_salted": _q_extract_salted,
         "extract_salted_md5": _q_extract_salted_md5,
         "fixture_parity": _q_fixture_parity,
         "tpch_q1": _q_tpch_q1,
-        "tpch_q3_like": _q_tpch_q3_like,
         "text_features": _q_text_features,
         "exact_dup_groups": _q_exact_dup_groups,
         "repetition_filters": _q_repetition_filters,
         "url_canonical": _q_url_canonical,
         "latest_snapshot": _q_latest_snapshot,
-        "snapshot_history": _q_snapshot_history,
         "host_stats": _q_host_stats,
         "blocked_hosts": _q_blocked_hosts,
         "sequence_packing": _q_sequence_packing,
-        "sequence_manifest": _q_sequence_manifest,
         "decontamination": _q_decontamination,
         "bpe_merges": _q_bpe_merges,
-        "shard_stats": _q_shard_stats,
         "global_shuffle": _q_global_shuffle,
         "stratified_sample": _q_stratified_sample,
         "corpus_mixture": _q_corpus_mixture,
         "line_dedup": _q_line_dedup,
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
-        "substring_dedup": _q_substring_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
-        "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_md5": _q_minhash_pairs_md5,
-        "winnowing_pairs": _q_winnowing_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "media_features": _q_media_features,
         "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_recall": _q_ann_recall,
         "semantic_dedup": _q_semantic_dedup,
         "quality_classifier": _q_quality_classifier,
         "embedding_near_pairs": _q_embedding_near_pairs,
-        "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "link_edges": _q_link_edges,
@@ -1165,17 +1174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "mojibake_repair": _q_mojibake_repair,
         "sitemap_entries": _q_sitemap_entries,
-        "mojibake_segments": _q_mojibake_segments,
-        "dsir_weights": _q_dsir_weights,
-        "nfc_text": _q_nfc_text,
-        "frontier_schedule": _q_frontier_schedule,
-        "cdx_fetch_plan": _q_cdx_fetch_plan,
-        "ranged_fetch": _q_ranged_fetch,
-        "warc_revisits": _q_warc_revisits,
-        "pdf_extract": _q_pdf_extract,
-        "resume_antijoin": _q_resume_antijoin,
-        "partition_metrics": _q_partition_metrics,
-        "quality_partition": _q_quality_partition,
+        # -- tail: near-duplicates of rows above (still in the local replay) --
+        "extract_salted": _q_extract_salted,
+        "tpch_q3_like": _q_tpch_q3_like,
+        "snapshot_history": _q_snapshot_history,
+        "sequence_manifest": _q_sequence_manifest,
+        "shard_stats": _q_shard_stats,
+        "substring_dedup": _q_substring_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "winnowing_pairs": _q_winnowing_pairs,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
     }
 
 
