@@ -1,5 +1,6 @@
 from .clusters import duplicate_clusters  # noqa: F401
 from .dedup import (  # noqa: F401
+    compact_index,
     deduplicate_exact,
     exact_duplicates,
     minhash_dedup_pairs,
@@ -82,7 +83,11 @@ from .revisits import (  # noqa: F401
 )
 from .bloom import (  # noqa: F401
     bloom_build,
+    bloom_build_sharded,
     bloom_maybe_seen,
+    bloom_maybe_seen_sharded,
     bloom_merge,
+    bloom_merge_sharded,
     filter_unseen,
+    filter_unseen_sharded,
 )

@@ -18,9 +18,12 @@ history).  A candidate is "maybe seen" iff ALL k probe bits are set.
 Hashes are the repo's engine-portable md5 scheme (functions/text.py):
 probe i's position is the first 16 md5 hex chars of "bf{i}:{key}" mod
 n_bits (two 32-bit words composed with overflow-safe modular
-arithmetic).  One filter caps at 2^31 bits; the 10^10 bits a 10^12-URL
-universe needs come from the standard partitioned-Bloom layout (shard
-by key hash, one filter per shard — also how the build parallelizes).
+arithmetic).  One flat filter caps at 2^31 bits; the 10^10+ bits a
+10^12-URL universe needs come from the sharded layout implemented
+below (`bloom_build_sharded` / `bloom_maybe_seen_sharded`): shard =
+md5 of the key mod n_shards, one private filter per shard stored as a
+single (shard, word, bits) relation, membership an equi-join on
+(shard, word) — which is also how the build parallelizes.
 Everything is JVM column expressions; a DuckDB twin can replay the
 bitmap bit-for-bit (same conv/md5 trick the decontamination oracle
 uses), and the pytest reference recomputes it in pure Python.
@@ -97,7 +100,9 @@ def bloom_maybe_seen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
     """df + `maybe_seen:boolean`: true iff ALL k probe bits are set.
     One explode + one equi-join on word (broadcast when the filter
     fits) + one groupBy on the key — never a join against the history
-    table itself."""
+    table itself.  Rows with a NULL key are kept with
+    maybe_seen = false (a NULL key was never inserted, so it is
+    definitely unseen)."""
     key = F.col(key_col)
     probes = df.select(
         key.alias("_bf_key"),
@@ -115,11 +120,13 @@ def bloom_maybe_seen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
     )
     verdict = hit.groupBy("_bf_key").agg(
         F.min(F.col("_bf_hit").cast("int")).alias("_bf_all"))
+    # left join + coalesce: a NULL key never equi-matches, so it falls
+    # through as "definitely unseen" instead of being dropped
     return df.join(
         verdict.select(F.col("_bf_key").alias(key_col),
                        (F.col("_bf_all") == 1).alias("maybe_seen")),
-        key_col,
-    )
+        key_col, "left",
+    ).withColumn("maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(False)))
 
 
 def filter_unseen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
@@ -132,6 +139,114 @@ def filter_unseen(df: DataFrame, bloom: DataFrame, key_col: str = "url",
         .where(~F.col("maybe_seen"))
         .drop("maybe_seen")
     )
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    """Engine-portable shard assignment: the first 8 md5 hex chars of
+    "bfshard:{key}" (an unsigned 32-bit value) mod n_shards.  Same
+    md5-derived scheme as the probe positions so a DuckDB twin and the
+    pure-Python pytest reference replay it exactly."""
+    md5 = F.md5(F.concat(F.lit("bfshard:"), key.cast("string")))
+    return F.pmod(F.conv(F.substring(md5, 1, 8), 16, 10).cast("long"),
+                  F.lit(n_shards)).cast("int")
+
+
+def bloom_build_sharded(df: DataFrame, key_col: str = "url",
+                        n_shards: int = 16, bits_per_shard: int = 1 << 22,
+                        k: int = 5) -> DataFrame:
+    """(shard, word, bits) — the partitioned-Bloom layout for key
+    universes past one filter's 2^31-bit cap (10^10-10^12 URLs).  Each
+    key is assigned to shard = md5("bfshard:"+key) mod n_shards and
+    probed into that shard's private filter, so every (shard,) slice is
+    bit-identical to `bloom_build` run over just that shard's keys.
+
+    Total capacity is n_shards × bits_per_shard (e.g. 4096 × 2^31 =
+    2^43 bits ≈ 1 TB of bitmap for 10^12 keys at 0.1% FP) while every
+    per-position computation stays inside the overflow-safe ≤2^31
+    arithmetic of `_position`.  Still ONE explode + ONE
+    groupBy(shard, word) with map-side partial bit_or — the build
+    parallelizes across shards for free, and the output is at most
+    n_shards × bits_per_shard/64 rows regardless of input size."""
+    if not 64 <= bits_per_shard <= (1 << 31):
+        raise ValueError(
+            f"bits_per_shard must be in [64, 2^31], got {bits_per_shard}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col)
+    pairs = F.array(*[
+        F.struct(w.alias("word"), m.alias("mask"))
+        for w, m in _probes(key, bits_per_shard, k)
+    ])
+    return (
+        df.select(_shard_of(key, n_shards).alias("shard"),
+                  F.explode(pairs).alias("p"))
+        .select("shard", F.col("p.word").alias("word"),
+                F.col("p.mask").alias("mask"))
+        .groupBy("shard", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_maybe_seen_sharded(df: DataFrame, bloom: DataFrame,
+                             key_col: str = "url", n_shards: int = 16,
+                             bits_per_shard: int = 1 << 22,
+                             k: int = 5) -> DataFrame:
+    """df + `maybe_seen:boolean` against a `bloom_build_sharded` filter:
+    each key probes ONLY its own shard's slice via an equi-join on
+    (shard, word) — the filter relation is the only thing joined, never
+    the history table, and no shard ever sees another shard's probes.
+    NULL keys are kept with maybe_seen = false."""
+    key = F.col(key_col)
+    probes = df.select(
+        key.alias("_bf_key"),
+        _shard_of(key, n_shards).alias("shard"),
+        F.explode(F.array(*[
+            F.struct(w.alias("word"), m.alias("mask"))
+            for w, m in _probes(key, bits_per_shard, k)
+        ])).alias("p"),
+    ).select("_bf_key", "shard", F.col("p.word").alias("word"),
+             F.col("p.mask").alias("mask"))
+    hit = probes.join(bloom, ["shard", "word"], "left").select(
+        "_bf_key",
+        (F.col("bits").isNotNull()
+         & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+         ).alias("_bf_hit"),
+    )
+    verdict = hit.groupBy("_bf_key").agg(
+        F.min(F.col("_bf_hit").cast("int")).alias("_bf_all"))
+    return df.join(
+        verdict.select(F.col("_bf_key").alias(key_col),
+                       (F.col("_bf_all") == 1).alias("maybe_seen")),
+        key_col, "left",
+    ).withColumn("maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(False)))
+
+
+def filter_unseen_sharded(df: DataFrame, bloom: DataFrame,
+                          key_col: str = "url", n_shards: int = 16,
+                          bits_per_shard: int = 1 << 22,
+                          k: int = 5) -> DataFrame:
+    """Rows definitely absent from a sharded filter (same no-false-
+    negative contract as `filter_unseen`; NULL keys pass through as
+    unseen)."""
+    return (
+        bloom_maybe_seen_sharded(df, bloom, key_col, n_shards,
+                                 bits_per_shard, k)
+        .where(~F.col("maybe_seen"))
+        .drop("maybe_seen")
+    )
+
+
+def bloom_merge_sharded(*filters: DataFrame) -> DataFrame:
+    """Shard-wise union of sharded filters built with the SAME
+    (n_shards, bits_per_shard, k): bitwise OR per (shard, word).  Exact,
+    like the flat merge — the merged filter equals the filter of the
+    merged key sets."""
+    if not filters:
+        raise ValueError("bloom_merge_sharded needs at least one filter")
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("shard", "word").agg(F.bit_or("bits").alias("bits"))
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:

@@ -89,6 +89,19 @@ def test_relational_shape(spark, bloom):
     assert "bit_or" in bloom._jdf.queryExecution().executedPlan().toString()
 
 
+def test_null_key_is_definitely_unseen(spark, bloom):
+    """ADVICE r5: NULL keys must not be dropped by the verdict join —
+    a NULL key was never inserted, so it is definitely unseen."""
+    df = spark.createDataFrame(
+        [("https://newx.example.net/1", 1), (None, 2)],
+        "url string, payload int")
+    out = {r.payload: r.maybe_seen
+           for r in bloom_maybe_seen(df, bloom, n_bits=N_BITS, k=K).collect()}
+    assert out == {1: False, 2: False}
+    kept = filter_unseen(df, bloom, n_bits=N_BITS, k=K)
+    assert sorted(r.payload for r in kept.collect()) == [1, 2]
+
+
 def test_bloom_merge_equals_filter_of_union(spark, seen_urls):
     """bloom_merge(A, B) is bit-identical to building one filter over
     A ∪ B (Bloom unions are exact), and lookups behave accordingly."""
@@ -104,3 +117,134 @@ def test_bloom_merge_equals_filter_of_union(spark, seen_urls):
         spark.createDataFrame([(u,) for u in seen_urls], "url string"),
         n_bits=N_BITS, k=K).collect()}
     assert merged == union
+
+
+# ---------------------------------------------------------------- sharded
+
+N_SHARDS = 5  # deliberately not a power of two
+
+
+def _py_shard(key, n_shards=N_SHARDS):
+    return int(hashlib.md5(f"bfshard:{key}".encode()).hexdigest()[:8],
+               16) % n_shards
+
+
+def _py_sharded_bitmap(keys, n_shards=N_SHARDS, n_bits=N_BITS, k=K):
+    out = {}
+    for key in keys:
+        s = _py_shard(key, n_shards)
+        for pos in _py_positions(key, n_bits, k):
+            w = (s, pos // 64)
+            out[w] = out.get(w, 0) | (1 << (pos % 64))
+    return out
+
+
+@pytest.fixture(scope="module")
+def sharded_bloom(spark, seen_urls):
+    from go_readability_spark.operators.bloom import bloom_build_sharded
+
+    df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    return bloom_build_sharded(df, n_shards=N_SHARDS, bits_per_shard=N_BITS,
+                               k=K).cache()
+
+
+def test_sharded_bitmap_bit_exact_vs_pure_python(sharded_bloom, seen_urls):
+    got = {(r.shard, r.word): r.bits for r in sharded_bloom.collect()}
+    exp = {w: _signed64(b) for w, b in _py_sharded_bitmap(seen_urls).items()}
+    assert got == exp
+    assert len({s for s, _ in got}) == N_SHARDS  # every shard populated
+
+
+def test_sharded_slice_equals_flat_filter_of_shard_keys(spark, sharded_bloom,
+                                                        seen_urls):
+    """Each (shard,) slice must be bit-identical to bloom_build run over
+    just that shard's keys — the defining property of the layout."""
+    for s in range(N_SHARDS):
+        keys = [u for u in seen_urls if _py_shard(u) == s]
+        flat = bloom_build(
+            spark.createDataFrame([(u,) for u in keys], "url string"),
+            n_bits=N_BITS, k=K)
+        assert ({r.word: r.bits for r in flat.collect()}
+                == {r.word: r.bits
+                    for r in sharded_bloom.where(f"shard = {s}").collect()})
+
+
+def test_sharded_zero_false_negatives(spark, sharded_bloom, seen_urls):
+    from go_readability_spark.operators.bloom import (
+        bloom_maybe_seen_sharded,
+        filter_unseen_sharded,
+    )
+
+    df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    out = bloom_maybe_seen_sharded(df, sharded_bloom, n_shards=N_SHARDS,
+                                   bits_per_shard=N_BITS, k=K)
+    assert out.where("NOT maybe_seen").count() == 0
+    assert filter_unseen_sharded(df, sharded_bloom, n_shards=N_SHARDS,
+                                 bits_per_shard=N_BITS, k=K).count() == 0
+
+
+def test_sharded_false_positive_rate_near_theory(spark, sharded_bloom,
+                                                 seen_urls):
+    """Per-shard load is ~n/S keys into n_bits bits, so the sharded FP
+    theory uses the per-shard fill — within 3x at this sample size."""
+    from go_readability_spark.operators.bloom import filter_unseen_sharded
+
+    fresh = [f"https://new{i}.example.net/x/{i}" for i in range(3000)]
+    df = spark.createDataFrame([(u,) for u in fresh], "url string")
+    kept = filter_unseen_sharded(df, sharded_bloom, n_shards=N_SHARDS,
+                                 bits_per_shard=N_BITS, k=K).count()
+    fp = 1.0 - kept / len(fresh)
+    theory = (1.0 - math.exp(-K * (len(seen_urls) / N_SHARDS) / N_BITS)) ** K
+    assert fp <= max(3 * theory, 0.01), (fp, theory)
+
+
+def test_sharded_null_key_unseen(spark, sharded_bloom):
+    from go_readability_spark.operators.bloom import bloom_maybe_seen_sharded
+
+    df = spark.createDataFrame(
+        [("https://newx.example.net/1", 1), (None, 2)],
+        "url string, payload int")
+    out = {r.payload: r.maybe_seen
+           for r in bloom_maybe_seen_sharded(
+               df, sharded_bloom, n_shards=N_SHARDS,
+               bits_per_shard=N_BITS, k=K).collect()}
+    assert out == {1: False, 2: False}
+
+
+def test_sharded_merge_equals_filter_of_union(spark, seen_urls,
+                                              sharded_bloom):
+    from go_readability_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_merge_sharded,
+    )
+
+    a_urls, b_urls = seen_urls[:150], seen_urls[150:]
+    a = bloom_build_sharded(
+        spark.createDataFrame([(u,) for u in a_urls], "url string"),
+        n_shards=N_SHARDS, bits_per_shard=N_BITS, k=K)
+    b = bloom_build_sharded(
+        spark.createDataFrame([(u,) for u in b_urls], "url string"),
+        n_shards=N_SHARDS, bits_per_shard=N_BITS, k=K)
+    merged = {(r.shard, r.word): r.bits
+              for r in bloom_merge_sharded(a, b).collect()}
+    union = {(r.shard, r.word): r.bits for r in sharded_bloom.collect()}
+    assert merged == union
+
+
+def test_sharded_membership_plan_shape(spark, sharded_bloom):
+    """Plan lock (VERDICT r5 #2): membership is an equi-join between the
+    candidate probes and the (shard, word, bits) filter relation — no
+    cartesian product, no Python eval, and the history table never
+    appears (the filter IS the only stored state).  The probe join keys
+    must include shard so no shard scans another shard's slice."""
+    from go_readability_spark.operators.bloom import bloom_maybe_seen_sharded
+
+    df = spark.createDataFrame([("https://q.example.org/1",)], "url string")
+    plan = bloom_maybe_seen_sharded(
+        df, sharded_bloom, n_shards=N_SHARDS, bits_per_shard=N_BITS,
+        k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "shard" in ln]
+    assert any("word" in ln for ln in join_lines), plan
