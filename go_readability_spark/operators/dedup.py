@@ -397,6 +397,7 @@ def minhash_index(
     hash_fn=_minhash_fn_xxhash64,
     bucket_fn=_band_bucket_xxhash64,
     max_bucket_size: int | None = 10_000,
+    scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """The STORED side of incremental near-dedup: (buckets, shingles).
 
@@ -409,16 +410,30 @@ def minhash_index(
     (id, shingles) table the probe's exact-Jaccard verify joins.  Both
     are plain DataFrames — persist them as tables and append each
     accepted segment's rows (the banding is deterministic, so
-    incremental appends compose exactly).
+    incremental appends compose exactly).  Appends are pruned only
+    WITHIN each increment: a bucket whose population crosses
+    max_bucket_size across appends keeps its rows until
+    `compact_index` re-applies the cap over the composed relation —
+    run it on the stored index whenever cumulative appends since the
+    last compaction approach the original corpus size (or on a fixed
+    cadence, e.g. nightly for an hourly-append pipeline).
+
+    Cache lifecycle: the internal shingle relation is persist()ed (it
+    feeds both outputs).  Pass a `go_readability_spark.cache.CacheScope`
+    as `scope` and release it after writing the outputs; with no scope
+    the persist is left for the caller/session to clear (historical
+    behaviour).
 
     The probe side (minhash_probe) MUST use identical
     (n, num_hashes, num_bands, hash_fn, bucket_fn)."""
+    from ..cache import persist_scoped
+
     if num_bands < 1 or num_hashes % num_bands != 0:
         raise ValueError(
             f"num_bands={num_bands} must be a positive divisor of "
             f"num_hashes={num_hashes}")
     rows_per_band = num_hashes // num_bands
-    shingled = shingle_table(df, id_col, text_col, n).persist()
+    shingled = persist_scoped(shingle_table(df, id_col, text_col, n), scope)
     sigs = shingled.select(
         "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn)
         .alias("signature"))
@@ -449,6 +464,7 @@ def minhash_probe(
     hash_fn=_minhash_fn_xxhash64,
     bucket_fn=_band_bucket_xxhash64,
     max_bucket_size: int | None = 10_000,
+    scope=None,
 ) -> DataFrame:
     """(id_new, id_corpus, inter, size_new, size_corpus, jaccard) — the
     new segment's near-duplicates OF THE INDEXED CORPUS (directional:
@@ -458,16 +474,27 @@ def minhash_probe(
     Shape: band the new docs identically, cap the new side's own flood
     buckets, equi-join against the stored buckets on (band, bucket)
     — candidate fan-out per key is new-side × index-side populations,
-    both ≤ max_bucket_size — then exact-verify the (small) candidate
-    set against the stored shingle table.  The corpus is touched ONLY
-    through the index relations: no corpus rescans, no corpus shuffle
-    beyond the candidate ids' shingle rows."""
+    both ≤ max_bucket_size (index-side boundedness assumes the stored
+    relation is compacted on cadence; see compact_index) — then
+    exact-verify the (small) candidate set against the stored shingle
+    table.  The corpus is touched ONLY through the index relations: no
+    corpus rescans, no corpus shuffle beyond the candidate ids' shingle
+    rows.
+
+    Cache lifecycle: the segment's shingle relation is persist()ed (it
+    feeds both the banding and the verify join).  A long-lived scheduler
+    probing many segments should pass a CacheScope and release it after
+    materialising the result; with no scope the persist is left to the
+    caller/session (historical behaviour)."""
+    from ..cache import persist_scoped
+
     if num_bands < 1 or num_hashes % num_bands != 0:
         raise ValueError(
             f"num_bands={num_bands} must be a positive divisor of "
             f"num_hashes={num_hashes}")
     rows_per_band = num_hashes // num_bands
-    shingled = shingle_table(new_df, id_col, text_col, n).persist()
+    shingled = persist_scoped(shingle_table(new_df, id_col, text_col, n),
+                              scope)
     sigs = shingled.select(
         "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn)
         .alias("signature"))
@@ -506,6 +533,54 @@ def minhash_probe(
         .select("id_new", "id_corpus", "inter", "size_new", "size_corpus",
                 "jaccard")
     )
+
+
+def compact_index(
+    index_buckets: DataFrame,
+    index_shingles: DataFrame | None = None,
+    max_bucket_size: int | None = 10_000,
+    prune_shingles: bool = False,
+):
+    """Re-apply the flood cap over a COMPOSED incremental index
+    (VERDICT r5 #3).
+
+    minhash_index prunes flood buckets within each increment only, so a
+    (band, bucket) that stays under max_bucket_size in every append but
+    crosses it in the union keeps its full population — probe fan-out
+    on that key then grows linearly with appends.  Compaction applies
+    exactly the build-time rule to the stored relation: drop every
+    (band, bucket) whose TOTAL population exceeds the cap.  It is
+    idempotent, and compact(index(a) ∪ index(b)) == index(a ∪ b)'s
+    bucket relation under the same cap wherever neither increment was
+    individually pruned (the planted-flood test pins this).
+
+    Cadence: run whenever cumulative appends since the last compaction
+    approach the pre-append corpus size, or on a fixed schedule (e.g.
+    nightly for an hourly-append crawl) — one count-aggregation plus a
+    left_semi join over the bucket relation, the same cost as one index
+    build's pruning pass.
+
+    Returns the compacted buckets, or (buckets, shingles) when
+    index_shingles is given: with prune_shingles=True the shingle rows
+    of ids that lost ALL bucket rows (unmatchable dead weight) are
+    dropped via one left_semi join; with False (default — the shingle
+    table is the big relation) shingles pass through unchanged."""
+    buckets = index_buckets
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("pop"))
+            .where(F.col("pop") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
+    if index_shingles is None:
+        return buckets
+    shingles = index_shingles
+    if prune_shingles:
+        live = buckets.select("id").distinct()
+        shingles = shingles.join(live, "id", "left_semi")
+    return buckets, shingles
 
 
 # --------------------------------------------------------------------- SimHash

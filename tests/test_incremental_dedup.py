@@ -93,3 +93,83 @@ def test_index_flood_bucket_dropped_at_build(spark):
         buckets, shingles, threshold=0.5,
         n=3, num_hashes=16, num_bands=4, max_bucket_size=10)
     assert probe.count() == 0
+
+
+def test_compact_index_prunes_cross_increment_flood(spark):
+    """VERDICT r5 #3: a template flood split across two appends stays
+    under the cap in EACH increment but crosses it in the union —
+    compact_index must drop it, bounding probe fan-out, while non-flood
+    pairs keep exact batch equivalence."""
+    from go_readability_spark.operators import compact_index
+
+    kw = dict(n=3, num_hashes=16, num_bands=4, max_bucket_size=30)
+    flood_text = "identical template page body " * 5
+    inc1 = [(i, flood_text) for i in range(20)]            # pop 20 <= 30
+    inc2 = [(100 + i, flood_text) for i in range(20)]      # pop 20 <= 30
+    normal1 = [(500, "the quick brown fox jumps over the lazy dog "
+                     "and runs into the woods tonight")]
+    normal2 = [(600, "the quick brown fox jumps over the lazy dog "
+                     "and runs into the woods tonight extra")]
+    b1, s1 = minhash_index(_docs(spark, inc1 + normal1), **kw)
+    b2, s2 = minhash_index(_docs(spark, inc2 + normal2), **kw)
+    buckets = b1.unionByName(b2)
+    shingles = s1.unionByName(s2)
+
+    # before compaction the composed flood bucket holds 40 ids
+    probe_doc = _docs(spark, [(9000, flood_text)])
+    pre = minhash_probe(probe_doc, buckets, shingles, threshold=0.5, **kw)
+    assert pre.count() == 40  # linear fan-out growth: the bug
+
+    cb, cs = compact_index(buckets, shingles, max_bucket_size=30)
+    assert cb.where(F.col("id") < 500).count() == 0  # flood gone
+    post = minhash_probe(probe_doc, cb, cs, threshold=0.5, **kw)
+    assert post.count() == 0
+
+    # batch equivalence on the surviving (non-flood) pairs: compacted
+    # index == the bucket relation of one build over the union
+    b_all, _ = minhash_index(
+        _docs(spark, inc1 + normal1 + inc2 + normal2), **kw)
+    assert ({(r.id, r.band, r.bucket) for r in cb.collect()}
+            == {(r.id, r.band, r.bucket) for r in b_all.collect()})
+    near = minhash_probe(
+        _docs(spark, [(9500, normal1[0][1])]), cb, cs, threshold=0.5, **kw)
+    assert {r.id_corpus for r in near.collect()} == {500, 600}
+
+
+def test_compact_index_idempotent_and_prunes_shingles(spark, corpus):
+    from go_readability_spark.operators import compact_index
+
+    flood = [(700 + i, "zz flood body " * 4) for i in range(8)]
+    b, s = minhash_index(_docs(spark, corpus + flood), **KW)
+    b2, s2 = compact_index(b.unionByName(b), s, max_bucket_size=10,
+                           prune_shingles=True)
+    # the flood bucket doubles to 16 > 10 -> dropped; pruned shingles
+    # keep exactly the ids that still have at least one bucket row
+    assert b2.where(F.col("id") >= 700).count() == 0
+    assert s2.where(F.col("id") >= 700).count() == 0
+    assert ({r.id for r in s2.select("id").collect()}
+            == {r.id for r in b2.select("id").distinct().collect()})
+    b3 = compact_index(b2, max_bucket_size=10)
+    assert ({(r.id, r.band, r.bucket) for r in b3.collect()}
+            == {(r.id, r.band, r.bucket) for r in b2.collect()})
+
+
+def test_cache_scope_releases_probe_caches(spark, corpus):
+    """VERDICT r5 #5 / ADVICE: a long-lived scheduler probing many
+    segments must be able to release the operators' internal persists;
+    after CacheScope.release() no cached RDDs leak."""
+    from go_readability_spark.cache import CacheScope
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    with CacheScope() as scope:
+        buckets, shingles = minhash_index(_docs(spark, corpus),
+                                          scope=scope, **KW)
+        seg = [(1000, corpus[0][1] + " tail")]
+        hits = minhash_probe(_docs(spark, seg), buckets, shingles,
+                             threshold=0.5, scope=scope, **KW).collect()
+        assert hits
+        assert len(scope) == 2
+        assert jsc.getPersistentRDDs().size() > base
+    assert jsc.getPersistentRDDs().size() == base
