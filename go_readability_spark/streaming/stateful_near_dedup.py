@@ -11,9 +11,13 @@ per-group verdict; a document is new iff NO group matched.
 
 The verdicts of one document all land in the micro-batch that carried it,
 so the final AND is a plain batch aggregation inside foreachBatch — no
-second stateful stage, no watermark coupling. State per group is capped
-(newest-kept) so a hot chunk value cannot grow without bound; production
-would add a GroupStateTimeout TTL on top.
+second stateful stage, no watermark coupling. State is bounded on BOTH
+axes: per group the SimHash list is capped (newest-kept) so a hot chunk
+value cannot grow without bound, and idle (chunk_no, chunk) groups are
+evicted by a processing-time GroupStateTimeout TTL so the NUMBER of
+groups plateaus on an endless stream (an evicted group simply means a
+near-dup re-seen after `state_ttl_ms` of group inactivity is treated as
+new — the standard crawl-dedup recency trade).
 
 Dedup semantics: "near-duplicate of ANYTHING previously seen" — a
 suppressed document's hash also enters state, so a near-dup of a
@@ -33,10 +37,19 @@ VOTE_SCHEMA = "url string, simhash long, matched int"
 STATE_SCHEMA = "seen array<long>"
 
 
-def _make_group_fn(max_hamming: int, max_state: int):
+def _make_group_fn(max_hamming: int, max_state: int, state_ttl_ms: int):
     def near_group(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle group: evict and emit nothing (no document rode in)
+            state.remove()
+            yield pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "simhash": pd.Series([], dtype="int64"),
+                "matched": pd.Series([], dtype="int64"),
+            })
+            return
         seen = list(state.get[0]) if state.exists else []
         # CRITICAL #1: process the batch's rows in a GLOBAL deterministic
         # order (url). A near-dup pair arriving in the same micro-batch
@@ -74,6 +87,9 @@ def _make_group_fn(max_hamming: int, max_state: int):
         if len(seen) > max_state:
             seen = seen[-max_state:]
         state.update((seen,))
+        # TTL restarts on every batch that touches the group: only IDLE
+        # groups are evicted, a hot chunk value stays resident
+        state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"url": urls, "simhash": hashes, "matched": matched})
 
     return near_group
@@ -85,10 +101,18 @@ def streaming_simhash_votes(
     url_col: str = "url",
     text_col: str = "text",
     max_state_per_group: int = 10_000,
+    state_ttl_ms: int = 6 * 3600 * 1000,
 ) -> DataFrame:
     """Per-(chunk_no, chunk) verdict stream: (url, simhash, matched).
     A document is a near-duplicate iff max(matched) over its chunk rows
-    is 1 (see finalize_near_dedup_batch)."""
+    is 1 (see finalize_near_dedup_batch).
+
+    `state_ttl_ms` (default 6h) evicts (chunk_no, chunk) groups idle for
+    that long, so state row count plateaus at the working set of recently
+    active chunk values instead of growing with every distinct value ever
+    seen; the duration resets whenever a batch touches the group."""
+    if state_ttl_ms <= 0:
+        raise ValueError(f"state_ttl_ms must be positive, got {state_ttl_ms}")
     n_chunks = max_hamming + 1
     sims = simhash_table(pages_stream, url_col, text_col).withColumnRenamed("id", "url")
     chunks = simhash_chunks(F.col("simhash"), n_chunks)
@@ -96,11 +120,11 @@ def streaming_simhash_votes(
         "url", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk")
     )
     return keyed.groupBy("chunk_no", "chunk").applyInPandasWithState(
-        _make_group_fn(max_hamming, max_state_per_group),
+        _make_group_fn(max_hamming, max_state_per_group, state_ttl_ms),
         outputStructType=VOTE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
@@ -121,11 +145,25 @@ def run_near_dedup_stream(
     max_hamming: int = 3,
     url_col: str = "url",
     text_col: str = "text",
+    state_ttl_ms: int = 6 * 3600 * 1000,
+    max_run_seconds: float = 600.0,
 ):
     """End-to-end runner: stateful votes → per-batch finalize → parquet.
-    Returns the started StreamingQuery (availableNow trigger)."""
+
+    Under ProcessingTimeTimeout an availableNow query never terminates on
+    its own — after the data is drained Spark keeps scheduling empty
+    micro-batches forever in case future timeouts fire — so the runner
+    owns termination: it blocks until the first committed batch with zero
+    input rows (the run's timeout sweep, right after the last data
+    batch), stops the query, and returns it already terminated.  A
+    scheduled pipeline re-invokes the runner on its cadence; idle groups
+    past `state_ttl_ms` are evicted by each run's data batches and final
+    sweep.  `max_run_seconds` bounds the wait if the source misbehaves."""
+    import time as _time
+
     votes = streaming_simhash_votes(
-        pages_stream, max_hamming, url_col=url_col, text_col=text_col
+        pages_stream, max_hamming, url_col=url_col, text_col=text_col,
+        state_ttl_ms=state_ttl_ms,
     )
 
     def sink(batch_df, batch_id):
@@ -136,9 +174,23 @@ def run_near_dedup_stream(
             f"{output_dir}/batch={batch_id}"
         )
 
-    return (
+    q = (
         votes.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    deadline = _time.monotonic() + max_run_seconds
+    while _time.monotonic() < deadline and q.isActive:
+        prog = q.recentProgress
+        # a zero-input batch alone is not "drained": a restart first
+        # re-executes the WAL-planned batch from the previous run (often
+        # empty) BEFORE reading newly arrived files, so also require the
+        # source to report no pending data
+        if (prog and prog[-1]["numInputRows"] == 0
+                and not q.status.get("isDataAvailable", False)):
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    return q
