@@ -353,11 +353,19 @@ def make_sink_extractor(output_dir: str, checkpoint_dir: str | None):
             # verifier never see.  (A non-hidden '<final>.tmp-…' name
             # broke the 10M crawl-fetch resume: the truncated staging
             # file failed the whole output read.)  Stale tmps from dead
-            # attempts are swept before this attempt writes its own.
+            # attempts are swept before this attempt writes its own —
+            # but only ones older than an hour: a CONCURRENT attempt for
+            # the same bucket (speculative or zombie task) may still be
+            # writing its staging file, and unlinking it mid-write would
+            # turn its os.replace into FileNotFoundError.  Younger tmps
+            # are left alone; being dot-prefixed they are invisible to
+            # readers and the resume verifier regardless.
+            sweep_horizon = time.time() - 3600
             for stale in glob.glob(os.path.join(
                     bucket_dir, f".part-{salt_val:05d}.parquet.tmp-*")):
                 try:
-                    os.remove(stale)
+                    if os.path.getmtime(stale) < sweep_horizon:
+                        os.remove(stale)
                 except OSError:
                     pass
             tmp = os.path.join(

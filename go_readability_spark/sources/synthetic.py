@@ -428,7 +428,16 @@ def warc_archives_from_documents(spark, sf_dir: str, out_dir: str,
         try:
             os.rename(tmp, out_dir)
         except OSError:
-            shutil.rmtree(tmp)  # concurrent winner already renamed
+            # usually a concurrent winner already renamed — but verify
+            # before discarding: out_dir could also pre-exist WITHOUT an
+            # index (created externally or by a non-atomic path), and
+            # silently returning it would fail every downstream read
+            if not os.path.exists(os.path.join(out_dir, "index.cdxj")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"{out_dir} exists but has no index.cdxj — not a "
+                    f"completed archive dir; remove it and retry")
+            shutil.rmtree(tmp)  # concurrent winner confirmed
     finally:
         if os.path.isdir(tmp) and not os.path.exists(done):
             shutil.rmtree(tmp, ignore_errors=True)

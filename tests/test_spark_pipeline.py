@@ -464,6 +464,7 @@ def test_atomic_sink_roundtrip_and_bucket_resume(spark, tmp_path):
     import glob
     import os
     import shutil
+    import time
 
     from go_readability_spark.plans import run_extraction_job_atomic
     from go_readability_spark.plans.schema import PAGES_SCHEMA
@@ -503,11 +504,22 @@ def test_atomic_sink_roundtrip_and_bucket_resume(spark, tmp_path):
     stale = os.path.join(lost_dir, f".{salt_name}.tmp-deadbeef")
     with open(stale, "wb") as fh:
         fh.write(b"PAR1 truncated garbage")
+    two_hours_ago = time.time() - 7200
+    os.utime(stale, (two_hours_ago, two_hours_ago))
+    # a FRESH tmp (mtime now) simulates a CONCURRENT attempt still
+    # writing its staging file: the sweep must leave it alone (ADVICE
+    # r5 — unlinking it mid-write would break that attempt's publish),
+    # and being dot-prefixed it stays invisible to readers anyway
+    fresh = os.path.join(lost_dir, f".{salt_name}.tmp-feedc0de")
+    with open(fresh, "wb") as fh:
+        fh.write(b"PAR1 concurrent attempt in flight")
     n3 = run_extraction_job_atomic(pages, out, checkpoint_dir=ck,
                                    n_buckets=8, num_partitions=4)
     assert n3 >= 1
     assert spark.read.parquet(out).count() == 24  # garbage invisible
-    assert not os.path.exists(stale)  # swept by the bucket rewrite
+    assert not os.path.exists(stale)  # old tmp swept by the rewrite
+    assert os.path.exists(fresh)  # young tmp spared (concurrent writer)
+    os.remove(fresh)
     assert not glob.glob(os.path.join(out, "salt=*", "*.tmp-*"))  # hidden only
     survivors = [f for f in files if not f.startswith(lost_dir + os.sep)]
     for f in survivors:

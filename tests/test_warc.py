@@ -602,3 +602,67 @@ def test_streaming_discovery_loop(spark, tmp_path):
 
     batch_dirs = [p for p in _os.listdir(out) if p.startswith("batch=")]
     assert len(batch_dirs) >= 2
+
+
+def test_warc_generator_rejects_indexless_preexisting_dir(spark, tmp_path):
+    """ADVICE r5: an os.rename failure is only a benign concurrency race
+    when the winner's index.cdxj is actually there — a pre-existing
+    out_dir WITHOUT an index (external mkdir, non-atomic path) must
+    raise instead of being returned as a silently unreadable archive
+    dir."""
+    import os
+
+    import pytest as _pytest
+
+    from go_readability_spark.sources import warc_archives_from_documents
+
+    import shutil
+
+    out = str(tmp_path / "archives")
+    os.makedirs(out)
+    # non-empty (rename -> ENOTEMPTY) but WITHOUT index.cdxj
+    with open(os.path.join(out, "crawl-00.warc.gz"), "wb") as fh:
+        fh.write(b"partial junk")
+    with _pytest.raises(RuntimeError, match="index.cdxj"):
+        warc_archives_from_documents(spark, "/root/testdata/sf0.001", out)
+    # after the caller removes the bad dir, generation succeeds
+    shutil.rmtree(out)
+    got = warc_archives_from_documents(spark, "/root/testdata/sf0.001", out)
+    assert os.path.exists(os.path.join(got, "index.cdxj"))
+
+
+def test_discovery_stream_readerable_gate(spark, tmp_path):
+    """run_discovery_stream(readerable_gate=True) extracts only pages
+    passing the cheap Check; junk stubs in the same shard are dropped
+    before the full extraction UDF."""
+    from go_readability_spark.streaming import run_discovery_stream
+
+    warc_dir = tmp_path / "warc"
+    idx_dir = tmp_path / "index"
+    warc_dir.mkdir()
+    idx_dir.mkdir()
+
+    lines, blob, off = [], b"", 0
+    fname = "mix.warc.gz"
+    bodies = [DOC.replace(b"%d", b"77"),
+              b"<html><body><p>stub</p></body></html>"]
+    for k, body in enumerate(bodies):
+        url = f"http://example.org/mix/{k}"
+        member = write_warc([(url, datetime(2024, 5, 1, 0, 0, k), body)])
+        lines.append(
+            f'org,example)/mix/{k} 2024050100000{k} '
+            f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+            f'"digest": "sha1:m{k}", "length": "{len(member)}", '
+            f'"offset": "{off}", "filename": "{fname}"}}')
+        blob += member
+        off += len(member)
+    (warc_dir / fname).write_bytes(blob)
+    (idx_dir / "shard.cdxj").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "articles")
+    q = run_discovery_stream(spark, str(idx_dir), str(warc_dir), out,
+                             str(tmp_path / "ckpt"), readerable_gate=True)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert {r.url for r in got.collect()} == {"http://example.org/mix/0"}
+    assert got.where("error is null").count() == 1
