@@ -387,6 +387,15 @@ def cmd_crawl_fetch(args) -> int:
         ship_package(spark)
         plan = spark.read.parquet(args.plan)
         pages = pages_from_fetch_plan(plan, args.warc_dir)
+        if getattr(args, "readerable_gate", False):
+            # cheap Check (parser-check.go fast path) between fetch and
+            # the full pipeline: most real-crawl pages fail it, and it
+            # costs a parse + accumulator instead of candidate scoring
+            from pyspark.sql import functions as F
+
+            from .functions.extraction_udfs import readerable
+
+            pages = pages.where(readerable(F.col("html")))
         if args.extract and args.atomic_sink:
             # the resumable leg: bucket-granular atomic publishes, so a
             # killed fetch+extract restarts from the checkpoint table
@@ -532,6 +541,10 @@ def main(argv=None) -> int:
     cf.add_argument("--output", required=True, help="output parquet")
     cf.add_argument("--extract", action="store_true",
                     help="run extraction on the fetched pages")
+    cf.add_argument("--readerable-gate", action="store_true",
+                    help="drop pages failing the cheap readerable Check "
+                         "between fetch and extraction (crawl fast path; "
+                         "gated pages would exit curation anyway)")
     cf.add_argument("--buckets", type=int, default=64,
                     help="salt buckets for --extract")
     cf.add_argument("--atomic-sink", action="store_true",

@@ -62,11 +62,22 @@ def run_discovery_stream(
     agent: str = "*",
     max_files_per_trigger: int = 4,
     trigger_once: bool = True,
+    readerable_gate: bool = False,
 ):
     """Continuous-crawl discovery: CDXJ index shards landing in
     `index_dir` stream through selection -> (optional robots gate) ->
     byte-range fetch -> extraction — the streaming composition of the
     batch crawl loop (crawl-plan + crawl-fetch CLIs).
+
+    `readerable_gate=True` inserts the cheap Check boolean
+    (readability/check.py check_document, the reference's
+    parser-check.go fast path) as a filter BETWEEN fetch and full
+    extraction: on real crawls most fetched pages are link farms,
+    stubs, and boilerplate shells that Check rejects for a fraction of
+    the cost of running the full candidate-scoring pipeline on them.
+    Gated pages are dropped entirely (they would exit curation at the
+    `readerable` gate anyway); leave the flag off to keep the
+    every-page extraction record.
 
     Each micro-batch OVERWRITES its own `output_dir/batch=<id>`
     partition, so a retried batch is idempotent — the foreachBatch
@@ -94,6 +105,12 @@ def run_discovery_stream(
 
             plan = filter_by_robots(plan, robots_rules(robots), agent=agent)
         pages = pages_from_fetch_plan(plan, warc_base_dir)
+        if readerable_gate:
+            from pyspark.sql import functions as F
+
+            from ..functions.extraction_udfs import readerable
+
+            pages = pages.where(readerable(F.col("html")))
         arts = with_salt(pages.select("url", "warc_ts", "html"), 64) \
             .mapInPandas(make_extractor(None), schema=ARTICLES_SCHEMA)
         arts.write.mode("overwrite").parquet(

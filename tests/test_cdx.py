@@ -240,3 +240,64 @@ def test_crawl_fetch_cli_end_to_end(spark, tmp_path):
     assert set(arts) == {f"https://example.org/keep/{i}" for i in range(4)}
     assert arts["https://example.org/keep/2"].title == "T2"
     assert all(a.error is None for a in arts.values())
+
+
+def test_crawl_fetch_readerable_gate(spark, tmp_path):
+    """--readerable-gate drops Check-failing pages between fetch and
+    extraction (VERDICT r5 #8); without the flag every fetched page
+    still gets an extraction row."""
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    from go_readability_spark.sources.warc import write_warc
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    good = ("<html><head><title>G%d</title></head><body><article><p>"
+            + "Readable sentence, with commas, and length. " * 8
+            + "</p></article></body></html>")
+    junk = "<html><head><title>J%d</title></head><body><p>hi</p></body></html>"
+    lines, off, blob = [], 0, b""
+    for i, body in enumerate([good % 0, junk % 1, good % 2, junk % 3]):
+        url = f"https://example.org/mix/{i}"
+        member = write_warc([(url, datetime(2024, 5, 1, 0, 0, i),
+                              body.encode())])
+        lines.append(
+            f'org,example)/mix/{i} 2024050100000{i} '
+            f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+            f'"digest": "sha1:{i}", "length": "{len(member)}", '
+            f'"offset": "{off}", "filename": "m.warc.gz"}}')
+        blob += member
+        off += len(member)
+    (d / "m.warc.gz").write_bytes(blob)
+    idx = tmp_path / "index.cdxj"
+    idx.write_text("\n".join(lines) + "\n")
+    plan_out = str(tmp_path / "plan")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-plan",
+         "--index", str(idx), "--output", plan_out, "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    gated_out = str(tmp_path / "gated")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-fetch",
+         "--plan", plan_out, "--warc-dir", str(d), "--output", gated_out,
+         "--extract", "--readerable-gate", "--buckets", "4",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    gated = {a.url for a in spark.read.parquet(gated_out).collect()}
+    assert gated == {"https://example.org/mix/0", "https://example.org/mix/2"}
+
+    plain_out = str(tmp_path / "plain")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "crawl-fetch",
+         "--plan", plan_out, "--warc-dir", str(d), "--output", plain_out,
+         "--extract", "--buckets", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    plain = spark.read.parquet(plain_out)
+    assert plain.count() == 4  # ungated: every page keeps its row
+    assert plain.where("readerable").count() == 2  # post-hoc agreement
