@@ -88,6 +88,10 @@ from .bloom import (  # noqa: F401
     bloom_maybe_seen_sharded,
     bloom_merge,
     bloom_merge_sharded,
+    bloom_store_exists,
+    bloom_store_read,
+    bloom_store_record,
+    bloom_store_write,
     filter_unseen,
     filter_unseen_sharded,
 )

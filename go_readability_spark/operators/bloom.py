@@ -249,6 +249,73 @@ def bloom_merge_sharded(*filters: DataFrame) -> DataFrame:
     return merged.groupBy("shard", "word").agg(F.bit_or("bits").alias("bits"))
 
 
+# ------------------------------------------------------------- filter store
+
+BLOOM_META = "_bloom_meta.json"
+
+
+def bloom_store_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, BLOOM_META))
+
+
+def bloom_store_write(bloom: DataFrame, path: str, n_shards: int,
+                      bits_per_shard: int, k: int) -> None:
+    """Persist a sharded filter + its parameters.  The parameters are
+    part of the filter's identity — probing with different (n_shards,
+    bits_per_shard, k) is silently wrong — so they ride in a meta file
+    the reader validates instead of being re-supplied by every caller.
+    The meta write is LAST: a crash mid-write leaves a store that
+    bloom_store_exists treats as absent, not a half-readable one."""
+    import json
+    import os
+
+    bloom.write.mode("overwrite").parquet(os.path.join(path, "filter.parquet"))
+    meta = {"n_shards": n_shards, "bits_per_shard": bits_per_shard, "k": k}
+    tmp = os.path.join(path, f".{BLOOM_META}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, BLOOM_META))
+
+
+def bloom_store_read(spark, path: str) -> tuple[DataFrame, dict]:
+    """(filter relation, {n_shards, bits_per_shard, k}) from a store."""
+    import json
+    import os
+
+    with open(os.path.join(path, BLOOM_META)) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "filter.parquet")), meta
+
+
+def bloom_store_record(spark, path: str, df: DataFrame,
+                       key_col: str = "url", n_shards: int = 16,
+                       bits_per_shard: int = 1 << 22, k: int = 5) -> dict:
+    """Merge df's keys into the store (creating it if absent): the
+    incremental-crawl composition — each fetched segment's urls enter
+    the filter, and the next planning run's `filter_unseen_sharded`
+    against the store skips them.  An existing store's parameters WIN
+    over the arguments (they are the filter's identity).  Returns the
+    effective parameters."""
+    if bloom_store_exists(path):
+        old, meta = bloom_store_read(spark, path)
+        new = bloom_build_sharded(df, key_col, meta["n_shards"],
+                                  meta["bits_per_shard"], meta["k"])
+        # materialize the merge BEFORE the overwrite: the new filter's
+        # plan reads the parquet being replaced
+        merged = bloom_merge_sharded(old, new).cache()
+        merged.count()
+        bloom_store_write(merged, path, **meta)
+        merged.unpersist()
+        return meta
+    meta = {"n_shards": n_shards, "bits_per_shard": bits_per_shard, "k": k}
+    bloom_store_write(
+        bloom_build_sharded(df, key_col, n_shards, bits_per_shard, k),
+        path, **meta)
+    return meta
+
+
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Union of Bloom filters built with the SAME (n_bits, k): bitwise OR
     per word — one groupBy over the (tiny) filter relations.  The

@@ -248,3 +248,37 @@ def test_sharded_membership_plan_shape(spark, sharded_bloom):
     join_lines = [ln for ln in plan.splitlines()
                   if "Join" in ln and "shard" in ln]
     assert any("word" in ln for ln in join_lines), plan
+
+
+def test_bloom_store_roundtrip_and_record(spark, tmp_path, seen_urls):
+    """Persistent store: write/read round-trips the filter bit-for-bit
+    with its parameters; record() creates then merges, and an existing
+    store's parameters win over the caller's."""
+    from go_readability_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_store_exists,
+        bloom_store_read,
+        bloom_store_record,
+    )
+
+    path = str(tmp_path / "bloomstore")
+    assert not bloom_store_exists(path)
+    df1 = spark.createDataFrame([(u,) for u in seen_urls[:200]], "url string")
+    meta = bloom_store_record(spark, path, df1, n_shards=N_SHARDS,
+                              bits_per_shard=N_BITS, k=K)
+    assert bloom_store_exists(path)
+    assert meta == {"n_shards": N_SHARDS, "bits_per_shard": N_BITS, "k": K}
+
+    # second record with DIFFERENT (ignored) params merges into the store
+    df2 = spark.createDataFrame([(u,) for u in seen_urls[200:]], "url string")
+    meta2 = bloom_store_record(spark, path, df2, n_shards=99,
+                               bits_per_shard=1 << 20, k=2)
+    assert meta2 == meta  # store params win
+
+    stored, got_meta = bloom_store_read(spark, path)
+    assert got_meta == meta
+    union = bloom_build_sharded(
+        spark.createDataFrame([(u,) for u in seen_urls], "url string"),
+        n_shards=N_SHARDS, bits_per_shard=N_BITS, k=K)
+    assert ({(r.shard, r.word): r.bits for r in stored.collect()}
+            == {(r.shard, r.word): r.bits for r in union.collect()})
