@@ -344,6 +344,22 @@ def cmd_crawl_plan(args) -> int:
         ship_package(spark)
         lines = spark.read.text(args.index).withColumnRenamed("value", "line")
         plan = cdx_fetch_plan(parse_cdxj(lines))
+        if getattr(args, "seen_bloom", None):
+            # cross-segment seen-URL suppression: consult the persistent
+            # sharded Bloom store (written by crawl-fetch
+            # --record-seen-bloom) so already-fetched urls never reach
+            # scheduling — without ever joining a history table
+            from .operators.bloom import (
+                bloom_store_exists,
+                bloom_store_read,
+                filter_unseen_sharded,
+            )
+
+            if bloom_store_exists(args.seen_bloom):
+                filt, meta = bloom_store_read(spark, args.seen_bloom)
+                plan = filter_unseen_sharded(
+                    plan, filt, key_col="url", n_shards=meta["n_shards"],
+                    bits_per_shard=meta["bits_per_shard"], k=meta["k"])
         delays = None
         if args.robots:
             from .operators.robots import (
@@ -420,6 +436,14 @@ def cmd_crawl_fetch(args) -> int:
             pages.write.mode("overwrite").parquet(args.output)
             what = "pages"
         n = spark.read.parquet(args.output).count()
+        if getattr(args, "record_seen_bloom", None):
+            from .operators.bloom import bloom_store_record
+
+            fetched = spark.read.parquet(args.output).select("url").distinct()
+            meta = bloom_store_record(spark, args.record_seen_bloom, fetched)
+            print(f"seen-bloom: recorded {fetched.count()} urls "
+                  f"({meta['n_shards']} shards) -> {args.record_seen_bloom}",
+                  file=sys.stderr)
         print(f"crawl fetch: {n} {what} -> {args.output}")
     finally:
         spark.stop()
@@ -528,6 +552,10 @@ def main(argv=None) -> int:
     cp.add_argument("--robots-agent", default="*")
     cp.add_argument("--default-delay", type=float, default=1.0,
                     help="per-host spacing (sec) when no Crawl-delay")
+    cp.add_argument("--seen-bloom", default=None,
+                    help="sharded Bloom store dir (from crawl-fetch "
+                         "--record-seen-bloom): drop maybe-seen urls "
+                         "before scheduling")
     cp.add_argument("--master", default=None)
     cp.set_defaults(fn=cmd_crawl_plan)
 
@@ -552,6 +580,10 @@ def main(argv=None) -> int:
                          "(kill+restart resumes from --checkpoint)")
     cf.add_argument("--checkpoint", default=None,
                     help="checkpoint table dir for --atomic-sink")
+    cf.add_argument("--record-seen-bloom", default=None,
+                    help="merge this run's fetched urls into a sharded "
+                         "Bloom store dir (consulted by crawl-plan "
+                         "--seen-bloom on the next segment)")
     cf.add_argument("--master", default=None)
     cf.set_defaults(fn=cmd_crawl_fetch)
 

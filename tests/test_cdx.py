@@ -301,3 +301,80 @@ def test_crawl_fetch_readerable_gate(spark, tmp_path):
     plain = spark.read.parquet(plain_out)
     assert plain.count() == 4  # ungated: every page keeps its row
     assert plain.where("readerable").count() == 2  # post-hoc agreement
+
+
+def test_crawl_loop_seen_bloom_skips_fetched_urls(spark, tmp_path):
+    """Cross-segment seen-URL suppression: crawl-fetch --record-seen-bloom
+    persists the fetched urls' sharded filter; the next crawl-plan
+    --seen-bloom drops them before scheduling, so only genuinely new
+    urls are fetched."""
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    from go_readability_spark.sources.warc import write_warc
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    body = ("<html><head><title>T%d</title></head><body><article><p>"
+            + "Readable sentence, with commas, and length. " * 8
+            + "</p></article></body></html>")
+
+    def seg_lines(seg, ids):
+        lines, off, blob = [], 0, b""
+        fname = f"seg{seg}.warc.gz"
+        for i in ids:
+            url = f"https://example.org/page/{i}"
+            member = write_warc([(url, datetime(2024, 5, seg, 0, 0, i),
+                                  (body % i).encode())])
+            lines.append(
+                f'org,example)/page/{i} 202405{seg:02d}00000{i} '
+                f'{{"url": "{url}", "mime": "text/html", "status": "200", '
+                f'"digest": "sha1:{seg}{i}", "length": "{len(member)}", '
+                f'"offset": "{off}", "filename": "{fname}"}}')
+            blob += member
+            off += len(member)
+        (d / fname).write_bytes(blob)
+        return lines
+
+    def run(cmd):
+        r = subprocess.run([sys.executable, "-m", "go_readability_spark"]
+                           + cmd + ["--master", "local[2]"],
+                           capture_output=True, text=True, timeout=300,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-1500:]
+        return r
+
+    bloom_dir = str(tmp_path / "seen")
+
+    # segment 1: plan (empty store is a no-op) -> fetch + record
+    idx1 = tmp_path / "seg1.cdxj"
+    idx1.write_text("\n".join(seg_lines(1, [0, 1, 2])) + "\n")
+    plan1 = str(tmp_path / "plan1")
+    run(["crawl-plan", "--index", str(idx1), "--output", plan1,
+         "--seen-bloom", bloom_dir])
+    assert spark.read.parquet(plan1).count() == 3
+    out1 = str(tmp_path / "out1")
+    run(["crawl-fetch", "--plan", plan1, "--warc-dir", str(d),
+         "--output", out1, "--record-seen-bloom", bloom_dir])
+
+    # segment 2 re-lists segment 1's urls plus two new ones: the plan
+    # must contain ONLY the new urls
+    idx2 = tmp_path / "seg2.cdxj"
+    idx2.write_text("\n".join(seg_lines(1, [0, 1, 2])
+                              + seg_lines(2, [5, 6])) + "\n")
+    plan2 = str(tmp_path / "plan2")
+    run(["crawl-plan", "--index", str(idx2), "--output", plan2,
+         "--seen-bloom", bloom_dir])
+    urls2 = {r.url for r in spark.read.parquet(plan2).collect()}
+    assert urls2 == {"https://example.org/page/5",
+                     "https://example.org/page/6"}
+
+    # fetch + record segment 2, then a replan over everything -> empty
+    out2 = str(tmp_path / "out2")
+    run(["crawl-fetch", "--plan", plan2, "--warc-dir", str(d),
+         "--output", out2, "--record-seen-bloom", bloom_dir])
+    plan3 = str(tmp_path / "plan3")
+    run(["crawl-plan", "--index", str(idx2), "--output", plan3,
+         "--seen-bloom", bloom_dir])
+    assert spark.read.parquet(plan3).count() == 0
