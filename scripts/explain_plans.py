@@ -126,6 +126,22 @@ def main():
             pages.select("url", F.col("html").cast("string").alias("text")))))
         out.append("```\n")
 
+        from go_readability_spark.operators.bloom import (
+            bloom_build_sharded,
+            bloom_maybe_seen_sharded,
+        )
+
+        seen = pages.select("url")
+        filt = bloom_build_sharded(seen, n_shards=7, bits_per_shard=12289,
+                                   k=3)
+        out.append("## sharded Bloom membership (probe explode -> "
+                   "(shard, word) equi-join vs the filter relation -> "
+                   "per-key AND -> left join back)\n```")
+        out.append(formatted(bloom_maybe_seen_sharded(
+            pages.select("url"), filt, n_shards=7, bits_per_shard=12289,
+            k=3)))
+        out.append("```\n")
+
     open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "EXPLAIN.md"), "w").write("\n".join(out))
     spark.stop()

@@ -282,3 +282,47 @@ def test_bloom_store_roundtrip_and_record(spark, tmp_path, seen_urls):
         n_shards=N_SHARDS, bits_per_shard=N_BITS, k=K)
     assert ({(r.shard, r.word): r.bits for r in stored.collect()}
             == {(r.shard, r.word): r.bits for r in union.collect()})
+
+
+def test_sharded_random_config_fuzz(spark):
+    """Differential fuzz: random (n_shards, n_bits, k, keys) configs —
+    the Spark bitmap must equal the pure-Python reference bit-for-bit
+    and membership must match the reference verdict for every probe."""
+    import random
+
+    from go_readability_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_maybe_seen_sharded,
+    )
+
+    rng = random.Random(617)
+    for trial in range(4):
+        n_shards = rng.choice([1, 2, 3, 8, 11])
+        n_bits = rng.choice([64, 257, 4096, 12289])
+        k = rng.randint(1, 6)
+        keys = [f"k{rng.randrange(10**9)}" for _ in range(rng.randint(1, 120))]
+        probes = keys[::3] + [f"p{rng.randrange(10**9)}" for _ in range(40)]
+
+        df = spark.createDataFrame([(u,) for u in set(keys)], "url string")
+        filt = bloom_build_sharded(df, n_shards=n_shards,
+                                   bits_per_shard=n_bits, k=k)
+        got = {(r.shard, r.word): r.bits for r in filt.collect()}
+        exp_bits = {}
+        for key in set(keys):
+            s = _py_shard(key, n_shards)
+            for pos in _py_positions(key, n_bits, k):
+                w = (s, pos // 64)
+                exp_bits[w] = exp_bits.get(w, 0) | (1 << (pos % 64))
+        assert got == {w: _signed64(b) for w, b in exp_bits.items()}, (
+            trial, n_shards, n_bits, k)
+
+        pdf = spark.createDataFrame([(u,) for u in set(probes)], "url string")
+        verdicts = {r.url: r.maybe_seen for r in bloom_maybe_seen_sharded(
+            pdf, filt, n_shards=n_shards, bits_per_shard=n_bits,
+            k=k).collect()}
+        for u in set(probes):
+            s = _py_shard(u, n_shards)
+            expect = all(
+                exp_bits.get((s, pos // 64), 0) >> (pos % 64) & 1
+                for pos in _py_positions(u, n_bits, k))
+            assert verdicts[u] == expect, (trial, u)
