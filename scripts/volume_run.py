@@ -190,6 +190,74 @@ def phase_crawl(args):
     return 0
 
 
+def phase_bloom(args):
+    """Sharded Bloom filter at volume: build over --n-docs synthetic urls
+    (spark.range — disk-free), then probe the same count half-seen /
+    half-fresh.  Asserts zero false negatives and reports measured FP
+    vs theory plus build/probe throughput.  Sizing: 64 shards x 2^21
+    bits = 2^27 total bits (~0.3% theoretical FP at 10M keys, k=5); at
+    this scale the membership join is the SHUFFLED (shard, word)
+    equi-join — the multi-GB path, not the broadcast shortcut."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import (
+        bloom_build_sharded,
+        bloom_maybe_seen_sharded,
+    )
+    from go_readability_spark.plans import build_session
+
+    spark = build_session(master=args.master)
+    n = args.n_docs
+    n_shards, bits, k = 64, 1 << 21, 5
+
+    def seen_url(idc):
+        return F.concat(F.lit("https://h"), (idc % 997).cast("string"),
+                        F.lit(".example.org/p/"), idc.cast("string"))
+
+    urls = spark.range(n, numPartitions=args.partitions).select(
+        seen_url(F.col("id")).alias("url"))
+    t0 = time.time()
+    filt = bloom_build_sharded(urls, n_shards=n_shards,
+                               bits_per_shard=bits, k=k).persist()
+    words = filt.count()
+    t_build = time.time() - t0
+
+    half = n // 2
+    probes = spark.range(n, numPartitions=args.partitions).select(
+        F.when(F.col("id") < half, seen_url(F.col("id")))
+        .otherwise(F.concat(F.lit("https://fresh.example.net/x/"),
+                            F.col("id").cast("string"))).alias("url"),
+        (F.col("id") < half).alias("is_seen"))
+    t0 = time.time()
+    out = bloom_maybe_seen_sharded(probes, filt, n_shards=n_shards,
+                                   bits_per_shard=bits, k=k)
+    agg = {bool(r.is_seen): (r.n, int(r.hits)) for r in out.groupBy(
+        "is_seen").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("maybe_seen").cast("long")).alias("hits"))
+        .collect()}
+    t_probe = time.time() - t0
+
+    false_neg = agg[True][0] - agg[True][1]
+    fp = agg[False][1] / agg[False][0]
+    theory = (1.0 - math.exp(-k * n / float(n_shards * bits))) ** k
+    print(json.dumps({
+        "phase": "bloom", "keys": n,
+        "n_shards": n_shards, "bits_per_shard": bits, "k": k,
+        "filter_rows": words,
+        "build_sec": round(t_build, 1),
+        "build_keys_per_sec": round(n / t_build, 1),
+        "probe_sec": round(t_probe, 1),
+        "probe_keys_per_sec": round(n / t_probe, 1),
+        "false_negatives": int(false_neg),
+        "fp_rate": round(fp, 6), "fp_theory": round(theory, 6),
+    }))
+    spark.stop()
+    return 1 if false_neg else 0
+
+
 def phase_warcgen(args):
     """Distributed WARC+CDXJ corpus: every generator partition writes ONE
     real .warc.gz archive (one gzip member per record, offsets measured
@@ -283,7 +351,7 @@ def phase_crawlfetch(args):
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("phase", choices=["gen", "extract", "verify", "crawl",
-                                     "warcgen", "crawlfetch"])
+                                     "warcgen", "crawlfetch", "bloom"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--n-docs", type=int, default=10_000_000)
     p.add_argument("--size-scale", type=float, default=0.5)
@@ -309,5 +377,7 @@ if __name__ == "__main__":
         phase_warcgen(a)
     elif a.phase == "crawlfetch":
         raise SystemExit(phase_crawlfetch(a))
+    elif a.phase == "bloom":
+        raise SystemExit(phase_bloom(a))
     else:
         raise SystemExit(phase_verify(a))
