@@ -37,6 +37,7 @@ def curate_corpus(
     fix_mojibake: bool = False,
     robots: DataFrame | None = None,
     robots_agent: str = "*",
+    scope=None,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -164,7 +165,12 @@ def curate_corpus(
     # gopher gate's large HOF lambdas that made Catalyst optimization time
     # explode (minutes of driver spin at 60 docs). At 100 TB this boundary
     # is an Iceberg table write, which truncates the plan the same way.
-    enriched = enriched.persist()
+    # Pass a CacheScope (go_readability_spark.cache) as `scope` to own the
+    # release after materializing the curated output; with no scope the
+    # persist stays for the session (one-shot curation jobs).
+    from ..cache import persist_scoped
+
+    enriched = persist_scoped(enriched, scope)
 
     # exact dedup: keep min-url representative per fingerprint
     keep = enriched.groupBy("fingerprint").agg(F.min("url").alias("url"))

@@ -173,3 +173,22 @@ def test_cache_scope_releases_probe_caches(spark, corpus):
         assert len(scope) == 2
         assert jsc.getPersistentRDDs().size() > base
     assert jsc.getPersistentRDDs().size() == base
+
+
+def test_cache_scope_releases_curation_cache(spark):
+    """The curation stage-boundary persist is also scope-ownable."""
+    from go_readability_spark.cache import CacheScope
+    from go_readability_spark.plans import curate_corpus
+    from go_readability_spark.plans.schema import PAGES_SCHEMA
+    from go_readability_spark.sources import synth_corpus_rows
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+    pages = spark.createDataFrame(synth_corpus_rows(24, seed=9, skew=False),
+                                  schema=PAGES_SCHEMA)
+    with CacheScope() as scope:
+        out = curate_corpus(pages, num_partitions=4, scope=scope).collect()
+        assert out
+        assert len(scope) == 1
+    assert jsc.getPersistentRDDs().size() == base
