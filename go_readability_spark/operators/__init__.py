@@ -89,6 +89,7 @@ from .bloom import (  # noqa: F401
     bloom_merge,
     bloom_merge_sharded,
     bloom_store_exists,
+    bloom_store_prune,
     bloom_store_read,
     bloom_store_record,
     bloom_store_write,

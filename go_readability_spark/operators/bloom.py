@@ -261,59 +261,92 @@ def bloom_store_exists(path: str) -> bool:
 
 
 def bloom_store_write(bloom: DataFrame, path: str, n_shards: int,
-                      bits_per_shard: int, k: int) -> None:
-    """Persist a sharded filter + its parameters.  The parameters are
-    part of the filter's identity — probing with different (n_shards,
-    bits_per_shard, k) is silently wrong — so they ride in a meta file
-    the reader validates instead of being re-supplied by every caller.
-    The meta write is LAST: a crash mid-write leaves a store that
-    bloom_store_exists treats as absent, not a half-readable one."""
+                      bits_per_shard: int, k: int) -> dict:
+    """Persist a sharded filter + its parameters as a NEW version.  The
+    parameters are part of the filter's identity — probing with
+    different (n_shards, bits_per_shard, k) is silently wrong — so they
+    ride in a meta file the reader validates instead of being
+    re-supplied by every caller.
+
+    Versioned layout: each write lands in filter-{version:06d}.parquet
+    and the meta (written LAST, atomically) points at it — a merge can
+    therefore READ the current version while WRITING the next one, and
+    any still-live plan over the previous version keeps its files (an
+    in-place overwrite broke exactly that: a plan derived from
+    filter_unseen_sharded failed with FILE_NOT_EXIST after the
+    subsequent record pass replaced the parquet under it).  A crash
+    mid-write leaves the meta on the old version — the store never
+    half-reads.  Returns the meta written."""
     import json
     import os
 
-    bloom.write.mode("overwrite").parquet(os.path.join(path, "filter.parquet"))
-    meta = {"n_shards": n_shards, "bits_per_shard": bits_per_shard, "k": k}
+    version = 1
+    if bloom_store_exists(path):
+        with open(os.path.join(path, BLOOM_META)) as fh:
+            version = json.load(fh).get("version", 0) + 1
+    bloom.write.mode("overwrite").parquet(
+        os.path.join(path, f"filter-{version:06d}.parquet"))
+    meta = {"n_shards": n_shards, "bits_per_shard": bits_per_shard, "k": k,
+            "version": version}
     tmp = os.path.join(path, f".{BLOOM_META}.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, BLOOM_META))
+    return meta
 
 
 def bloom_store_read(spark, path: str) -> tuple[DataFrame, dict]:
-    """(filter relation, {n_shards, bits_per_shard, k}) from a store."""
+    """(filter relation, {n_shards, bits_per_shard, k, version}) for the
+    store's CURRENT version."""
     import json
     import os
 
     with open(os.path.join(path, BLOOM_META)) as fh:
         meta = json.load(fh)
-    return spark.read.parquet(os.path.join(path, "filter.parquet")), meta
+    return spark.read.parquet(os.path.join(
+        path, f"filter-{meta['version']:06d}.parquet")), meta
+
+
+def bloom_store_prune(path: str, keep: int = 2) -> list[str]:
+    """Delete filter versions older than the newest `keep` (default 2:
+    current + immediately-prior, so a reader that grabbed the previous
+    version just before a record pass still has its files).  Returns the
+    removed directory names."""
+    import glob
+    import os
+    import shutil
+
+    versions = sorted(glob.glob(os.path.join(path, "filter-*.parquet")))
+    doomed = versions[:-keep] if keep > 0 else versions
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)
+    return [os.path.basename(d) for d in doomed]
 
 
 def bloom_store_record(spark, path: str, df: DataFrame,
                        key_col: str = "url", n_shards: int = 16,
-                       bits_per_shard: int = 1 << 22, k: int = 5) -> dict:
+                       bits_per_shard: int = 1 << 22, k: int = 5,
+                       prune_keep: int = 2) -> dict:
     """Merge df's keys into the store (creating it if absent): the
     incremental-crawl composition — each fetched segment's urls enter
     the filter, and the next planning run's `filter_unseen_sharded`
     against the store skips them.  An existing store's parameters WIN
-    over the arguments (they are the filter's identity).  Returns the
-    effective parameters."""
+    over the arguments (they are the filter's identity).  The merge
+    writes a NEW version (live readers of older versions keep their
+    files; versions beyond the newest `prune_keep` are then deleted).
+    Returns the effective meta."""
     if bloom_store_exists(path):
         old, meta = bloom_store_read(spark, path)
         new = bloom_build_sharded(df, key_col, meta["n_shards"],
                                   meta["bits_per_shard"], meta["k"])
-        # materialize the merge BEFORE the overwrite: the new filter's
-        # plan reads the parquet being replaced
-        merged = bloom_merge_sharded(old, new).cache()
-        merged.count()
-        bloom_store_write(merged, path, **meta)
-        merged.unpersist()
+        params = {kk: meta[kk] for kk in ("n_shards", "bits_per_shard", "k")}
+        meta = bloom_store_write(bloom_merge_sharded(old, new), path,
+                                 **params)
+        bloom_store_prune(path, keep=prune_keep)
         return meta
-    meta = {"n_shards": n_shards, "bits_per_shard": bits_per_shard, "k": k}
-    bloom_store_write(
+    return bloom_store_write(
         bloom_build_sharded(df, key_col, n_shards, bits_per_shard, k),
-        path, **meta)
-    return meta
+        path, n_shards=n_shards, bits_per_shard=bits_per_shard, k=k)
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:

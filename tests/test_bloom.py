@@ -267,16 +267,18 @@ def test_bloom_store_roundtrip_and_record(spark, tmp_path, seen_urls):
     meta = bloom_store_record(spark, path, df1, n_shards=N_SHARDS,
                               bits_per_shard=N_BITS, k=K)
     assert bloom_store_exists(path)
-    assert meta == {"n_shards": N_SHARDS, "bits_per_shard": N_BITS, "k": K}
+    assert meta == {"n_shards": N_SHARDS, "bits_per_shard": N_BITS, "k": K,
+                    "version": 1}
 
     # second record with DIFFERENT (ignored) params merges into the store
+    # as a NEW version (live readers of v1 keep their files)
     df2 = spark.createDataFrame([(u,) for u in seen_urls[200:]], "url string")
     meta2 = bloom_store_record(spark, path, df2, n_shards=99,
                                bits_per_shard=1 << 20, k=2)
-    assert meta2 == meta  # store params win
+    assert meta2 == {**meta, "version": 2}  # store params win
 
     stored, got_meta = bloom_store_read(spark, path)
-    assert got_meta == meta
+    assert got_meta == meta2
     union = bloom_build_sharded(
         spark.createDataFrame([(u,) for u in seen_urls], "url string"),
         n_shards=N_SHARDS, bits_per_shard=N_BITS, k=K)
@@ -326,3 +328,47 @@ def test_sharded_random_config_fuzz(spark):
                 exp_bits.get((s, pos // 64), 0) >> (pos % 64) & 1
                 for pos in _py_positions(u, n_bits, k))
             assert verdicts[u] == expect, (trial, u)
+
+
+def test_bloom_store_versioning_keeps_live_reader(spark, tmp_path,
+                                                  seen_urls):
+    """A record pass must not yank files out from under a live reader:
+    each merge writes a NEW version and prune keeps the previous one, so
+    a plan built over the pre-record filter still evaluates (the
+    in-place overwrite broke exactly this with FILE_NOT_EXIST)."""
+    import glob
+    import os
+
+    from go_readability_spark.operators.bloom import (
+        bloom_store_read,
+        bloom_store_record,
+        filter_unseen_sharded,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(u,) for u in seen_urls[:100]], "url string")
+    bloom_store_record(spark, path, df1, n_shards=N_SHARDS,
+                       bits_per_shard=N_BITS, k=K)
+
+    filt_v1, meta = bloom_store_read(spark, path)  # live reader of v1
+    probe = spark.createDataFrame(
+        [(u,) for u in seen_urls[:100]]
+        + [("https://newz.example.net/q",)], "url string")
+    derived = filter_unseen_sharded(
+        probe, filt_v1, n_shards=meta["n_shards"],
+        bits_per_shard=meta["bits_per_shard"], k=meta["k"])
+
+    # record MORE keys (v2) — the derived plan over v1 must still run
+    df2 = spark.createDataFrame([(u,) for u in seen_urls[100:200]],
+                                "url string")
+    bloom_store_record(spark, path, df2)
+    assert derived.count() == 1  # v1 files intact, verdicts unchanged
+
+    # a third record prunes v1 (keep=2): disk holds exactly v2+v3
+    bloom_store_record(spark, path, spark.createDataFrame(
+        [("https://extra.example.org/1",)], "url string"))
+    versions = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(path, "filter-*.parquet")))
+    assert versions == ["filter-000002.parquet", "filter-000003.parquet"]
+    _, meta3 = bloom_store_read(spark, path)
+    assert meta3["version"] == 3
