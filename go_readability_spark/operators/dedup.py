@@ -296,6 +296,7 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
+    scope=None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification
     of the (small) candidate set.
@@ -310,7 +311,7 @@ def minhash_dedup_pairs(
     return _minhash_pairs_impl(
         df, id_col, text_col, n, num_hashes, num_bands, threshold,
         hash_fn=_minhash_fn_xxhash64, bucket_fn=_band_bucket_xxhash64,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, scope=scope,
     )
 
 
@@ -340,7 +341,7 @@ def minhash_dedup_pairs_md5(
 
 def _minhash_pairs_impl(
     df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn,
-    max_bucket_size=10_000,
+    max_bucket_size=10_000, scope=None,
 ) -> DataFrame:
     if num_bands < 1 or num_hashes % num_bands != 0:
         # num_bands > num_hashes would give rows_per_band = 0: every band
@@ -358,11 +359,13 @@ def _minhash_pairs_impl(
     # pass (the pipeline's dominant per-row cost) would run three times.
     # (At 10^12 scale both this and the signatures are checkpointed
     # tables, not caches.)
-    shingled = shingle_table(df, id_col, text_col, n).persist()
+    from ..cache import persist_scoped
+
+    shingled = persist_scoped(shingle_table(df, id_col, text_col, n), scope)
     # persist signatures too: the banding self-join references them twice
-    sigs = shingled.select(
+    sigs = persist_scoped(shingled.select(
         "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn).alias("signature")
-    ).persist()
+    ), scope)
     candidates = minhash_lsh_candidates(
         sigs, num_bands, rows_per_band, bucket_fn, max_bucket_size
     )
@@ -485,7 +488,15 @@ def minhash_probe(
     feeds both the banding and the verify join).  A long-lived scheduler
     probing many segments should pass a CacheScope and release it after
     materialising the result; with no scope the persist is left to the
-    caller/session (historical behaviour)."""
+    caller/session (historical behaviour).
+
+    ORDERING HAZARD (lazy evaluation): a plan derived from this probe —
+    e.g. `segment.join(doomed, left_anti)` — READS the stored index
+    relations.  MATERIALIZE that plan (write the kept docs) BEFORE
+    appending the segment's own banding to the same index storage: a
+    re-evaluation after the append would find every segment doc in the
+    index (jaccard 1.0 against itself) and doom the whole segment.  See
+    examples/incremental_crawl_pipeline.py for the correct order."""
     from ..cache import persist_scoped
 
     if num_bands < 1 or num_hashes % num_bands != 0:

@@ -178,7 +178,8 @@ def curate_corpus(
 
     # near dedup: drop the lexicographically larger side of each verified pair
     docs = exact_unique.select(F.col("url").alias("doc_id"), F.col("text_content").alias("text"))
-    pairs = minhash_dedup_pairs(docs, threshold=near_dup_threshold)
+    pairs = minhash_dedup_pairs(docs, threshold=near_dup_threshold,
+                                scope=scope)
     drop = pairs.select(F.greatest("id_a", "id_b").alias("url")).distinct()
     curated = exact_unique.join(drop, "url", "left_anti")
 

@@ -190,5 +190,6 @@ def test_cache_scope_releases_curation_cache(spark):
     with CacheScope() as scope:
         out = curate_corpus(pages, num_partitions=4, scope=scope).collect()
         assert out
-        assert len(scope) == 1
+        # enriched boundary + the near-dedup shingle/signature internals
+        assert len(scope) == 3
     assert jsc.getPersistentRDDs().size() == base
