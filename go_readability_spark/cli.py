@@ -437,11 +437,18 @@ def cmd_crawl_fetch(args) -> int:
             what = "pages"
         n = spark.read.parquet(args.output).count()
         if getattr(args, "record_seen_bloom", None):
+            # record the PLAN's urls — everything this run ATTEMPTED —
+            # not the output's: with --readerable-gate the output lacks
+            # the gated-out pages (fetched, deliberately rejected — they
+            # must not be refetched next segment), and byte-level fetch
+            # failures are permanent in the WARC-archive model, so
+            # "attempted" is the correct seen-set
             from .operators.bloom import bloom_store_record
 
-            fetched = spark.read.parquet(args.output).select("url").distinct()
-            meta = bloom_store_record(spark, args.record_seen_bloom, fetched)
-            print(f"seen-bloom: recorded {fetched.count()} urls "
+            attempted = plan.select("url").distinct()
+            meta = bloom_store_record(spark, args.record_seen_bloom,
+                                      attempted)
+            print(f"seen-bloom: recorded {attempted.count()} urls "
                   f"({meta['n_shards']} shards) -> {args.record_seen_bloom}",
                   file=sys.stderr)
         print(f"crawl fetch: {n} {what} -> {args.output}")

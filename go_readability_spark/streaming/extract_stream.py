@@ -63,6 +63,7 @@ def run_discovery_stream(
     max_files_per_trigger: int = 4,
     trigger_once: bool = True,
     readerable_gate: bool = False,
+    seen_bloom_dir: str | None = None,
 ):
     """Continuous-crawl discovery: CDXJ index shards landing in
     `index_dir` stream through selection -> (optional robots gate) ->
@@ -78,6 +79,16 @@ def run_discovery_stream(
     Gated pages are dropped entirely (they would exit curation at the
     `readerable` gate anyway); leave the flag off to keep the
     every-page extraction record.
+
+    `seen_bloom_dir` points at a persistent sharded Bloom store
+    (operators/bloom.py bloom_store_*): each micro-batch drops urls the
+    store marks maybe-seen BEFORE fetching, and records its own
+    (robots-allowed) plan urls AFTER writing the batch output — the
+    streaming composition of `crawl-plan --seen-bloom` / `crawl-fetch
+    --record-seen-bloom`.  "Attempted" is the recorded set (see the CLI
+    rationale); re-recording on a replayed batch is a Bloom-OR no-op,
+    so the sink stays idempotent, and the versioned store keeps a
+    concurrent reader's files alive.
 
     Each micro-batch OVERWRITES its own `output_dir/batch=<id>`
     partition, so a retried batch is idempotent — the foreachBatch
@@ -99,11 +110,24 @@ def run_discovery_stream(
     )
 
     def sink(batch_df, batch_id):
+        sess = batch_df.sparkSession
         plan = cdx_fetch_plan(parse_cdxj(batch_df))
         if robots is not None:
             from ..operators.robots import filter_by_robots, robots_rules
 
             plan = filter_by_robots(plan, robots_rules(robots), agent=agent)
+        if seen_bloom_dir is not None:
+            from ..operators.bloom import (
+                bloom_store_exists,
+                bloom_store_read,
+                filter_unseen_sharded,
+            )
+
+            if bloom_store_exists(seen_bloom_dir):
+                filt, meta = bloom_store_read(sess, seen_bloom_dir)
+                plan = filter_unseen_sharded(
+                    plan, filt, key_col="url", n_shards=meta["n_shards"],
+                    bits_per_shard=meta["bits_per_shard"], k=meta["k"])
         pages = pages_from_fetch_plan(plan, warc_base_dir)
         if readerable_gate:
             from pyspark.sql import functions as F
@@ -115,6 +139,11 @@ def run_discovery_stream(
             .mapInPandas(make_extractor(None), schema=ARTICLES_SCHEMA)
         arts.write.mode("overwrite").parquet(
             f"{output_dir}/batch={batch_id}")
+        if seen_bloom_dir is not None:
+            from ..operators.bloom import bloom_store_record
+
+            bloom_store_record(sess, seen_bloom_dir,
+                               plan.select("url").distinct())
 
     writer = (
         lines.writeStream.foreachBatch(sink)

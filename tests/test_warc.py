@@ -666,3 +666,41 @@ def test_discovery_stream_readerable_gate(spark, tmp_path):
     got = spark.read.parquet(out)
     assert {r.url for r in got.collect()} == {"http://example.org/mix/0"}
     assert got.where("error is null").count() == 1
+
+
+def test_discovery_stream_seen_bloom(spark, tmp_path):
+    """run_discovery_stream(seen_bloom_dir=...): a later shard that
+    re-lists already-attempted urls fetches only the genuinely new ones;
+    the store records each batch's attempted plan urls."""
+    from go_readability_spark.streaming import run_discovery_stream
+
+    warc_dir = tmp_path / "warc"
+    idx_dir = tmp_path / "index"
+    warc_dir.mkdir()
+    idx_dir.mkdir()
+    out = str(tmp_path / "articles")
+    ckpt = str(tmp_path / "ckpt")
+    seen = str(tmp_path / "seen")
+
+    lines1 = _mk_indexed_archives(warc_dir, 1, 3)
+    (idx_dir / "shard1.cdxj").write_text("\n".join(lines1) + "\n")
+    q = run_discovery_stream(spark, str(idx_dir), str(warc_dir), out, ckpt,
+                             seen_bloom_dir=seen)
+    q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 3
+
+    # shard 2 re-lists shard 1's captures plus two new pages
+    lines2 = _mk_indexed_archives(warc_dir, 2, 2)
+    (idx_dir / "shard2.cdxj").write_text(
+        "\n".join(lines1 + lines2) + "\n")
+    q = run_discovery_stream(spark, str(idx_dir), str(warc_dir), out, ckpt,
+                             seen_bloom_dir=seen)
+    q.awaitTermination(180)
+    rows = [r.url for r in spark.read.parquet(out).collect()]
+    assert sorted(rows).count("http://example.org/seg1/0") == 1  # no refetch
+    assert len(rows) == 5
+    import os as _os
+
+    batch2 = [d for d in sorted(_os.listdir(out)) if d.startswith("batch=")][-1]
+    urls2 = {r.url for r in spark.read.parquet(f"{out}/{batch2}").collect()}
+    assert urls2 == {"http://example.org/seg2/0", "http://example.org/seg2/1"}
