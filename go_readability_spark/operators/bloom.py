@@ -276,7 +276,9 @@ def bloom_store_write(bloom: DataFrame, path: str, n_shards: int,
     filter_unseen_sharded failed with FILE_NOT_EXIST after the
     subsequent record pass replaced the parquet under it).  A crash
     mid-write leaves the meta on the old version — the store never
-    half-reads.  Returns the meta written."""
+    half-reads.  SINGLE WRITER assumed (a crawl scheduler's record
+    passes are sequential); concurrent writers could race the same
+    version directory.  Returns the meta written."""
     import json
     import os
 

@@ -158,7 +158,10 @@ def run_near_dedup_stream(
     batch), stops the query, and returns it already terminated.  A
     scheduled pipeline re-invokes the runner on its cadence; idle groups
     past `state_ttl_ms` are evicted by each run's data batches and final
-    sweep.  `max_run_seconds` bounds the wait if the source misbehaves."""
+    sweep.  `max_run_seconds` bounds the wait if the source misbehaves;
+    hitting it stops BETWEEN micro-batches, so nothing is lost — the next
+    run resumes from the streaming checkpoint (foreachBatch is keyed by
+    batch id).  Raise it for backlogs that legitimately need longer."""
     import time as _time
 
     votes = streaming_simhash_votes(
