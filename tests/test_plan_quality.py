@@ -299,3 +299,18 @@ def test_revisit_resolution_join_is_digest_equi(spark):
     assert "CartesianProduct" not in plan, plan
     assert "min_by" in plan or "partial_min_by" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bloom_sharded_build_single_exchange_partial_agg(spark):
+    """bloom_build_sharded is ONE shuffle (the (shard, word) groupBy)
+    with a map-side partial bit_or collapsing per-key probe fan-out
+    before the exchange, and no Python anywhere — positions are md5/conv
+    column arithmetic."""
+    from go_readability_spark.operators.bloom import bloom_build_sharded
+
+    df = spark.range(500).selectExpr("concat('https://h', id) AS url")
+    plan = _plan(bloom_build_sharded(df, n_shards=8,
+                                     bits_per_shard=1 << 14, k=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final bit_or
