@@ -210,7 +210,7 @@ def phase_bloom(args):
 
     spark = build_session(master=args.master)
     n = args.n_docs
-    n_shards, bits, k = 64, 1 << 21, 5
+    n_shards, bits, k = args.bloom_shards, args.bloom_bits, 5
 
     def seen_url(idc):
         return F.concat(F.lit("https://h"), (idc % 997).cast("string"),
@@ -361,6 +361,8 @@ def build_parser():
     p.add_argument("--partitions", type=int, default=1024)
     p.add_argument("--atomic-sink", action="store_true")
     p.add_argument("--partition-by", default="")
+    p.add_argument("--bloom-shards", type=int, default=64)
+    p.add_argument("--bloom-bits", type=int, default=1 << 21)
     p.add_argument("--master", default=None)
     return p
 
