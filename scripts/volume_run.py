@@ -258,6 +258,92 @@ def phase_bloom(args):
     return 1 if false_neg else 0
 
 
+def phase_compact(args):
+    """Incremental near-dedup compaction at volume: two index increments
+    each keep a planted template flood UNDER the cap, their union
+    crosses it, and probe fan-out explodes until compact_index re-prunes
+    — the exact cross-increment gap VERDICT r5 flagged, measured at
+    --n-docs corpus scale (default 1M).
+
+    Prints candidate fan-out and probe wall time before/after
+    compaction; the post-compaction probe must return ZERO flood pairs
+    while non-flood near-dups survive."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import compact_index, minhash_probe
+    from go_readability_spark.operators.dedup import minhash_index
+    from go_readability_spark.plans import build_session
+
+    spark = build_session(master=args.master)
+    n = args.n_docs
+    flood_n = 40_000          # 20k per increment, cap 30k: union 40k > cap
+    cap = 30_000
+    kw = dict(n=3, num_hashes=32, num_bands=8, max_bucket_size=cap)
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu")
+    flood_text = F.lit("identical template boilerplate page body " * 6)
+    # per-doc distinct text: rotate a token window + splice the id in
+    normal_text = F.concat(
+        F.lit(words), F.lit(" doc"), F.col("id").cast("string"),
+        F.lit(" tail"), (F.col("id") % 997).cast("string"))
+    base = spark.range(n, numPartitions=args.partitions).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < flood_n, flood_text)
+        .otherwise(normal_text).alias("text"))
+
+    inc1 = base.where(F.col("doc_id") % 2 == 0)
+    inc2 = base.where(F.col("doc_id") % 2 == 1)
+    t0 = time.time()
+    b1, s1 = minhash_index(inc1, **kw)
+    b2, s2 = minhash_index(inc2, **kw)
+    b1.unionByName(b2).write.mode("overwrite").parquet(f"{args.workdir}/cb")
+    s1.unionByName(s2).write.mode("overwrite").parquet(f"{args.workdir}/cs")
+    t_index = time.time() - t0
+    buckets = spark.read.parquet(f"{args.workdir}/cb")
+    shingles = spark.read.parquet(f"{args.workdir}/cs")
+
+    # probe segment: 100 flood re-crawls + 900 near-dups of normal docs
+    probe_docs = spark.range(1000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("id") < 100, flood_text).otherwise(F.concat(
+            F.lit(words), F.lit(" doc"),
+            (F.col("id") + flood_n).cast("string"),
+            F.lit(" tail"), ((F.col("id") + flood_n) % 997).cast("string"),
+            F.lit(" extra"))).alias("text"))
+
+    t0 = time.time()
+    pre = minhash_probe(probe_docs, buckets, shingles, threshold=0.5, **kw)
+    pre_pairs = pre.count()
+    t_pre = time.time() - t0
+
+    t0 = time.time()
+    cb, cs = compact_index(buckets, shingles, max_bucket_size=cap)
+    cb.write.mode("overwrite").parquet(f"{args.workdir}/cb2")
+    cs.write.mode("overwrite").parquet(f"{args.workdir}/cs2")
+    t_compact = time.time() - t0
+
+    t0 = time.time()
+    post = minhash_probe(
+        probe_docs, spark.read.parquet(f"{args.workdir}/cb2"),
+        spark.read.parquet(f"{args.workdir}/cs2"), threshold=0.5, **kw)
+    post_pairs = post.count()
+    post_flood = post.where(F.col("id_corpus") < flood_n).count()
+    t_post = time.time() - t0
+
+    print(json.dumps({
+        "phase": "compact", "docs": n, "flood_docs": flood_n, "cap": cap,
+        "index_sec": round(t_index, 1),
+        "probe_pre_sec": round(t_pre, 1), "pre_pairs": pre_pairs,
+        "compact_sec": round(t_compact, 1),
+        "probe_post_sec": round(t_post, 1), "post_pairs": post_pairs,
+        "post_flood_pairs": post_flood,
+    }))
+    spark.stop()
+    return 1 if post_flood else 0
+
+
 def phase_warcgen(args):
     """Distributed WARC+CDXJ corpus: every generator partition writes ONE
     real .warc.gz archive (one gzip member per record, offsets measured
@@ -351,7 +437,7 @@ def phase_crawlfetch(args):
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("phase", choices=["gen", "extract", "verify", "crawl",
-                                     "warcgen", "crawlfetch", "bloom"])
+                                     "warcgen", "crawlfetch", "bloom", "compact"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--n-docs", type=int, default=10_000_000)
     p.add_argument("--size-scale", type=float, default=0.5)
@@ -381,5 +467,7 @@ if __name__ == "__main__":
         raise SystemExit(phase_crawlfetch(a))
     elif a.phase == "bloom":
         raise SystemExit(phase_bloom(a))
+    elif a.phase == "compact":
+        raise SystemExit(phase_compact(a))
     else:
         raise SystemExit(phase_verify(a))
