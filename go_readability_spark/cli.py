@@ -394,63 +394,27 @@ def cmd_crawl_fetch(args) -> int:
     gzip members under --warc-dir (sources/warc.py pages_from_fetch_plan)
     into the pages shape — the stage that closes CDX -> robots ->
     frontier -> FETCH -> extract.  With --extract the fetched pages run
-    straight through the salted extraction plan."""
+    straight through the salted extraction plan; with --segments K the
+    worklist runs as K archive-aligned sub-jobs so no single shuffle
+    exceeds ~1/K of the corpus (plans/crawl.py)."""
     from .plans import build_session, ship_package
-    from .sources.warc import pages_from_fetch_plan
+    from .plans.crawl import run_crawl_fetch
 
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
         plan = spark.read.parquet(args.plan)
-        pages = pages_from_fetch_plan(plan, args.warc_dir)
-        if getattr(args, "readerable_gate", False):
-            # cheap Check (parser-check.go fast path) between fetch and
-            # the full pipeline: most real-crawl pages fail it, and it
-            # costs a parse + accumulator instead of candidate scoring
-            from pyspark.sql import functions as F
-
-            from .functions.extraction_udfs import readerable
-
-            pages = pages.where(readerable(F.col("html")))
-        if args.extract and args.atomic_sink:
-            # the resumable leg: bucket-granular atomic publishes, so a
-            # killed fetch+extract restarts from the checkpoint table
-            from .plans import run_extraction_job_atomic
-
-            n = run_extraction_job_atomic(
-                pages,
-                output_dir=args.output,
-                checkpoint_dir=args.checkpoint,
-                n_buckets=args.buckets,
-            )
-            print(f"atomic sink: {n} buckets written this run",
-                  file=sys.stderr)
-            what = "articles"
-        elif args.extract:
-            from .plans.extract import extract_pages
-
-            extract_pages(pages, n_buckets=args.buckets).write.mode(
-                "overwrite").parquet(args.output)
-            what = "articles"
-        else:
-            pages.write.mode("overwrite").parquet(args.output)
-            what = "pages"
-        n = spark.read.parquet(args.output).count()
-        if getattr(args, "record_seen_bloom", None):
-            # record the PLAN's urls — everything this run ATTEMPTED —
-            # not the output's: with --readerable-gate the output lacks
-            # the gated-out pages (fetched, deliberately rejected — they
-            # must not be refetched next segment), and byte-level fetch
-            # failures are permanent in the WARC-archive model, so
-            # "attempted" is the correct seen-set
-            from .operators.bloom import bloom_store_record
-
-            attempted = plan.select("url").distinct()
-            meta = bloom_store_record(spark, args.record_seen_bloom,
-                                      attempted)
-            print(f"seen-bloom: recorded {attempted.count()} urls "
-                  f"({meta['n_shards']} shards) -> {args.record_seen_bloom}",
-                  file=sys.stderr)
+        n = run_crawl_fetch(
+            spark, plan, args.warc_dir, args.output,
+            extract=args.extract,
+            readerable_gate=getattr(args, "readerable_gate", False),
+            atomic_sink=args.atomic_sink,
+            checkpoint_dir=args.checkpoint,
+            n_buckets=args.buckets,
+            record_seen_bloom=getattr(args, "record_seen_bloom", None),
+            n_segments=args.segments,
+        )
+        what = "articles" if args.extract else "pages"
         print(f"crawl fetch: {n} {what} -> {args.output}")
     finally:
         spark.stop()
@@ -591,6 +555,11 @@ def main(argv=None) -> int:
                     help="merge this run's fetched urls into a sharded "
                          "Bloom store dir (consulted by crawl-plan "
                          "--seen-bloom on the next segment)")
+    cf.add_argument("--segments", type=int, default=1,
+                    help="split the worklist into N archive-aligned "
+                         "sub-jobs run sequentially (output under "
+                         "seg=i/ dirs, per-segment checkpoints): bounds "
+                         "peak shuffle scratch at ~1/N of the corpus")
     cf.add_argument("--master", default=None)
     cf.set_defaults(fn=cmd_crawl_fetch)
 
