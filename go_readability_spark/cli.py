@@ -209,6 +209,8 @@ def cmd_extract(args) -> int:
     from .plans import build_session, run_extraction_job, ship_package
     from .plans.schema import PAGES_SCHEMA
 
+    if getattr(args, "segments", 1) > 1:
+        return _cmd_extract_segmented(args)
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
@@ -253,6 +255,77 @@ def cmd_extract(args) -> int:
                 verify_output=not args.no_verify_output,
                 partition_by=tuple(args.partition_by.split(",")) if args.partition_by else None,
             )
+    finally:
+        spark.stop()
+    return 0
+
+
+def _cmd_extract_segmented(args) -> int:
+    """extract --segments K: file-aligned sub-jobs (plans/crawl.py).
+
+    Each segment reads only its own input files (scan AND shuffle are
+    ~1/K) and owns output/seg=i + checkpoint/seg=i, so a kill anywhere
+    restarts the loop with completed segments no-oping via their own
+    checkpoints. Refused for --resolve-revisits (digest resolution is
+    corpus-global: a revisit's stored payload can live in another
+    segment's archive) and for Iceberg inputs (split on snapshot
+    manifests instead)."""
+    import os
+
+    from .plans import build_session, run_extraction_job, ship_package
+    from .plans.crawl import _release_job_state, segment_input_files
+    from .plans.schema import PAGES_SCHEMA
+
+    if args.input_format == "iceberg":
+        raise SystemExit(
+            "--segments with Iceberg input: split on the table's snapshot "
+            "manifests (per-segment file lists) rather than a directory "
+            "listing; directory segmentation is for parquet/warc dirs")
+    if getattr(args, "resolve_revisits", False):
+        raise SystemExit(
+            "--segments cannot be combined with --resolve-revisits: "
+            "revisit records resolve by digest across the WHOLE corpus, "
+            "and a segment cannot see payloads stored in another "
+            "segment's archives")
+    sufs = ((".warc", ".warc.gz") if args.input_format == "warc"
+            else (".parquet",))
+    spark = build_session(master=args.master)
+    try:
+        ship_package(spark)
+        groups = segment_input_files(args.input, args.segments, sufs)
+        for i, files in enumerate(groups):
+            if not files:
+                continue
+            if args.input_format == "warc":
+                from .sources.warc import pages_from_warc
+
+                pages = pages_from_warc(
+                    spark, files, num_partitions=args.partitions)
+            else:
+                pages = (spark.read.option("basePath", args.input)
+                         .schema(PAGES_SCHEMA).parquet(*files))
+            seg_out = os.path.join(args.output, f"seg={i}")
+            seg_ckpt = (os.path.join(args.checkpoint, f"seg={i}")
+                        if args.checkpoint else None)
+            if args.atomic_sink:
+                from .plans import run_extraction_job_atomic
+
+                n = run_extraction_job_atomic(
+                    pages, output_dir=seg_out, checkpoint_dir=seg_ckpt,
+                    n_buckets=args.buckets, num_partitions=args.partitions,
+                    resume=not args.no_resume)
+                print(f"atomic sink: {n} buckets written this run "
+                      f"(seg {i}/{len(groups)}, {len(files)} files)",
+                      file=sys.stderr)
+            else:
+                run_extraction_job(
+                    pages, output_dir=seg_out, checkpoint_dir=seg_ckpt,
+                    n_buckets=args.buckets, num_partitions=args.partitions,
+                    resume=not args.no_resume,
+                    verify_output=not args.no_verify_output,
+                    partition_by=(tuple(args.partition_by.split(","))
+                                  if args.partition_by else None))
+            _release_job_state(spark)
     finally:
         spark.stop()
     return 0
@@ -466,6 +539,12 @@ def main(argv=None) -> int:
                    help="with --input-format warc: resolve body-less "
                         "revisit records (dedup pointers) to their stored "
                         "payloads by digest before extraction")
+    e.add_argument("--segments", type=int, default=1,
+                   help="split the input into N file-aligned sub-jobs run "
+                        "sequentially (output under seg=i/ dirs, "
+                        "per-segment checkpoints): each segment reads "
+                        "only its own files, bounding scan and shuffle "
+                        "at ~1/N (not valid with --resolve-revisits)")
     e.set_defaults(fn=cmd_extract)
 
     c = sub.add_parser("curate", help="full curation pipeline: extract -> "

@@ -59,6 +59,52 @@ def segment_plan(plan: DataFrame, n_segments: int,
     return [(i, plan.where(seg == i)) for i in range(n_segments)]
 
 
+def segment_input_files(input_dir: str, n_segments: int,
+                        suffixes: tuple[str, ...]) -> list[list[str]]:
+    """File-aligned segmentation for directory inputs (extract --segments).
+
+    The batch extraction job has the same unbounded-shuffle exposure as
+    crawl-fetch: its salt repartition moves the WHOLE input. Splitting by
+    a row-level hash would not help — every segment would still scan every
+    input file. Splitting by FILE prunes perfectly: each segment reads
+    only its own files, so both scan and shuffle are ~1/K.
+
+    Assignment is per-file — ``md5(relative_path) mod K`` — not
+    list-positional, so a file's segment never depends on what else is in
+    the listing: re-running after new files landed in the input dir
+    leaves every already-checkpointed file in the segment whose
+    checkpoint covers it. Empty groups are possible (and fine) for tiny
+    inputs. Local filesystems only: on a cluster the file manifest comes
+    from the table format (Iceberg snapshot manifests give this split for
+    free); scheme-qualified URIs are rejected rather than mis-listed.
+    """
+    import glob as _glob
+    import hashlib
+
+    if "://" in input_dir and not input_dir.startswith("file://"):
+        raise ValueError(
+            "segment_input_files enumerates local paths only; for remote "
+            "inputs derive per-segment manifests from the table format "
+            "(e.g. Iceberg snapshot manifests)")
+    root = input_dir[len("file://"):] if input_dir.startswith("file://") \
+        else input_dir
+    groups: list[list[str]] = [[] for _ in range(n_segments)]
+    names = sorted(
+        p for p in _glob.glob(os.path.join(root, "**"), recursive=True)
+        if os.path.isfile(p) and p.endswith(suffixes)
+        and not os.path.basename(p).startswith((".", "_"))
+        and os.sep + "_temporary" + os.sep not in p
+    )
+    if not names and os.path.isfile(root) and root.endswith(suffixes):
+        names = [root]
+    for p in names:
+        rel = os.path.relpath(p, root)
+        h = int.from_bytes(
+            hashlib.md5(rel.encode("utf-8")).digest()[:8], "big")
+        groups[h % n_segments].append(p)
+    return groups
+
+
 def _release_job_state(spark) -> None:
     """Nudge shuffle-file cleanup between sequential sub-jobs.
 

@@ -337,9 +337,12 @@ def write_wet(records: list[tuple[str, datetime, str]], gz: bool = True) -> byte
 
 
 def pages_from_warc(
-    spark, path: str, num_partitions: int | None = None, strict: bool = False
+    spark, path: str | list[str], num_partitions: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
-    """Read .warc/.warc.gz archives under `path` into the pages shape.
+    """Read .warc/.warc.gz archives under `path` (a directory, or an
+    explicit archive list — the file-aligned segmentation path,
+    plans/crawl.py segment_input_files) into the pages shape.
     One archive file = one parse unit; records stream out as Arrow
     batches.
 

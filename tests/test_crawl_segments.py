@@ -117,6 +117,104 @@ def test_segmented_rerun_is_noop_resume(spark, tmp_path):
     assert urls.where(F.col("count") > 1).count() == 0
 
 
+def test_segment_input_files_per_file_stable(tmp_path):
+    """A file's segment depends only on its own relative path — adding
+    files to the input dir never reassigns already-checkpointed ones
+    (the property that keeps per-segment resume sound on a growing dir)."""
+    from go_readability_spark.plans.crawl import segment_input_files
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    for i in range(8):
+        (d / f"part-{i:05d}.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")  # commit markers never enter a group
+    before = {p: i
+              for i, grp in enumerate(
+                  segment_input_files(str(d), 3, (".parquet",)))
+              for p in grp}
+    assert len(before) == 8
+    for i in range(8, 12):
+        (d / f"part-{i:05d}.parquet").write_bytes(b"x")
+    after = {p: i
+             for i, grp in enumerate(
+                 segment_input_files(str(d), 3, (".parquet",)))
+             for p in grp}
+    assert len(after) == 12
+    assert all(after[p] == s for p, s in before.items())
+    try:
+        segment_input_files("s3a://bucket/pages", 3, (".parquet",))
+        raise AssertionError("remote URI must be rejected")
+    except ValueError:
+        pass
+
+
+def test_extract_segments_parquet_matches_flat(spark, tmp_path):
+    """extract --segments 2 over a multi-file pages parquet reunites
+    identical to the unsegmented job; rerun is a checkpointed no-op."""
+    from go_readability_spark.sources import synth_pages_distributed
+
+    pages_dir = str(tmp_path / "pages")
+    synth_pages_distributed(spark, 40, seed=17, skew=True,
+                            num_partitions=4).write.parquet(pages_dir)
+
+    def run(extra, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "go_readability_spark", "extract",
+             "--input", pages_dir, "--output", out,
+             "--buckets", "4", "--master", "local[2]", "--atomic-sink",
+             *extra],
+            capture_output=True, text=True, timeout=420, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-1500:]
+        return r
+
+    flat_out = str(tmp_path / "flat")
+    run(["--checkpoint", str(tmp_path / "ck_flat")], flat_out)
+    seg_out = str(tmp_path / "segd")
+    run(["--segments", "2", "--checkpoint", str(tmp_path / "ck_seg")],
+        seg_out)
+    cols = ["url", "title", "text_content", "length"]
+    flat = sorted(map(tuple, spark.read.parquet(flat_out)
+                      .select(*cols).collect()))
+    segd_df = spark.read.parquet(seg_out)
+    assert "seg" in segd_df.columns
+    segd = sorted(map(tuple, segd_df.select(*cols).collect()))
+    assert segd == flat and len(flat) == 40
+    # whole-loop rerun: per-segment checkpoints make it a no-op
+    r = run(["--segments", "2", "--checkpoint", str(tmp_path / "ck_seg")],
+            seg_out)
+    assert spark.read.parquet(seg_out).count() == 40
+    assert "0 buckets written" in r.stderr
+
+
+def test_extract_segments_warc_and_revisit_refusal(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    urls = []
+    for a in range(3):
+        url = f"https://example.org/w/{a}"
+        urls.append(url)
+        (d / f"c-{a}.warc.gz").write_bytes(
+            write_warc([(url, datetime(2024, 5, 1), (BODY % a).encode())]))
+    out = str(tmp_path / "arts")
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "extract",
+         "--input", str(d), "--input-format", "warc", "--output", out,
+         "--segments", "2", "--atomic-sink",
+         "--checkpoint", str(tmp_path / "ck"),
+         "--buckets", "2", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert {a.url for a in spark.read.parquet(out).collect()} == set(urls)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "extract",
+         "--input", str(d), "--input-format", "warc", "--output", out,
+         "--segments", "2", "--resolve-revisits", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert r.returncode != 0
+    assert "resolve-revisits" in r.stderr  # corpus-global digests: refused
+
+
 def test_segments_cli_flag(spark, tmp_path):
     d, rows = _make_corpus(tmp_path, n_archives=2, per_archive=2)
     plan_dir = str(tmp_path / "plan")
