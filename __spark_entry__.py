@@ -1139,6 +1139,64 @@ def _q_bloom_sharded(spark, sf_dir):
     return out.select("url", "maybe_seen")
 
 
+def _q_wat_link_edges(spark, sf_dir):
+    """Link graph from a WAT sidecar (sources/wat.py + operators/
+    linkgraph.py edges_from_wat) — Common Crawl's HTML-free route. Each
+    document becomes one REAL single-record WAT blob (write_wat) carrying
+    the SAME planted link set as pages_from_documents_linked's anchor
+    block (raw as-written hrefs, plus an IMG@/src entry the edge route
+    must exclude and the dropped schemes resolve_links must reject); the
+    blobs then go through the real parse path (archive_parser ->
+    wat_bytes_to_link_rows) and resolution. The oracle is the identical
+    arithmetic edge CTE as link_edges — a hash match proves WAT framing,
+    JSON envelope parse, path selection, and href resolution recover
+    exactly the ground-truth edges that HTML regex extraction recovers."""
+    import pandas as _pd
+
+    from go_readability_spark.operators import edges_from_wat
+    from go_readability_spark.sources.warc import archive_parser
+    from go_readability_spark.sources.wat import (
+        WAT_LINKS_SCHEMA,
+        wat_bytes_to_link_rows,
+        write_wat,
+    )
+
+    _ship_package(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+
+    def gen(batches):
+        from datetime import datetime as _dt
+
+        ts = _dt(2025, 1, 1)
+        for pdf in batches:
+            blobs = []
+            for i in pdf["i"]:
+                i = int(i)
+                url = f"https://host{i % 5}.example.org/docs/{i}.html"
+                links = [
+                    ("A@/href",
+                     f"https://host{(i + 1) % 5}.example.org/docs/"
+                     f"{i + 1}.html", "next"),
+                    ("A@/href", f"https://docs.example.org/{i}.html",
+                     "canon"),
+                    ("A@/href", f"/rel/{i * 2}.html", "rel"),
+                    ("A@/href", f"//cdn.example.net/a{i % 3}.html", "cdn"),
+                    ("A@/href", f"p{i + 3}.html", "sib"),
+                    ("A@/href", "#top", "top"),
+                    ("A@/href", "javascript:void(0)", "js"),
+                    ("A@/href", "mailto:x@example.org", "mail"),
+                    ("IMG@/src", f"/img/{i}.png", None),
+                ]
+                blobs.append(write_wat([(url, ts, links, None)]))
+            yield _pd.DataFrame({"content": blobs})
+
+    blobs = docs.mapInPandas(gen, schema="content binary")
+    wat = blobs.mapInPandas(
+        archive_parser(wat_bytes_to_link_rows), schema=WAT_LINKS_SCHEMA)
+    return edges_from_wat(wat)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver correctness snapshot has historically capped
     # at the FIRST 50 entries (CORRECTNESS_r04/r05 both recorded rows 1-50 in
@@ -1213,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_pairs_lsh": _q_embedding_near_pairs_lsh,
         "bloom_sharded": _q_bloom_sharded,
+        "wat_link_edges": _q_wat_link_edges,
     }
 
 
@@ -1666,6 +1725,10 @@ def oracle_sql() -> dict[str, str]:
         **_ann_oracles(),
         **_pinned_output_oracles(),
         "link_edges": _LINK_EDGES_CTE
+        + "\n    SELECT src, dst, src_host, dst_host FROM e",
+        # identical arithmetic truth: the WAT route must recover the same
+        # planted edge set as HTML regex extraction
+        "wat_link_edges": _LINK_EDGES_CTE
         + "\n    SELECT src, dst, src_host, dst_host FROM e",
         "host_graph": _LINK_EDGES_CTE
         + "\n    SELECT src_host, dst_host, n_links FROM g",

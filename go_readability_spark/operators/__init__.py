@@ -54,6 +54,8 @@ from .similarity import (  # noqa: F401
 from .media_probe import probe_image, probe_media_dimensions  # noqa: F401
 from .linkgraph import (  # noqa: F401
     anchor_text_stats,
+    anchor_text_stats_from_wat,
+    edges_from_wat,
     extract_anchor_texts,
     extract_links,
     host_graph,

@@ -136,6 +136,49 @@ def link_edges(pages: DataFrame, url_col: str = "url",
     return resolve_links(extract_links(pages, url_col, html_col))
 
 
+# WAT Links[].path values selecting which link kinds become edges; the
+# default matches extract_links (anchor hrefs only). Common Crawl also
+# emits IMG@/src, LINK@/href, SCRIPT@/src, FORM@/action, ...
+DEFAULT_WAT_PATHS = ("A@/href",)
+
+
+def _wat_exploded(wat: DataFrame, paths: tuple) -> DataFrame:
+    l = F.explode("links").alias("l")
+    e = wat.select(F.col("url").alias("src"), l, "base")
+    return e.where(F.col("l.path").isin(list(paths)))
+
+
+def edges_from_wat(wat: DataFrame,
+                   paths: tuple = DEFAULT_WAT_PATHS) -> DataFrame:
+    """(src, dst, src_host, dst_host) straight from WAT per-page rows
+    (sources/wat.py links_from_wat) — the HTML-free route to the link
+    graph. WAT hrefs are raw (as written), the same contract as
+    extract_links' regex output, so resolve_links applies unchanged and
+    this is differentially tested equal to link_edges over the same
+    corpus (tests/test_wat.py). At crawl scale this drops the scan to
+    ~1/5 the bytes and deletes the regex extraction stage entirely."""
+    picked = _wat_exploded(wat, paths)
+    return resolve_links(
+        picked.select("src", F.col("l.href").alias("href"), "base"))
+
+
+def anchor_text_stats_from_wat(wat: DataFrame,
+                               paths: tuple = DEFAULT_WAT_PATHS,
+                               max_texts: int = 64,
+                               text_subkeys: int = 16) -> DataFrame:
+    """anchor_text_stats from a WAT sidecar: same bounded two-phase
+    aggregation, anchors' inner text taken from Links[].text (whitespace
+    collapsed like extract_anchor_texts renders it; absent text = '')."""
+    picked = _wat_exploded(wat, paths)
+    text = F.trim(F.regexp_replace(
+        F.coalesce(F.col("l.text"), F.lit("")), "\\s+", " "))
+    resolved = resolve_links(
+        picked.select("src", F.col("l.href").alias("href"),
+                      text.alias("text"), "base"),
+        carry=("text",))
+    return _anchor_stats_from_resolved(resolved, max_texts, text_subkeys)
+
+
 # Whole quoted-href anchor element, inner markup included ((?s): anchors
 # may span lines). Non-greedy body stops at the first </a> — nested <a>
 # is invalid HTML and the HTML5 parser would auto-close it the same way.
@@ -214,6 +257,15 @@ def anchor_text_stats(pages: DataFrame, url_col: str = "url",
     rewrites to an expand + two-phase agg, never a buffered set)."""
     at = extract_anchor_texts(pages, url_col, html_col)
     resolved = resolve_links(at, carry=("text",))
+    return _anchor_stats_from_resolved(resolved, max_texts, text_subkeys)
+
+
+def _anchor_stats_from_resolved(resolved: DataFrame, max_texts: int,
+                                text_subkeys: int) -> DataFrame:
+    """Shared aggregation of anchor_text_stats / anchor_text_stats_from_wat
+    over resolved (src, dst, text, ...) edges — the bounded two-phase
+    top-k shape documented above, independent of where the anchors came
+    from (HTML regex extraction or a WAT sidecar)."""
     stats = resolved.groupBy("dst").agg(
         F.count("*").alias("n_anchors"),
         F.countDistinct("src").alias("n_srcs"),

@@ -8,6 +8,11 @@ from .fixtures import (  # noqa: F401
 from .fixture_corpus import fixture_mix_pages, load_fixture_blobs  # noqa: F401
 from .pages_table import read_pages  # noqa: F401
 from .pdf import docs_from_pdf, pdf_roundtrip, pdf_text, write_pdf  # noqa: F401
+from .wat import (  # noqa: F401
+    links_from_wat,
+    wat_bytes_to_link_rows,
+    write_wat,
+)
 from .warc import (  # noqa: F401
     docs_from_wet,
     pages_from_fetch_plan,

@@ -79,7 +79,7 @@ def test_every_query_runs(spark, entry_mod):
     "cdx_fetch_plan", "ranged_fetch", "warc_revisits", "anchor_stats", "frontier_schedule", "mojibake_repair",
     "sitemap_entries", "mojibake_segments", "dsir_weights", "nfc_text",
     "sequence_packing", "sequence_manifest", "shard_stats", "stratified_sample",
-    "global_shuffle", "bloom_sharded",
+    "global_shuffle", "bloom_sharded", "wat_link_edges",
 ])
 def test_oracle_match(spark, entry_mod, name):
     qs = entry_mod.queries()
