@@ -434,10 +434,115 @@ def phase_crawlfetch(args):
     return rc
 
 
+def phase_wat(args):
+    """WAT sidecar at volume: derive the WAT from the pages corpus (the
+    once-per-crawl step Common Crawl performs), then build the host graph
+    TWICE over the same corpus — (a) html -> link_edges regex route,
+    (b) WAT -> edges_from_wat — assert the graphs identical, and report
+    both walls plus the bytes ratio.  Needs `phase gen` output
+    (workdir/pages)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.operators import (
+        edges_from_wat,
+        extract_anchor_texts,
+        host_graph,
+        link_edges,
+    )
+    from go_readability_spark.plans import build_session
+    from go_readability_spark.sources import links_from_wat
+
+    spark = build_session(master=args.master)
+    pages = spark.read.parquet(f"{args.workdir}/pages")
+    wat_dir = os.path.abspath(f"{args.workdir}/wat")
+    os.makedirs(wat_dir, exist_ok=True)
+
+    # --- derivation: group the regex-extracted anchors back per page and
+    # write one .wat.gz per partition (executor-side, no driver data)
+    t0 = time.time()
+    at = extract_anchor_texts(pages)
+    per_page = at.groupBy("src").agg(
+        F.collect_list(F.struct("href", "text")).alias("links"),
+        F.first("base").alias("base"))
+    src = pages.select("url", "warc_ts").join(
+        per_page, pages["url"] == per_page["src"], "left")
+
+    def write_wat_files(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from go_readability_spark.sources.wat import write_wat
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        path = os.path.join(wat_dir, f"part-{pid:05d}.wat.gz")
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                for url, ts, links, base in zip(
+                        pdf["url"], pdf["warc_ts"], pdf["links"],
+                        pdf["base"]):
+                    triples = [] if links is None else [
+                        ("A@/href", li["href"], li["text"]) for li in links]
+                    fh.write(write_wat(
+                        [(url, ts.to_pydatetime(), triples,
+                          None if base is None else base)]))
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    n_pages = src.mapInPandas(
+        write_wat_files, schema="n long").agg(F.sum("n")).collect()[0][0]
+    t_derive = time.time() - t0
+
+    # --- A/B: edges + host graph from html vs from the WAT sidecar.
+    # Edge-set equality is checked by an order-independent distributed
+    # fingerprint (sum of per-edge hashes + count) — the edge relation is
+    # ~15 links/page and must never be collected; the host graph keeps
+    # self-loops so same-host corpora still compare a non-trivial graph.
+    def _route(edges):
+        t0 = time.time()
+        fp = tuple(edges.select(
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+            F.expr("sum(cast(xxhash64(src, dst) as decimal(38,0)))")
+            .alias("s"),
+            F.count("*").alias("n")).collect()[0])
+        g = sorted(map(tuple,
+                       host_graph(edges, keep_self_loops=True).collect()))
+        return fp, g, time.time() - t0
+
+    fp_html, g_html, t_html = _route(link_edges(pages))
+    fp_wat, g_wat, t_wat = _route(
+        edges_from_wat(links_from_wat(spark, wat_dir)))
+    identical = fp_wat == fp_html and g_wat == g_html
+    rows_wat = g_wat
+    n_edges = fp_wat[2]
+
+    def _tree_bytes(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _dd, ff in os.walk(d) for f in ff)
+
+    pages_mb = _tree_bytes(f"{args.workdir}/pages") // (1 << 20)
+    wat_mb = _tree_bytes(wat_dir) // (1 << 20)
+    print(json.dumps({
+        "phase": "wat", "pages": int(n_pages),
+        "derive_sec": round(t_derive, 1),
+        "host_graph_from_html_sec": round(t_html, 1),
+        "host_graph_from_wat_sec": round(t_wat, 1),
+        "graphs_identical": identical,
+        "edges": int(n_edges or 0),
+        "host_graph_rows": len(rows_wat),
+        "pages_mb": pages_mb, "wat_mb": wat_mb,
+        "bytes_ratio": round(pages_mb / max(1, wat_mb), 2),
+        "speedup": round(t_html / max(0.001, t_wat), 2),
+    }))
+    spark.stop()
+    return 0 if identical else 1
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("phase", choices=["gen", "extract", "verify", "crawl",
-                                     "warcgen", "crawlfetch", "bloom", "compact"])
+                                     "warcgen", "crawlfetch", "bloom", "compact",
+                                     "wat"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--n-docs", type=int, default=10_000_000)
     p.add_argument("--size-scale", type=float, default=0.5)
@@ -469,5 +574,7 @@ if __name__ == "__main__":
         raise SystemExit(phase_bloom(a))
     elif a.phase == "compact":
         raise SystemExit(phase_compact(a))
+    elif a.phase == "wat":
+        raise SystemExit(phase_wat(a))
     else:
         raise SystemExit(phase_verify(a))
