@@ -338,6 +338,7 @@ def cmd_curate(args) -> int:
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
+        pre_extracted = args.input_format == "wet"
         if args.input_format == "warc":
             if getattr(args, "resolve_revisits", False):
                 from .operators.revisits import resolve_revisits
@@ -349,12 +350,20 @@ def cmd_curate(args) -> int:
 
                 pages = pages_from_warc(
                     spark, args.input, num_partitions=args.partitions)
+        elif pre_extracted:
+            # Common Crawl's text sidecar: extraction already happened
+            # upstream of the WET writer, so curation starts at the gates
+            from .plans.curate import articles_from_texts
+            from .sources.warc import docs_from_wet
+
+            pages = articles_from_texts(docs_from_wet(spark, args.input))
         else:
             from .sources.pages_table import read_pages
 
             pages = read_pages(spark, args.input, format=args.input_format)
         curated = curate_corpus(
             pages,
+            extract=not pre_extracted,
             min_length=args.min_length,
             min_quality=args.min_quality,
             languages=tuple(args.languages.split(",")) if args.languages else (),
@@ -550,12 +559,18 @@ def main(argv=None) -> int:
     c = sub.add_parser("curate", help="full curation pipeline: extract -> "
                        "quality/lang gates -> exact+near dedup [-> LM gate, "
                        "PII redaction]")
-    c.add_argument("--input", required=True, help="pages parquet or warc dir")
+    c.add_argument("--input", required=True,
+                   help="pages parquet, warc dir, or wet dir")
     c.add_argument("--quality-model", default=None,
                    help="frozen linear quality-classifier weights JSON "
                         "(train_quality_classifier); gates curated docs")
-    c.add_argument("--input-format", choices=("parquet", "warc", "iceberg"),
-                   default="parquet")
+    c.add_argument("--input-format",
+                   choices=("parquet", "warc", "wet", "iceberg"),
+                   default="parquet",
+                   help="'wet' curates Common Crawl's pre-extracted text "
+                        "sidecar directly: the extraction stage is "
+                        "skipped, every downstream gate applies "
+                        "(host-rank-floor refused — WET has no anchors)")
     c.add_argument("--resolve-revisits", action="store_true",
                    help="with --input-format warc: resolve revisit "
                         "records to stored payloads before curation")

@@ -19,6 +19,25 @@ from ..operators.dedup import minhash_dedup_pairs
 from .extract import extract_pages
 
 
+def articles_from_texts(docs: DataFrame) -> DataFrame:
+    """(url, warc_ts, text) -> the minimal articles shape
+    ``curate_corpus(extract=False)`` consumes: pre-extracted corpora
+    (Common Crawl WET conversion records, sources/warc.py docs_from_wet)
+    enter curation with the extraction stage deleted. `readerable` is
+    vacuously true (extraction already happened upstream of the WET
+    writer) and article metadata (title/byline) is absent — WET carries
+    text only."""
+    return docs.select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("string").alias("title"),
+        F.col("text").alias("text_content"),
+        F.length("text").cast("int").alias("length"),
+        F.lit(True).alias("readerable"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
 def curate_corpus(
     pages: DataFrame,
     min_length: int = 200,
@@ -38,6 +57,7 @@ def curate_corpus(
     robots: DataFrame | None = None,
     robots_agent: str = "*",
     scope=None,
+    extract: bool = True,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -65,7 +85,21 @@ def curate_corpus(
     when paired with an appendable output that already holds those
     buckets' rows (run_extraction_job). curate_corpus returns a DataFrame
     with no such output, so resuming would silently drop every
-    previously-'done' bucket from the corpus."""
+    previously-'done' bucket from the corpus.
+
+    extract=False takes a PRE-EXTRACTED corpus instead of raw pages
+    (articles_from_texts over WET docs — Common Crawl's text sidecar):
+    the extraction UDF, its salt shuffle, and n_buckets/checkpoint_dir
+    are all skipped; every downstream gate (lang/quality/Gopher/LM/PII,
+    exact + near dedup) applies unchanged. host_rank_floor is refused —
+    it needs the raw html's anchors, which WET does not carry."""
+    if not extract and host_rank_floor is not None:
+        raise ValueError(
+            "curate_corpus(extract=False): host_rank_floor needs the raw "
+            "html's link graph, which a pre-extracted (WET) corpus does "
+            "not carry — compute host ranks from the crawl's WAT sidecar "
+            "(operators/linkgraph.py edges_from_wat) and gate the WET "
+            "urls against that table instead")
     if robots is not None:
         # retroactive robots.txt takedown sweep (operators/robots.py):
         # drop pages the publisher's CURRENT policy disallows before any
@@ -91,13 +125,16 @@ def curate_corpus(
             .drop("_h", "rank")
         )
 
-    articles = extract_pages(
-        pages,
-        n_buckets=n_buckets,
-        num_partitions=num_partitions,
-        checkpoint_dir=checkpoint_dir,
-        resume=False,
-    )
+    if extract:
+        articles = extract_pages(
+            pages,
+            n_buckets=n_buckets,
+            num_partitions=num_partitions,
+            checkpoint_dir=checkpoint_dir,
+            resume=False,
+        )
+    else:
+        articles = pages  # already article-shaped (articles_from_texts)
 
     if fix_mojibake:
         # segment-level repair (functions/mojibake.py with_fixed_text):
