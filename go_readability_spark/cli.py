@@ -361,9 +361,24 @@ def cmd_curate(args) -> int:
             from .sources.pages_table import read_pages
 
             pages = read_pages(spark, args.input, format=args.input_format)
+        host_ranks = None
+        if getattr(args, "wat_host_rank", None):
+            # host authority from the crawl's WAT sidecar: lets the
+            # host-rank gate compose with WET input (WET text + WAT
+            # graph = full curation with the WARC never read)
+            from .operators.linkgraph import (
+                edges_from_wat,
+                host_graph,
+                host_rank,
+            )
+            from .sources.wat import links_from_wat
+
+            host_ranks = host_rank(host_graph(edges_from_wat(
+                links_from_wat(spark, args.wat_host_rank))))
         curated = curate_corpus(
             pages,
             extract=not pre_extracted,
+            host_ranks=host_ranks,
             min_length=args.min_length,
             min_quality=args.min_quality,
             languages=tuple(args.languages.split(",")) if args.languages else (),
@@ -597,6 +612,11 @@ def main(argv=None) -> int:
                    help="drop pages whose host PageRank (computed over "
                         "the input's own link graph) is below this floor; "
                         "unlinked hosts are kept")
+    c.add_argument("--wat-host-rank", default=None,
+                   help="WAT sidecar dir: compute the host-rank gate's "
+                        "PageRank from the crawl's WAT link metadata "
+                        "instead of the input's html (required for "
+                        "--input-format wet, cheaper everywhere)")
     c.add_argument("--max-lm-nll", type=float, default=None,
                    help="CCNet-style per-bigram NLL cap (nats); unset = off")
     c.add_argument("--partitions", type=int, default=None)

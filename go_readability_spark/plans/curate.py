@@ -58,6 +58,7 @@ def curate_corpus(
     robots_agent: str = "*",
     scope=None,
     extract: bool = True,
+    host_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the curated articles DataFrame:
     (url, title, text_content, length, lang_id, quality, ws_tokens,
@@ -91,15 +92,23 @@ def curate_corpus(
     (articles_from_texts over WET docs — Common Crawl's text sidecar):
     the extraction UDF, its salt shuffle, and n_buckets/checkpoint_dir
     are all skipped; every downstream gate (lang/quality/Gopher/LM/PII,
-    exact + near dedup) applies unchanged. host_rank_floor is refused —
-    it needs the raw html's anchors, which WET does not carry."""
-    if not extract and host_rank_floor is not None:
+    exact + near dedup) applies unchanged. host_rank_floor without a
+    `host_ranks` table is refused — it needs the raw html's anchors,
+    which WET does not carry.
+
+    host_ranks: a precomputed (host, rank) table to gate against instead
+    of building the graph from the input's own html — e.g. derived from
+    the crawl's WAT sidecar (operators/linkgraph.py edges_from_wat ->
+    host_graph -> host_rank, the CLI's --wat-host-rank). This is how the
+    host-authority gate composes with WET input: WET text + WAT graph =
+    full curation with the WARC never read."""
+    if not extract and host_rank_floor is not None and host_ranks is None:
         raise ValueError(
             "curate_corpus(extract=False): host_rank_floor needs the raw "
             "html's link graph, which a pre-extracted (WET) corpus does "
             "not carry — compute host ranks from the crawl's WAT sidecar "
-            "(operators/linkgraph.py edges_from_wat) and gate the WET "
-            "urls against that table instead")
+            "(operators/linkgraph.py edges_from_wat) and pass them as "
+            "host_ranks (CLI: --wat-host-rank DIR)")
     if robots is not None:
         # retroactive robots.txt takedown sweep (operators/robots.py):
         # drop pages the publisher's CURRENT policy disallows before any
@@ -113,11 +122,19 @@ def curate_corpus(
 
     if host_rank_floor is not None:
         from ..operators.hosts import host_of_url
-        from ..operators.linkgraph import host_graph, host_rank, link_edges
 
-        ranks = host_rank(
-            host_graph(link_edges(pages)), iterations=host_rank_iterations
-        )
+        if host_ranks is not None:
+            ranks = host_ranks.select("host", "rank")
+        else:
+            from ..operators.linkgraph import (
+                host_graph,
+                host_rank,
+                link_edges,
+            )
+
+            ranks = host_rank(
+                host_graph(link_edges(pages)),
+                iterations=host_rank_iterations)
         pages = (
             pages.withColumn("_h", host_of_url(F.col("url")))
             .join(ranks.withColumnRenamed("host", "_h"), "_h", "left")

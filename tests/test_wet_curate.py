@@ -63,6 +63,75 @@ def test_curate_wet_library(spark):
         curate_corpus(pre, extract=False, host_rank_floor=0.5)
 
 
+def _wat_dir(tmp_path):
+    """WAT sidecar planting a host-authority asymmetry: a.example.org
+    links to b.example.org, so after PageRank b ≈ 0.2775 and a keeps the
+    dangling floor 0.15; z.example.org is absent from the graph."""
+    from go_readability_spark.sources.wat import write_wat
+
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "seg.wat.gz").write_bytes(write_wat([
+        ("https://a.example.org/x.html", datetime(2024, 3, 1),
+         [("A@/href", "https://b.example.org/1.html", "b1"),
+          ("A@/href", "https://b.example.org/2.html", "b2")], None),
+    ]))
+    return str(d)
+
+
+def test_wet_curation_with_wat_host_rank(spark, tmp_path):
+    """WET text + WAT graph: the host-rank gate runs from the sidecar's
+    link metadata with the WARC never read. Floor 0.2 keeps the inlinked
+    host (0.2775), drops the dangling one (0.15), keeps absent hosts
+    (no signal)."""
+    from go_readability_spark.operators import (
+        edges_from_wat,
+        host_graph,
+        host_rank,
+    )
+    from go_readability_spark.plans.curate import (
+        articles_from_texts,
+        curate_corpus,
+    )
+    from go_readability_spark.sources import links_from_wat
+
+    docs = spark.createDataFrame(
+        [("https://a.example.org/d.html", datetime(2024, 3, 1), _doc(1)),
+         ("https://b.example.org/d.html", datetime(2024, 3, 1), _doc(2)),
+         ("https://z.example.org/d.html", datetime(2024, 3, 1), _doc(3))],
+        "url string, warc_ts timestamp, text string")
+    ranks = host_rank(host_graph(edges_from_wat(
+        links_from_wat(spark, _wat_dir(tmp_path)))))
+    curated = curate_corpus(
+        articles_from_texts(docs), extract=False, min_length=100,
+        min_quality=0.0, languages=("en", "und"),
+        host_rank_floor=0.2, host_ranks=ranks, num_partitions=2)
+    urls = {r.url for r in curated.select("url").collect()}
+    assert urls == {"https://b.example.org/d.html",
+                    "https://z.example.org/d.html"}
+
+
+def test_cli_curate_wet_with_wat_host_rank(spark, tmp_path):
+    from go_readability_spark.sources import write_wet
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "seg.wet.gz").write_bytes(write_wet([
+        ("https://a.example.org/d.html", datetime(2024, 3, 1), _doc(1)),
+        ("https://b.example.org/d.html", datetime(2024, 3, 1), _doc(2))]))
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "curate",
+         "--input", str(tmp_path / "in"), "--input-format", "wet",
+         "--output", str(out), "--min-length", "100",
+         "--min-quality", "0.0", "--languages", "en,und",
+         "--host-rank-floor", "0.2", "--wat-host-rank",
+         _wat_dir(tmp_path), "--partitions", "2", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-4000:]
+    urls = {r_.url for r_ in spark.read.parquet(str(out)).collect()}
+    assert urls == {"https://b.example.org/d.html"}
+
+
 def test_cli_curate_from_wet(spark, tmp_path):
     from go_readability_spark.sources import write_wet
 
