@@ -211,6 +211,9 @@ def cmd_extract(args) -> int:
 
     if getattr(args, "segments", 1) > 1:
         return _cmd_extract_segmented(args)
+    from .plans.crawl import check_segment_marker
+
+    check_segment_marker(args.output, 1, "file-hash")
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
@@ -289,6 +292,9 @@ def _cmd_extract_segmented(args) -> int:
             "segment's archives")
     sufs = ((".warc", ".warc.gz") if args.input_format == "warc"
             else (".parquet",))
+    from .plans.crawl import check_segment_marker
+
+    check_segment_marker(args.output, args.segments, "file-hash")
     spark = build_session(master=args.master)
     try:
         ship_package(spark)
@@ -362,6 +368,12 @@ def cmd_curate(args) -> int:
 
             pages = read_pages(spark, args.input, format=args.input_format)
         host_ranks = None
+        if getattr(args, "wat_host_rank", None) and args.host_rank_floor is None:
+            raise SystemExit(
+                "--wat-host-rank supplies the rank table but only "
+                "--host-rank-floor turns the gate on — set a floor, or "
+                "drop --wat-host-rank (refusing to silently skip the "
+                "authority gate you asked for)")
         if getattr(args, "wat_host_rank", None):
             # host authority from the crawl's WAT sidecar: lets the
             # host-rank gate compose with WET input (WET text + WAT

@@ -105,6 +105,39 @@ def segment_input_files(input_dir: str, n_segments: int,
     return groups
 
 
+def check_segment_marker(output_dir: str, n_segments: int,
+                         kind: str) -> None:
+    """Refuse resuming a segmented output with a different K.
+
+    pmod-hash assignment reshuffles every archive/file across segments
+    when K changes, while stale seg=i dirs from the previous K survive
+    (writes are per-segment) — the reunion would silently hold duplicate
+    rows. The first segmented run records (K, kind) in an
+    underscore-prefixed marker (invisible to parquet discovery); any
+    later run against the same output must match, including a K=1 rerun
+    into a previously segmented dir."""
+    import json as _json
+
+    path = os.path.join(output_dir, "_SEGMENTS")
+    want = {"n_segments": n_segments, "kind": kind}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = _json.load(fh)
+        if prev != want:
+            raise ValueError(
+                f"segmented output {output_dir} was written with "
+                f"{prev}; rerunning with {want} would reshuffle the "
+                "hash assignment over stale seg=i dirs and duplicate "
+                "rows — reuse the original --segments value, or remove "
+                "the output and checkpoints to start over")
+    elif n_segments > 1:
+        os.makedirs(output_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(want, fh)
+        os.replace(tmp, path)
+
+
 def _release_job_state(spark) -> None:
     """Nudge shuffle-file cleanup between sequential sub-jobs.
 
@@ -150,6 +183,7 @@ def run_crawl_fetch(
 
     segments = segment_plan(plan, n_segments)
     multi = len(segments) > 1
+    check_segment_marker(output_dir, n_segments, "archive-hash")
     for i, seg_plan in segments:
         seg_out = os.path.join(output_dir, f"seg={i}") if multi else output_dir
         seg_ckpt = (os.path.join(checkpoint_dir, f"seg={i}")

@@ -320,20 +320,10 @@ def docs_from_wet(spark, path: str, strict: bool = False) -> DataFrame:
 
 def write_wet(records: list[tuple[str, datetime, str]], gz: bool = True) -> bytes:
     """Build a WET blob from (url, ts, text) triples — for tests."""
-    out = b""
-    for url, ts, text in records:
-        body = text.encode("utf-8")
-        headers = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: conversion\r\n"
-            b"WARC-Target-URI: " + url.encode() + b"\r\n"
-            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
-            b"Content-Type: text/plain\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-        )
-        rec = headers + body + b"\r\n\r\n"
-        out += gzip.compress(rec) if gz else rec
-    return out
+    return b"".join(
+        warc_record("conversion", url, ts, "text/plain",
+                    text.encode("utf-8"), gz=gz)
+        for url, ts, text in records)
 
 
 def pages_from_warc(
@@ -445,6 +435,28 @@ def pages_from_fetch_plan(
     return ranges.mapInPandas(fetch, schema=PAGES_SCHEMA)
 
 
+def warc_record(warc_type: str, url: str, ts: datetime,
+                content_type: str | None, body: bytes,
+                extra_headers: bytes = b"",
+                version: str = "WARC/1.0", gz: bool = True) -> bytes:
+    """One ISO 28500 record (header block + body + record separator),
+    optionally its own gzip member — the single framing implementation
+    behind write_warc / write_wet / write_revisit / wat.write_wat.
+    content_type=None omits the header (body-less revisit records)."""
+    ct_hdr = b"" if content_type is None else (
+        b"Content-Type: " + content_type.encode() + b"\r\n")
+    headers = (
+        version.encode() + b"\r\n"
+        b"WARC-Type: " + warc_type.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+        + extra_headers + ct_hdr +
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    rec = headers + body + b"\r\n\r\n"
+    return gzip.compress(rec) if gz else rec
+
+
 def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True,
                digests: list[str] | None = None) -> bytes:
     """Build a spec-shaped WARC blob from (url, ts, html_body) triples —
@@ -462,17 +474,9 @@ def write_warc(records: list[tuple[str, datetime, bytes]], gz: bool = True,
         if digests is not None and digests[idx]:
             digest_hdr = (b"WARC-Payload-Digest: "
                           + digests[idx].encode() + b"\r\n")
-        headers = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            b"WARC-Target-URI: " + url.encode() + b"\r\n"
-            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
-            + digest_hdr +
-            b"Content-Type: application/http; msgtype=response\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
-        )
-        rec = headers + http + b"\r\n\r\n"
-        out += gzip.compress(rec) if gz else rec
+        out += warc_record(
+            "response", url, ts, "application/http; msgtype=response",
+            http, extra_headers=digest_hdr, gz=gz)
     return out
 
 
@@ -484,16 +488,11 @@ def write_revisit(url: str, ts: datetime, digest: str,
     if refers_to:
         refers_hdr = (b"WARC-Refers-To-Target-URI: "
                       + refers_to.encode() + b"\r\n")
-    headers = (
-        b"WARC/1.1\r\n"
-        b"WARC-Type: revisit\r\n"
-        b"WARC-Target-URI: " + url.encode() + b"\r\n"
-        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+    extra = (
         b"WARC-Payload-Digest: " + digest.encode() + b"\r\n"
         + refers_hdr +
         b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
         b"identical-payload-digest\r\n"
-        b"Content-Length: 0\r\n\r\n"
     )
-    rec = headers + b"\r\n\r\n"
-    return gzip.compress(rec) if gz else rec
+    return warc_record("revisit", url, ts, None, b"",
+                       extra_headers=extra, version="WARC/1.1", gz=gz)

@@ -37,14 +37,18 @@ this is the crawl-ingestion surface of BASELINE.json's north rule
 
 from __future__ import annotations
 
-import gzip
 import json
 from collections.abc import Iterator
 from datetime import datetime
 
 from pyspark.sql import DataFrame, types as T
 
-from .warc import _parse_warc_date, archive_parser, iter_warc_records
+from .warc import (
+    _parse_warc_date,
+    archive_parser,
+    iter_warc_records,
+    warc_record,
+)
 
 WAT_LINKS_SCHEMA = T.StructType(
     [
@@ -75,6 +79,11 @@ def wat_bytes_to_link_rows(raw: bytes) -> Iterator[dict]:
     A malformed JSON payload skips that record only; a page whose
     envelope lacks HTML-Metadata/Links yields an empty link list (the
     page existed — downstream page counts must see it)."""
+    def _dig(d, *keys):
+        for k in keys:
+            d = d.get(k) if isinstance(d, dict) else None
+        return d if isinstance(d, dict) else {}
+
     for headers, payload in iter_warc_records(raw):
         if headers.get("warc-type") != "metadata":
             continue
@@ -83,42 +92,52 @@ def wat_bytes_to_link_rows(raw: bytes) -> Iterator[dict]:
             continue
         try:
             env = json.loads(payload.decode("utf-8", errors="replace"))
-        except (ValueError, AttributeError):
-            continue  # malformed record: skip it, not the archive
-        if not isinstance(env, dict):
-            continue
-        meta = (
-            env.get("Envelope", {})
-            .get("Payload-Metadata", {})
-            .get("HTTP-Response-Metadata", {})
-            .get("HTML-Metadata", {})
-        )
-        if not isinstance(meta, dict):
-            meta = {}
-        head = meta.get("Head") or {}
-        base = head.get("Base") if isinstance(head, dict) else None
-        links = []
-        raw_links = meta.get("Links")
-        if isinstance(raw_links, list):
-            for li in raw_links:
-                if not isinstance(li, dict):
-                    continue
-                href = li.get("url")
-                if href is None:
-                    continue
-                links.append(
-                    {
-                        "path": li.get("path"),
-                        "href": str(href),
-                        "text": li.get("text"),
-                    }
-                )
-        yield {
-            "url": url,
-            "warc_ts": _parse_warc_date(headers),
-            "base": base if isinstance(base, str) and base else None,
-            "links": links,
-        }
+            if not isinstance(env, dict):
+                continue
+            # real Common Crawl WAT carries metadata records derived
+            # from request AND response records under the same target
+            # URI; only the response-derived one has the page's links.
+            # Keep it (and records from minimal writers that omit the
+            # envelope type); skip request/metadata-derived ones, which
+            # would otherwise yield 1-2 duplicate empty rows per page.
+            hdr_type = _dig(env, "Envelope", "WARC-Header-Metadata").get(
+                "WARC-Type")
+            if hdr_type is not None and hdr_type != "response":
+                continue
+            meta = _dig(env, "Envelope", "Payload-Metadata",
+                        "HTTP-Response-Metadata", "HTML-Metadata")
+            head = meta.get("Head")
+            base = head.get("Base") if isinstance(head, dict) else None
+            links = []
+            raw_links = meta.get("Links")
+            if isinstance(raw_links, list):
+                for li in raw_links:
+                    if not isinstance(li, dict):
+                        continue
+                    href = li.get("url")
+                    if href is None:
+                        continue
+                    # coerce to str: a non-string path/text would pass
+                    # through to the Arrow serializer OUTSIDE the
+                    # containment try/except and fail the whole task
+                    path, text = li.get("path"), li.get("text")
+                    links.append(
+                        {
+                            "path": None if path is None else str(path),
+                            "href": str(href),
+                            "text": None if text is None else str(text),
+                        }
+                    )
+            row = {
+                "url": str(url),
+                "warc_ts": _parse_warc_date(headers),
+                "base": base if isinstance(base, str) and base else None,
+                "links": links,
+            }
+        except Exception:
+            continue  # malformed/wrong-shape RECORD: skip it, keep the
+            #           archive (per-record tolerance, not per-archive)
+        yield row
 
 
 def links_from_wat(spark, path: str | list[str],
@@ -165,15 +184,6 @@ def write_wat(
             }
         }
         body = json.dumps(env, sort_keys=True).encode("utf-8")
-        headers = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: metadata\r\n"
-            b"WARC-Target-URI: " + url.encode() + b"\r\n"
-            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-            + b"\r\n"
-            b"Content-Type: application/json\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-        )
-        rec = headers + body + b"\r\n\r\n"
-        out += gzip.compress(rec) if gz else rec
+        out += warc_record("metadata", url, ts, "application/json", body,
+                           gz=gz)
     return out

@@ -455,6 +455,11 @@ def phase_wat(args):
     spark = build_session(master=args.master)
     pages = spark.read.parquet(f"{args.workdir}/pages")
     wat_dir = os.path.abspath(f"{args.workdir}/wat")
+    if os.path.isdir(wat_dir):
+        import shutil
+        # stale part files from a previous run with different
+        # partitioning would be re-read and fail the A/B
+        shutil.rmtree(wat_dir)
     os.makedirs(wat_dir, exist_ok=True)
 
     # --- derivation: group the regex-extracted anchors back per page and

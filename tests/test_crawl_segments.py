@@ -117,6 +117,31 @@ def test_segmented_rerun_is_noop_resume(spark, tmp_path):
     assert urls.where(F.col("count") > 1).count() == 0
 
 
+def test_segment_marker_refuses_k_mismatch(tmp_path):
+    """Changing --segments K against an existing segmented output would
+    reshuffle the hash assignment over stale seg=i dirs and duplicate
+    rows (review finding) — the marker refuses it, including a K=1 rerun
+    and a kind mismatch; same-K reruns pass."""
+    import pytest
+
+    from go_readability_spark.plans.crawl import check_segment_marker
+
+    out = str(tmp_path / "out")
+    check_segment_marker(out, 3, "archive-hash")  # first run records K
+    assert os.path.exists(os.path.join(out, "_SEGMENTS"))
+    check_segment_marker(out, 3, "archive-hash")  # same K: fine
+    with pytest.raises(ValueError, match="reshuffle"):
+        check_segment_marker(out, 2, "archive-hash")
+    with pytest.raises(ValueError, match="reshuffle"):
+        check_segment_marker(out, 1, "archive-hash")
+    with pytest.raises(ValueError, match="reshuffle"):
+        check_segment_marker(out, 3, "file-hash")
+    # plain run into a FRESH dir: no marker written, nothing to refuse
+    fresh = str(tmp_path / "fresh")
+    check_segment_marker(fresh, 1, "file-hash")
+    assert not os.path.exists(os.path.join(fresh, "_SEGMENTS"))
+
+
 def test_segment_input_files_per_file_stable(tmp_path):
     """A file's segment depends only on its own relative path — adding
     files to the input dir never reassigns already-checkpointed ones

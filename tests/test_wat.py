@@ -83,15 +83,62 @@ def test_tolerant_parse_contains_bad_records():
         b"Content-Type: application/json\r\n"
         b"Content-Length: 16\r\n\r\n{\"Envelope\": {}}\r\n\r\n"
     )
+    # valid JSON, wrong shape: Envelope is null — must skip the RECORD,
+    # not blow up and lose the archive (review finding)
+    shape_body = b'{"Envelope": null}'
+    wrong_shape = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://shape.example.org/\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00Z\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(shape_body)).encode()
+        + b"\r\n\r\n" + shape_body + b"\r\n\r\n"
+    )
     rows = list(wat_bytes_to_link_rows(
-        gzip.compress(good + bad_json + no_meta)))
+        gzip.compress(good + bad_json + no_meta + wrong_shape)))
     by_url = {r["url"]: r for r in rows}
     assert set(by_url) == {"https://a.example.org/",
+                           "https://shape.example.org/",
                            "https://empty.example.org/"}
     # a page without HTML-Metadata keeps its row (empty links), so page
     # counts survive; the malformed-JSON record alone is dropped
     assert by_url["https://empty.example.org/"]["links"] == []
+    assert by_url["https://shape.example.org/"]["links"] == []
     assert len(by_url["https://a.example.org/"]["links"]) == 1
+
+
+def test_request_derived_records_filtered_and_types_coerced():
+    """Real Common Crawl WAT holds metadata records derived from request
+    AND response records of the same URI: only the response-derived one
+    yields a row (no duplicate empty rows per page). Non-string
+    path/text values coerce to str instead of reaching the Arrow
+    serializer as objects (review findings)."""
+    import gzip as _gz
+    import json as _json
+
+    def rec(envelope):
+        body = _json.dumps(envelope).encode()
+        return (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                b"WARC-Target-URI: https://p.example.org/\r\n"
+                b"WARC-Date: 2024-05-01T12:00:00Z\r\n"
+                b"Content-Type: application/json\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body + b"\r\n\r\n")
+
+    req = rec({"Envelope": {"WARC-Header-Metadata":
+                            {"WARC-Type": "request"}}})
+    resp = rec({"Envelope": {
+        "WARC-Header-Metadata": {"WARC-Type": "response"},
+        "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+            "Links": [{"path": 7, "url": "/x.html", "text": 123},
+                      {"url": 42}]}}}}})
+    meta = rec({"Envelope": {"WARC-Header-Metadata":
+                             {"WARC-Type": "metadata"}}})
+    rows = list(wat_bytes_to_link_rows(_gz.compress(req + resp + meta)))
+    assert len(rows) == 1  # one page, one row — not three
+    links = rows[0]["links"]
+    assert links[0] == {"path": "7", "href": "/x.html", "text": "123"}
+    assert links[1] == {"path": None, "href": "42", "text": None}
 
 
 @pytest.fixture()

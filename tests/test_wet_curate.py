@@ -132,6 +132,20 @@ def test_cli_curate_wet_with_wat_host_rank(spark, tmp_path):
     assert urls == {"https://b.example.org/d.html"}
 
 
+def test_cli_wat_host_rank_without_floor_refused(tmp_path):
+    """--wat-host-rank without --host-rank-floor would be a silent no-op
+    (review finding): the CLI refuses instead of shipping an ungated
+    corpus the user believes was authority-gated."""
+    r = subprocess.run(
+        [sys.executable, "-m", "go_readability_spark", "curate",
+         "--input", str(tmp_path), "--input-format", "wet",
+         "--output", str(tmp_path / "o"),
+         "--wat-host-rank", str(tmp_path), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert r.returncode != 0
+    assert "host-rank-floor" in r.stderr
+
+
 def test_cli_curate_from_wet(spark, tmp_path):
     from go_readability_spark.sources import write_wet
 
