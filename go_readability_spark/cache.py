@@ -29,6 +29,7 @@ driver contract are unaffected.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
@@ -39,9 +40,11 @@ class CacheScope:
     def __init__(self) -> None:
         self._dfs: list[DataFrame] = []
 
-    def add(self, df: DataFrame) -> DataFrame:
+    def add(self, df: DataFrame,
+            storage_level: StorageLevel | None = None) -> DataFrame:
         """persist() df, remember the handle, return it."""
-        self._dfs.append(df.persist())
+        self._dfs.append(df.persist(storage_level)
+                         if storage_level is not None else df.persist())
         return df
 
     def release(self, blocking: bool = False) -> None:
@@ -59,9 +62,18 @@ class CacheScope:
         self.release()
 
 
-def persist_scoped(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+def persist_scoped(df: DataFrame, scope: CacheScope | None,
+                   storage_level: StorageLevel | None = None) -> DataFrame:
     """persist df on the scope when one is supplied, else bare persist()
-    (the historical operator behaviour)."""
+    (the historical operator behaviour).
+
+    storage_level overrides the DataFrame default (heap-deserialized
+    MEMORY_AND_DISK). Pass StorageLevel.DISK_ONLY for WIDE boundaries —
+    a full-text corpus cached deserialized on-heap inflates 2-4x and
+    OOMed the 8g local JVM at the 1M-doc curation volume run; disk-only
+    blocks are bounded and a local re-read is cheap next to re-running
+    the extraction UDF the persist exists to avoid."""
     if scope is not None:
-        return scope.add(df)
-    return df.persist()
+        return scope.add(df, storage_level)
+    return (df.persist(storage_level) if storage_level is not None
+            else df.persist())

@@ -224,7 +224,15 @@ def curate_corpus(
     # persist stays for the session (one-shot curation jobs).
     from ..cache import persist_scoped
 
-    enriched = persist_scoped(enriched, scope)
+    # DISK_ONLY: this boundary holds the FULL text of every surviving
+    # doc — heap-deserialized caching (the persist() default) inflates
+    # that 2-4x and OOMed the 8g local JVM at the 1M-doc volume run; a
+    # local disk re-read per downstream branch is cheap next to the
+    # extraction it avoids, and it is exactly the access pattern the
+    # Iceberg-table version of this boundary would have.
+    from pyspark import StorageLevel
+
+    enriched = persist_scoped(enriched, scope, StorageLevel.DISK_ONLY)
 
     # exact dedup: keep min-url representative per fingerprint
     keep = enriched.groupBy("fingerprint").agg(F.min("url").alias("url"))
