@@ -5,19 +5,22 @@ way): records are `WARC/1.x` header blocks + Content-Length payloads,
 archives are concatenations of per-record gzip members (which Python's
 gzip reads transparently as one stream).
 
-Spark integration reads whole archive files via the binaryFile source and
-parses per file inside mapInPandas — WARC's framing has no record-aligned
-split points a generic splitter could use, and Common Crawl's ~1 GB
-archive granularity IS the parallelism unit (one task per archive, tens of
-thousands of archives per crawl). At 10^12 scale you run exactly this plan
-with `spark.sql.files.maxPartitionBytes` >= the archive size so each file
-stays one partition.
+Spark integration ships archive PATHS to the executors and parses each
+file inside mapInPandas (archive_reader) — WARC's framing has no
+record-aligned split points a generic splitter could use, and Common
+Crawl's ~1 GB archive granularity IS the parallelism unit (one task per
+archive, tens of thousands of archives per crawl). The bytes never touch
+the JVM: each Python task opens and reads its own files, so per-task
+memory is sized per-core like any executor instead of stacking every
+concurrent archive on the shared driver heap (which OOMed the 1M WET
+volume run under the old binaryFile route).
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import os
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -257,11 +260,8 @@ def records_from_warc(spark, path: str, strict: bool = False) -> DataFrame:
     (responses + revisits, see warc_bytes_to_record_rows).  Same
     one-archive-per-task parallelism and corrupt-archive containment as
     :func:`pages_from_warc`."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(
-        archive_parser(warc_bytes_to_record_rows, strict),
-        schema=WARC_RECORDS_SCHEMA,
-    )
+    return archive_reader(spark, path, warc_bytes_to_record_rows,
+                          schema=WARC_RECORDS_SCHEMA, strict=strict)
 
 
 def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
@@ -279,6 +279,76 @@ def wet_bytes_to_doc_rows(raw: bytes) -> Iterator[dict]:
             "warc_ts": _parse_warc_date(headers),
             "text": payload.decode("utf-8", errors="replace"),
         }
+
+
+def archive_reader(spark, path, row_fn, schema, strict: bool = False,
+                   num_partitions: int | None = None):
+    """Shared archive-scan for every whole-archive reader (WARC records/
+    pages, WET, WAT): ship PATHS through the JVM and let each Python
+    task open and read its own files — the pages_from_fetch_plan
+    pattern.
+
+    The previous binaryFile route materialized every archive's bytes on
+    the JVM heap before the Arrow handoff; at 32 concurrent tasks over
+    the shared local-mode heap that OOMed the 1M-doc WET volume run (and
+    would cap whole-archive WARC reads the same way — Common Crawl
+    archives are ~1 GB each). With path streaming the JVM never touches
+    archive bytes; per-task memory lives in the Python worker, which is
+    sized per-core like any executor. Remote (hdfs://, s3a://) locations
+    fall back to binaryFile — listing and opening are filesystem-API
+    work there; local/posix is this sandbox's (and the tests') path.
+
+    `path` may be a directory, a single file, or an explicit file list
+    (the file-aligned segmentation path)."""
+    files: list[str] | None = None
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    else:
+        p = str(path)
+        root = p[len("file://"):] if p.startswith("file://") else p
+        if "://" in p and not p.startswith("file://"):
+            files = None  # remote: binaryFile fallback below
+        elif os.path.isdir(root):
+            import glob as _glob
+
+            files = sorted(
+                f for f in _glob.glob(os.path.join(root, "**"),
+                                      recursive=True)
+                if os.path.isfile(f)
+                and not os.path.basename(f).startswith((".", "_")))
+        else:
+            files = [root]
+
+    if files is None:
+        blobs = spark.read.format("binaryFile").load(path).select("content")
+        if num_partitions:
+            blobs = blobs.repartition(num_partitions)
+        return blobs.mapInPandas(archive_parser(row_fn, strict),
+                                 schema=schema)
+
+    n_parts = num_partitions or max(1, min(len(files), 1024))
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string").repartition(n_parts, "path")
+
+    def parse_paths(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                try:
+                    with open(fpath, "rb") as fh:
+                        rows = list(row_fn(fh.read()))
+                except Exception:
+                    if strict:
+                        raise
+                    continue  # corrupt/unreadable archive: skip it
+                if rows:
+                    out = pd.DataFrame(rows)
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"],
+                                                    errors="coerce")
+                    yield out
+
+    return paths_df.mapInPandas(parse_paths, schema=schema)
 
 
 def archive_parser(row_fn, strict: bool = False):
@@ -311,11 +381,9 @@ def docs_from_wet(spark, path: str, strict: bool = False) -> DataFrame:
     happened upstream (Common Crawl publishes WET alongside WARC). Same
     one-archive-per-task parallelism and corrupt-archive containment as
     :func:`pages_from_warc`."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(
-        archive_parser(wet_bytes_to_doc_rows, strict),
-        schema="url string, warc_ts timestamp, text string",
-    )
+    return archive_reader(
+        spark, path, wet_bytes_to_doc_rows,
+        schema="url string, warc_ts timestamp, text string", strict=strict)
 
 
 def write_wet(records: list[tuple[str, datetime, str]], gz: bool = True) -> bytes:
@@ -343,12 +411,9 @@ def pages_from_warc(
     """
     from ..plans.schema import PAGES_SCHEMA
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    if num_partitions:
-        files = files.repartition(num_partitions)
-    return files.mapInPandas(
-        archive_parser(warc_bytes_to_page_rows, strict), schema=PAGES_SCHEMA
-    )
+    return archive_reader(spark, path, warc_bytes_to_page_rows,
+                          schema=PAGES_SCHEMA, strict=strict,
+                          num_partitions=num_partitions)
 
 
 def pages_from_fetch_plan(

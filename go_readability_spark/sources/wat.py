@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, types as T
 
 from .warc import (
     _parse_warc_date,
-    archive_parser,
+    archive_reader,
     iter_warc_records,
     warc_record,
 )
@@ -146,12 +146,8 @@ def links_from_wat(spark, path: str | list[str],
     list — the file-aligned segmentation path) into per-page link rows.
     Same one-archive-per-task parallelism and corrupt-archive
     containment as pages_from_warc."""
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content")
-    return files.mapInPandas(
-        archive_parser(wat_bytes_to_link_rows, strict),
-        schema=WAT_LINKS_SCHEMA,
-    )
+    return archive_reader(spark, path, wat_bytes_to_link_rows,
+                          schema=WAT_LINKS_SCHEMA, strict=strict)
 
 
 def write_wat(
