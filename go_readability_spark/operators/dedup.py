@@ -297,6 +297,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
     scope=None,
+    storage_level=None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-Jaccard verification
     of the (small) candidate set.
@@ -312,6 +313,7 @@ def minhash_dedup_pairs(
         df, id_col, text_col, n, num_hashes, num_bands, threshold,
         hash_fn=_minhash_fn_xxhash64, bucket_fn=_band_bucket_xxhash64,
         max_bucket_size=max_bucket_size, scope=scope,
+        storage_level=storage_level,
     )
 
 
@@ -341,7 +343,7 @@ def minhash_dedup_pairs_md5(
 
 def _minhash_pairs_impl(
     df, id_col, text_col, n, num_hashes, num_bands, threshold, hash_fn, bucket_fn,
-    max_bucket_size=10_000, scope=None,
+    max_bucket_size=10_000, scope=None, storage_level=None,
 ) -> DataFrame:
     if num_bands < 1 or num_hashes % num_bands != 0:
         # num_bands > num_hashes would give rows_per_band = 0: every band
@@ -361,11 +363,15 @@ def _minhash_pairs_impl(
     # tables, not caches.)
     from ..cache import persist_scoped
 
-    shingled = persist_scoped(shingle_table(df, id_col, text_col, n), scope)
+    # storage_level=DISK_ONLY for corpus-scale callers (curate at the 1M
+    # volume run OOMed the shared local heap caching 10^8 shingle rows
+    # deserialized); None keeps the fast heap default for small inputs.
+    shingled = persist_scoped(shingle_table(df, id_col, text_col, n), scope,
+                              storage_level)
     # persist signatures too: the banding self-join references them twice
     sigs = persist_scoped(shingled.select(
         "id", _signature_expr(F.col("shingles"), num_hashes, hash_fn).alias("signature")
-    ), scope)
+    ), scope, storage_level)
     candidates = minhash_lsh_candidates(
         sigs, num_bands, rows_per_band, bucket_fn, max_bucket_size
     )

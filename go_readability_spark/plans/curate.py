@@ -240,8 +240,12 @@ def curate_corpus(
 
     # near dedup: drop the lexicographically larger side of each verified pair
     docs = exact_unique.select(F.col("url").alias("doc_id"), F.col("text_content").alias("text"))
+    # DISK_ONLY for the same reason as the stage boundary above: the
+    # shingle/signature internals are 10^8-row relations at 1M docs and
+    # OOMed the shared local heap cached deserialized (measured).
     pairs = minhash_dedup_pairs(docs, threshold=near_dup_threshold,
-                                scope=scope)
+                                scope=scope,
+                                storage_level=StorageLevel.DISK_ONLY)
     drop = pairs.select(F.greatest("id_a", "id_b").alias("url")).distinct()
     curated = exact_unique.join(drop, "url", "left_anti")
 

@@ -135,9 +135,11 @@ def test_lm_scoring_broadcasts_vocab_not_corpus(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_warc_scan_prunes_to_content(spark, tmp_path):
-    """The WARC reader must read only (path, content) from the binaryFile
-    scan — modificationTime/length are pruned."""
+def test_warc_scan_ships_paths_not_bytes(spark, tmp_path):
+    """Archive bytes must never enter the JVM plan: the reader ships a
+    PATH list into MapInPandas and each Python task opens its own files
+    (binaryFile materialized every concurrent archive on the shared
+    local heap and OOMed the 1M WET volume run)."""
     from datetime import datetime
 
     from go_readability_spark.sources.warc import pages_from_warc, write_warc
@@ -145,10 +147,9 @@ def test_warc_scan_prunes_to_content(spark, tmp_path):
     p = tmp_path / "a.warc.gz"
     p.write_bytes(write_warc([("http://x/1", datetime(2024, 1, 1), b"<html>x</html>")]))
     plan = _plan(pages_from_warc(spark, str(tmp_path)))
-    m = re.search(r"ReadSchema: ([^\n]+)", plan)
-    assert m, plan
-    assert "content" in m.group(1)
-    assert "modificationTime" not in m.group(1), plan
+    assert "MapInPandas" in plan, plan
+    assert "binaryFile" not in plan, plan  # no JVM-side archive bytes
+    assert "content" not in plan, plan
 
 
 def test_quality_classifier_is_pure_codegen(spark):
