@@ -45,6 +45,14 @@ def build_session(master: str | None = None, app_name: str = "go-readability-spa
         # rows keeps the per-batch reservation in the tens of MB at
         # Common-Crawl page sizes
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # same sizing logic for the CACHE builder: DataFrame persist()
+        # (any storage level, DISK_ONLY included) builds 10000-row
+        # columnar batches on heap by default — 10k full-text rows is a
+        # ~100 MB ByteBuffer per column per task, and 32 concurrent
+        # builders OOMed the 1M-doc curation run's 8g heap in
+        # NullableColumnBuilder.build. 512 rows keeps the build buffer
+        # tens-of-MB for crawl-width text columns.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
         # storage codec for every parquet sink (Spark committer + atomic
         # sink). snappy default matches Spark; at crawl scale zstd cuts
         # HTML-heavy outputs ~30-40% for similar CPU — the 10M volume run
