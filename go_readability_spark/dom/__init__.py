@@ -6,6 +6,7 @@ from .node import (  # noqa: F401
     TEXT,
     Node,
     body_element,
+    class_and_id,
     class_name,
     create_element,
     create_text,

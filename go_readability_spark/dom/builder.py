@@ -1046,23 +1046,32 @@ class _TreeBuilder(HTMLParser):
                 self._close_p()
             if tag in HEADINGS and self.stack and self.stack[-1].tag in HEADINGS:
                 self.stack.pop()
-            if tag not in NO_RECONSTRUCT:
+            # r7: _reconstruct_afe is a no-op on an empty AFE list — skip
+            # the call (the list is empty for the vast majority of tags)
+            if self.afe and tag not in NO_RECONSTRUCT:
                 self._reconstruct_afe()
-            cur = self.stack[-1] if self.stack else self.body
-            foster = (
+            stack = self.stack
+            cur = stack[-1] if stack else self.body
+            el = Node(ELEMENT, tag, "", self._dedupe_attrs(attrs))
+            if (
                 cur.tag in TABLE_CONTEXT
                 and cur.type == ELEMENT
                 and tag not in TABLE_ALLOWED
-            )
-            el = Node(ELEMENT, tag, "", self._dedupe_attrs(attrs))
-            self._insert_node(el, foster)
+            ):
+                self._insert_node(el, True)
+            else:
+                # inline non-foster _insert_node + _current (r7): the fast
+                # path guarantees mode == "in_body", so _current() is
+                # exactly `cur`
+                cur.append_child(el)
             if tag in VOID_ELEMENTS:
                 return
             if tag in FORMATTING:
                 self._afe_push(el)
             elif tag in AFE_MARKER_TAGS:
                 self.afe.append(_MARKER)
-            self._push(el)
+            if len(stack) < self.MAX_TREE_DEPTH:
+                stack.append(el)
             return
 
         state = self._foreign_state()
@@ -1522,10 +1531,27 @@ class _TreeBuilder(HTMLParser):
         self.strip_leading_newline = False
         # character tokens in body reconstruct the active formatting
         # elements (raw-text/RCDATA content and foreign content do not;
-        # HTML integration points DO — their children are HTML)
-        if self.cdata_elem is None and self._foreign_state() != "foreign":
-            self._reconstruct_afe()
-        if self._in_table_context() and data.strip() != "":
+        # HTML integration points DO — their children are HTML).
+        # r7: the common case (HTML namespace, empty AFE list, non-table
+        # parent) is inlined — _foreign_state/_reconstruct_afe/
+        # _in_table_context/_current are the hottest per-text-token call
+        # chain in the tokenizer profile; the slow spellings below are
+        # byte-identical for the uncommon cases.
+        stack = self.stack
+        cur = stack[-1] if stack else None
+        if self.cdata_elem is None and (
+            (cur is None or cur.ns is None) or self._foreign_state() != "foreign"
+        ):
+            if self.afe:
+                self._reconstruct_afe()
+                stack = self.stack
+                cur = stack[-1] if stack else None
+        if (
+            cur is not None
+            and cur.type == ELEMENT
+            and cur.tag in TABLE_CONTEXT
+            and data.strip() != ""
+        ):
             parent, ref = self._foster_target()
             if ref is not None and ref.prev is not None and ref.prev.type == TEXT:
                 ref.prev.data += data
@@ -1533,7 +1559,7 @@ class _TreeBuilder(HTMLParser):
                 node = Node(TEXT, "", data)
                 parent.insert_before(node, ref)
             return
-        self._append_text(self._current(), data)
+        self._append_text(cur if cur is not None else self._current(), data)
 
     def handle_comment(self, data):
         node = Node(COMMENT, "", data)

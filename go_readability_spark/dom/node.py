@@ -272,6 +272,25 @@ def class_name(node: Node) -> str:
     return get_attribute(node, "class")
 
 
+def class_and_id(node: Node) -> tuple:
+    """(class, id) in ONE attribute-list pass (r7): the grab-article scan
+    and the class-weight scorer read both per node per attempt, and the
+    two separate scans were a top attribute-lookup consumer in the
+    extraction profile. First-occurrence semantics match get_attribute."""
+    cls = nid = None
+    attrs = node.attrs
+    if attrs:
+        for item in attrs:
+            k = item[0]
+            if k == "class":
+                if cls is None:
+                    cls = item[1]
+            elif k == "id":
+                if nid is None:
+                    nid = item[1]
+    return (cls or "", nid or "")
+
+
 def node_id(node: Node) -> str:
     return get_attribute(node, "id")
 

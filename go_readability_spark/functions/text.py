@@ -46,26 +46,35 @@ def md5_prefix_long(col: Column) -> Column:
 
 
 def ws_token_count(col: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
+    """Whitespace token count; 0 for empty/blank strings.
+
+    Counted as regexp_count(separators) + 1 instead of
+    size(split(...)): split materializes every token substring just to
+    take the array's size, while regexp_count only scans.  Identical by
+    construction — split on a non-overlapping pattern always yields
+    (#separator-matches + 1) elements (r7 optimization, guide §4.1:
+    prefer the expression that does not allocate)."""
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.regexp_count(trimmed, F.lit(r"\s+")) + F.lit(1)
     )
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Token count under a BPE-ish regex segmentation."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    """Token count under a BPE-ish regex segmentation.
+    regexp_count == size(regexp_extract_all(..., 0)) without building the
+    match array (r7: the array was allocated per row only to be sized)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
 
 
 def punct_ratio(col: Column) -> Column:
     n = F.length(col)
-    punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), F.lit(0)))
+    punct = F.regexp_count(col, F.lit(PUNCT_PATTERN))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    hits = F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
+    hits = F.regexp_count(F.lower(col), F.lit(LANG_STOPWORDS[lang]))
     toks = ws_token_count(col)
     return F.when(toks == 0, F.lit(0.0)).otherwise(hits / toks)
 
@@ -81,18 +90,31 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Stopword-hit argmax over {en,de,fr,es}; 'und' (undetermined) when no
-    language scores a hit. Ties resolve in LANG_ORDER."""
+    """Stopword-hit argmax over LANG_ORDER; 'und' (undetermined) when no
+    language scores a hit. Ties resolve in LANG_ORDER.
+
+    The per-language hit counts are bound ONCE per row as a lambda
+    variable (the repo's standard CollapseProject guard): the naive
+    spelling referenced every count inside `greatest` AND its own
+    `when` branch, expanding to ~9 regex scans per language per row
+    after projection collapse (r7 optimization — the before/after plans
+    are in plans/r07/)."""
     lowered = F.lower(col)
-    scores = {
-        lang: F.size(F.regexp_extract_all(lowered, F.lit(rx_), F.lit(0)))
-        for lang, rx_ in LANG_STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    result = F.lit("und")
-    for lang in reversed(LANG_ORDER):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best == 0, F.lit("und")).otherwise(result)
+    counts = F.array(*[
+        F.regexp_count(lowered, F.lit(LANG_STOPWORDS[lang]))
+        for lang in LANG_ORDER
+    ])
+
+    def pick(cs):
+        best = F.greatest(*[F.element_at(cs, i + 1) for i in range(len(LANG_ORDER))])
+        result = F.lit("und")
+        for i in range(len(LANG_ORDER) - 1, -1, -1):
+            result = F.when(
+                F.element_at(cs, i + 1) == best, F.lit(LANG_ORDER[i])
+            ).otherwise(result)
+        return F.when(best == 0, F.lit("und")).otherwise(result)
+
+    return F.element_at(F.transform(F.array(counts), pick), 1)
 
 
 def fingerprint(col: Column) -> Column:
@@ -102,16 +124,57 @@ def fingerprint(col: Column) -> Column:
 
 
 def with_text_features(df, text_col: str = "text"):
-    """Attach the full feature set as columns."""
+    """Attach the full feature set as columns.
+
+    r7 optimization: the raw counts (whitespace tokens, punctuation
+    marks, per-language stopword hits) are STAGED as intermediate
+    columns and every output column is built from the staged values, so
+    each regex scans the document once instead of once per consumer
+    (quality + stopword_ratio + lang_id all share the en-hit count; the
+    collapsed single-projection form evaluated the language regexes up
+    to 9x per row).  CollapseProject cannot re-inline the staging: each
+    staged column is referenced more than once and regexp_count is not
+    in Catalyst's cheap-expression set.  Output values are bit-identical
+    (same formulas over the same counts) — the driver's text_features
+    oracle row verifies."""
     c = F.col(text_col)
+    lowered = F.lower(c)
+    langs = list(LANG_ORDER)
+    staged = df.withColumns({
+        "_tf_ws": ws_token_count(c),
+        "_tf_punct": F.regexp_count(c, F.lit(PUNCT_PATTERN)),
+        **{
+            f"_tf_{lang}": F.regexp_count(lowered, F.lit(LANG_STOPWORDS[lang]))
+            for lang in langs
+        },
+    }).withColumn("_tf_best", F.greatest(*[F.col(f"_tf_{lang}") for lang in langs]))
+
+    ws = F.col("_tf_ws")
+    n = F.length(c)
+    punct_raw = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_tf_punct") / n)
+    stop_raw = F.when(ws == 0, F.lit(0.0)).otherwise(F.col("_tf_en") / ws)
+    best = F.col("_tf_best")
+    lang_expr = F.lit("und")
+    for lang in reversed(langs):
+        lang_expr = F.when(F.col(f"_tf_{lang}") == best, F.lit(lang)).otherwise(lang_expr)
+    lang_expr = F.when(best == 0, F.lit("und")).otherwise(lang_expr)
+
+    length_signal = F.least(F.lit(1.0), ws / F.lit(100.0))
+    punct_signal = F.lit(1.0) - F.least(F.lit(1.0), punct_raw * 5)
+    stop_signal = F.least(F.lit(1.0), stop_raw * 5)
+    quality = F.round(
+        0.4 * length_signal + 0.3 * punct_signal + 0.3 * stop_signal, 6
+    )
+
     return (
-        df.withColumn("ws_tokens", ws_token_count(c))
+        staged.withColumn("ws_tokens", ws)
         .withColumn("bpe_tokens", bpe_token_count(c))
-        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
-        .withColumn("quality", quality_score(c))
-        .withColumn("lang_id", lang_id(c))
+        .withColumn("punct_ratio", F.round(punct_raw, 6))
+        .withColumn("stopword_ratio", F.round(stop_raw, 6))
+        .withColumn("quality", quality)
+        .withColumn("lang_id", lang_expr)
         .withColumn("fingerprint", fingerprint(c))
+        .drop("_tf_ws", "_tf_punct", "_tf_best", *[f"_tf_{lang}" for lang in langs])
     )
 
 

@@ -11,7 +11,7 @@ import math
 from ..dom import (
     ELEMENT,
     Node,
-    class_name,
+    class_and_id,
     get_attribute,
     iter_elements,
     node_id,
@@ -45,7 +45,8 @@ def check_document(doc: Node) -> bool:
     for node in nodes:
         if not Parser._is_probably_visible(node):
             continue
-        match_string = class_name(node) + " " + node_id(node)
+        _cls, _nid = class_and_id(node)
+        match_string = _cls + " " + _nid
         if RX_UNLIKELY_CANDIDATES.search(match_string) and not RX_MAYBE_CANDIDATE.search(match_string):
             continue
         if node.tag == "p" and Parser._has_ancestor_tag(node, "li", -1):

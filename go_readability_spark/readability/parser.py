@@ -25,6 +25,7 @@ from ..dom import (
     TEXT,
     Node,
     body_element,
+    class_and_id,
     class_name,
     create_element,
     create_text,
@@ -234,14 +235,37 @@ class Parser:
 
     @staticmethod
     def _is_probably_visible(node) -> bool:
-        """parser.go:2147-2159."""
-        style = get_attribute(node, "style")
-        aria_hidden = get_attribute(node, "aria-hidden")
-        cls = get_attribute(node, "class")
+        """parser.go:2147-2159.
+
+        Single pass over the attribute list (r7): the four separate
+        get_attribute/has_attribute scans made this the largest
+        attribute-lookup consumer in the extraction profile (it runs for
+        every element of every grab attempt). First-occurrence semantics
+        match get_attribute exactly."""
+        style = aria_hidden = cls = None
+        hidden = False
+        attrs = node.attrs
+        if attrs:
+            for item in attrs:
+                k = item[0]
+                if k == "style":
+                    if style is None:
+                        style = item[1]
+                elif k == "aria-hidden":
+                    if aria_hidden is None:
+                        aria_hidden = item[1]
+                elif k == "class":
+                    if cls is None:
+                        cls = item[1]
+                elif k == "hidden":
+                    hidden = True
+        style = style or ""
+        aria_hidden = aria_hidden or ""
+        cls = cls or ""
         return (
             (style == "" or rx.RX_DISPLAY_NONE.search(style) is None)
             and (style == "" or rx.RX_VISIBILITY_HIDDEN.search(style) is None)
-            and not has_attribute(node, "hidden")
+            and not hidden
             and (aria_hidden == "" or aria_hidden != "true" or "fallback-image" in cls)
         )
 
@@ -392,10 +416,9 @@ class Parser:
         if not self.flags.use_weight_classes:
             return 0
         weight = 0
-        cls = class_name(node)
+        cls, nid = class_and_id(node)
         if cls != "":
             weight += rx.class_weight_string(cls)
-        nid = node_id(node)
         if nid != "":
             weight += rx.class_weight_string(nid)
         return weight
@@ -696,7 +719,8 @@ class Parser:
             should_remove_title_header = True
 
             while node is not None:
-                match_string = class_name(node) + " " + node_id(node)
+                _cls, _nid = class_and_id(node)
+                match_string = _cls + " " + _nid
 
                 if node.tag == "html":
                     self.article_lang = get_attribute(node, "lang")
@@ -1273,7 +1297,8 @@ class Parser:
         end_of_search = self._get_next_node(e, True)
         nxt = self._get_next_node(e, False)
         while nxt is not None and nxt is not end_of_search:
-            if filter_fn(nxt, class_name(nxt) + " " + node_id(nxt)):
+            _cls, _nid = class_and_id(nxt)
+            if filter_fn(nxt, _cls + " " + _nid):
                 nxt = self._remove_and_get_next(nxt)
             else:
                 nxt = self._get_next_node(nxt, False)

@@ -192,7 +192,25 @@ def normalize_spaces(s: str) -> str:
         and "\r" not in s and "\f" not in s
     ):
         return s
+    if len(s) >= 4096:
+        # Large-text memo (r7): the scorer normalizes the SAME article
+        # text several times per document (inner-text of the top
+        # candidate, link density, excerpt, retry-sieve length check) —
+        # a ~170 us regex scan per 170 KB repeated ~4x per doc was the
+        # top tottime on the synthetic bench profile. Pure-function
+        # memo, size-capped like the other string memos in this repo;
+        # small strings skip it (dict churn would cost more than the
+        # scan).
+        v = _NORM_MEMO.get(s)
+        if v is None:
+            if len(_NORM_MEMO) >= 64:
+                _NORM_MEMO.clear()
+            v = _NORM_MEMO[s] = RX_NORMALIZE.sub(" ", s)
+        return v
     return RX_NORMALIZE.sub(" ", s)
+
+
+_NORM_MEMO: dict = {}
 
 
 def count_commas(s: str) -> int:
