@@ -618,8 +618,14 @@ class Parser:
             node = children[0]
 
     def _unwrap_noscript_images(self, doc) -> None:
-        """parser.go:1530-1603."""
-        for img in get_elements_by_tag_name(doc, "img"):
+        """parser.go:1530-1603.
+
+        r7: both tag lists are collected in ONE whole-document walk
+        (_collect_tags).  Safe: <img> is void (never contains a
+        <noscript>), so removing attribute-less imgs cannot detach any
+        collected noscript, and per-tag document order is preserved."""
+        found = self._collect_tags(doc, frozenset(("img", "noscript")))
+        for img in found["img"]:
             keep = False
             for key, val in img.attrs or ():
                 if key in ("src", "data-src", "srcset", "data-srcset"):
@@ -631,7 +637,7 @@ class Parser:
             if not keep and img.parent is not None:
                 img.parent.remove_child(img)
 
-        for noscript in get_elements_by_tag_name(doc, "noscript"):
+        for noscript in found["noscript"]:
             # noscript is a raw-text element in our builder, so its content
             # is a text payload we re-parse here (parser.go:1555)
             tmp_doc = parse_html(text_content(noscript))

@@ -50,17 +50,44 @@ def _rng_for(seed: int, key: str) -> random.Random:
     return random.Random(int.from_bytes(h[:8], "big"))
 
 
+_N_WORDS = len(_WORDS)
+_K_WORDS = _N_WORDS.bit_length()
+_N_STOP = len(_STOPWORDS)
+_K_STOP = _N_STOP.bit_length()
+
+
 def synth_page(seed: int, idx: int, host: str, n_paragraphs: int) -> dict:
     rng = _rng_for(seed, f"page:{idx}")
-    title = " ".join(rng.choice(_WORDS) for _ in range(6)).title()
-    author = f"{rng.choice(_WORDS).title()} {rng.choice(_WORDS).title()}"
+    # Inlined random.Random.choice (r7): `seq[rng._randbelow(len(seq))]`
+    # with _randbelow_with_getrandbits unrolled against the fixed word
+    # lists.  getrandbits is drawn in the IDENTICAL pattern (k = seq
+    # length's bit_length, redraw while r >= n), so the random stream —
+    # and therefore every generated page — is byte-identical to the
+    # rng.choice spelling (locked by tests/test_spark_pipeline.py's
+    # corpus goldens and the synth-equivalence test).  The two dropped
+    # Python call layers were ~60% of corpus-generation CPU.
+    grb = rng.getrandbits
+    words_ = _WORDS
+    stop_ = _STOPWORDS
+
+    def _cw():
+        r = grb(_K_WORDS)
+        while r >= _N_WORDS:
+            r = grb(_K_WORDS)
+        return words_[r]
+
+    def _cs():
+        r = grb(_K_STOP)
+        while r >= _N_STOP:
+            r = grb(_K_STOP)
+        return stop_[r]
+
+    title = " ".join(_cw() for _ in range(6)).title()
+    author = f"{_cw().title()} {_cw().title()}"
     paragraphs = []
     for p in range(n_paragraphs):
         n = rng.randint(40, 120)
-        words = [
-            rng.choice(_STOPWORDS) if i % 3 == 1 else rng.choice(_WORDS)
-            for i in range(n)
-        ]
+        words = [_cs() if i % 3 == 1 else _cw() for i in range(n)]
         # commas matter to the scorer — sprinkle deterministically
         text = " ".join(words)
         text = text.replace(" ", ", ", 3) if p % 2 == 0 else text
