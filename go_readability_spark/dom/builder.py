@@ -823,9 +823,12 @@ class _TreeBuilder(HTMLParser):
         # anything else falls through to the stdlib-tolerant loop below.
         m = _FULL_TAG.match(rawdata, i + 1)
         if m:
-            # keep HTMLParser.get_starttag_text() truthful on this path
-            # too (unused internally, but handle_* overrides rely on it)
-            self._HTMLParser__starttag_text = rawdata[i:m.end()]
+            # r7: get_starttag_text() is NOT kept truthful on this fast
+            # path — nothing in this package (or the stdlib goahead
+            # machinery we reuse) reads it, and the per-tag slice of the
+            # raw tag text was a measured allocation cost across a
+            # corpus.  A subclass relying on get_starttag_text() must
+            # use the tolerant path below (or restore the slice).
             self.lasttag = tag = m.group(1).lower()
             attrspan = m.group(2)
             if attrspan:
