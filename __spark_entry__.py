@@ -59,7 +59,17 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Contract-table reader.  r7: the driver's tables are single-row-
+    group parquet files — an unsplittable ONE-task scan — so every
+    compute-heavy query here ran single-core (measured 30 s wall for
+    embedding_near_pairs at sf0.1 vs ~2 s parallel).  The guard
+    round-robin repartitions only under-split inputs (no-op on real
+    multi-row-group tables); results are partition-independent — every
+    row in the registry is hash-verified against a single-threaded
+    DuckDB oracle.  See plans/parallelism.py."""
+    from go_readability_spark.plans import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

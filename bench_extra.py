@@ -205,6 +205,48 @@ def run_ops():
         spark.stop()
 
 
+def run_audit():
+    """Time EVERY declared contract query once (noop sink) and summarize
+    its physical-plan shape — the r7 operator checklist evidence."""
+    import re as _re
+
+    import __spark_entry__ as e
+
+    spark = _session()
+    sf = SF_DIR
+    qs = e.queries()
+    print(f"# {len(qs)} declared queries at {sf}")
+    rows = []
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            shape = {
+                "exch": len(_re.findall(r"\bExchange\b", plan)),
+                "bhj": plan.count("BroadcastHashJoin"),
+                "smj": plan.count("SortMergeJoin"),
+                "bnlj": plan.count("BroadcastNestedLoopJoin"),
+                "py": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+                      + plan.count("MapInPandas") + plan.count("PythonMapInArrow")
+                      + plan.count("MapInArrow"),
+            }
+            spark.sparkContext.setJobDescription(f"audit:{name}")
+            t0 = time.time()
+            noop(df)
+            dt = time.time() - t0
+            rows.append((name, round(dt, 2), shape))
+            print(f"{name:28s} {dt:7.2f}s  exch={shape['exch']} bhj={shape['bhj']} "
+                  f"smj={shape['smj']} bnlj={shape['bnlj']} py={shape['py']}",
+                  flush=True)
+        except Exception as ex:
+            print(f"{name:28s} FAILED: {str(ex)[:120]}", flush=True)
+    spark.sparkContext.setJobDescription(None)
+    total = sum(r[1] for r in rows)
+    print(f"# total {total:.1f}s over {len(rows)} queries")
+    spark.stop()
+
+
 def run_plans(out_dir):
     os.makedirs(out_dir, exist_ok=True)
     spark = _session()
@@ -228,6 +270,8 @@ if __name__ == "__main__":
         run_parts()
     elif cmd == "ops":
         run_ops()
+    elif cmd == "audit":
+        run_audit()
     elif cmd == "plans":
         run_plans(sys.argv[2] if len(sys.argv) > 2 else "plans/r07/before")
     else:

@@ -356,6 +356,12 @@ def _minhash_pairs_impl(
             f"num_hashes={num_hashes}"
         )
     rows_per_band = num_hashes // num_bands
+    # r7: single-row-group parquet inputs scan as ONE task, serializing
+    # the tokenize+shingle+signature pass (the pipeline's dominant
+    # per-row cost) onto one core; no-op for already-parallel inputs.
+    from ..plans.parallelism import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     # materialize the SHINGLE table once: it feeds the signatures AND both
     # sides of the verification join — unpersisted, the tokenize+shingle
     # pass (the pipeline's dominant per-row cost) would run three times.

@@ -101,7 +101,11 @@ def brute_force_topk(
     bounded query set against any corpus size, but unbounded Q makes it a
     full cross product — max_queries guards that (None disables)."""
     queries = _guarded(queries, max_queries, "brute_force_topk")
-    base = with_unit_vectors(df, vec_col).select(
+    from ..plans.parallelism import ensure_scan_parallelism
+
+    # r7: a single-row-group parquet corpus scans as ONE task, running
+    # every per-pair dot product single-core; no-op when already parallel
+    base = with_unit_vectors(ensure_scan_parallelism(df), vec_col).select(
         F.col(id_col).alias("neighbor_id"), "unit_vec"
     )
     qs = with_unit_vectors(queries, vec_col).select(
@@ -201,9 +205,10 @@ def lsh_bucketed_topk(
             "df.first() would launch a Spark job during plan construction"
         )
     planes = make_planes(dim, n_planes, seed)
+    from ..plans.parallelism import ensure_scan_parallelism
 
     base = with_hyperplane_bands(
-        with_unit_vectors(df, vec_col).select(
+        with_unit_vectors(ensure_scan_parallelism(df), vec_col).select(
             F.col(id_col).alias("neighbor_id"), "unit_vec"
         ),
         planes, n_bands, vec_col="unit_vec",
@@ -249,7 +254,10 @@ def cosine_near_pairs_exact(
     (e.g. within-cluster verification). max_rows refuses corpus-scale
     inputs (None disables); cosine_near_pairs is the scale path."""
     df = _guarded(df, max_rows, "cosine_near_pairs_exact")
-    base = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+    from ..plans.parallelism import ensure_scan_parallelism
+
+    base = with_unit_vectors(ensure_scan_parallelism(df), vec_col).select(
+        F.col(id_col).alias("id"), "unit_vec")
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -280,8 +288,11 @@ def cosine_near_pairs(
             "df.first() would launch a Spark job during plan construction"
         )
     planes = make_planes(dim, n_planes, seed)
+    from ..plans.parallelism import ensure_scan_parallelism
+
     base = with_hyperplane_bands(
-        with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec"),
+        with_unit_vectors(ensure_scan_parallelism(df), vec_col).select(
+            F.col(id_col).alias("id"), "unit_vec"),
         planes, n_bands, vec_col="unit_vec",
     )
     a, b = base.alias("a"), base.alias("b")

@@ -1,4 +1,5 @@
 from .curate import curate_corpus  # noqa: F401
+from .parallelism import ensure_scan_parallelism, session_parallelism  # noqa: F401
 from .extract import (  # noqa: F401
     extract_pages,
     extract_record,
