@@ -49,11 +49,12 @@ def ws_token_count(col: Column) -> Column:
     """Whitespace token count; 0 for empty/blank strings.
 
     Counted as regexp_count(separators) + 1 instead of
-    size(split(...)): split materializes every token substring just to
-    take the array's size, while regexp_count only scans.  Identical by
-    construction — split on a non-overlapping pattern always yields
-    (#separator-matches + 1) elements (r7 optimization, guide §4.1:
-    prefer the expression that does not allocate)."""
+    size(split(...)).  Identical by construction — split on a
+    non-overlapping pattern always yields (#separator-matches + 1)
+    elements.  (Note: Spark lowers regexp_count to
+    size(regexp_extract_all(...)) — RuntimeReplaceable — so the win here
+    is avoiding the token-substring array of split, not the match
+    array.)"""
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.regexp_count(trimmed, F.lit(r"\s+")) + F.lit(1)
@@ -61,9 +62,9 @@ def ws_token_count(col: Column) -> Column:
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Token count under a BPE-ish regex segmentation.
-    regexp_count == size(regexp_extract_all(..., 0)) without building the
-    match array (r7: the array was allocated per row only to be sized)."""
+    """Token count under a BPE-ish regex segmentation.  (regexp_count
+    is RuntimeReplaceable sugar for size(regexp_extract_all(..., 0)) —
+    value-identical; kept for readability.)"""
     return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
 
 
