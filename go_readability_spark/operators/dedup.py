@@ -356,12 +356,18 @@ def _minhash_pairs_impl(
             f"num_hashes={num_hashes}"
         )
     rows_per_band = num_hashes // num_bands
-    # r7: single-row-group parquet inputs scan as ONE task, serializing
-    # the tokenize+shingle+signature pass (the pipeline's dominant
-    # per-row cost) onto one core; no-op for already-parallel inputs.
-    from ..plans.parallelism import ensure_scan_parallelism
-
-    df = ensure_scan_parallelism(df)
+    # r7 note on input parallelism: a single-row-group parquet input
+    # scans as ONE task, serializing the tokenize+shingle pass onto one
+    # core.  The restoration (plans/parallelism.ensure_scan_parallelism)
+    # deliberately lives at the READ site (__spark_entry__._read, the
+    # curation readers), NOT here: the shingle table is persisted and
+    # re-scanned by ~4 downstream jobs per run (signature cache build,
+    # banding, both verification joins), and an operator-injected
+    # repartition was MEASURED to cost more in per-re-scan task churn
+    # than the one-shot compute win on already-cached repeats (bench
+    # ABAB: +0.15-0.3 s), while read-site restoration keeps the
+    # first-compute win (minhash_pairs_md5 6.7 s -> 1.1 s) without
+    # touching caller-chosen partitioning.
     # materialize the SHINGLE table once: it feeds the signatures AND both
     # sides of the verification join — unpersisted, the tokenize+shingle
     # pass (the pipeline's dominant per-row cost) would run three times.
