@@ -26,17 +26,34 @@ def contaminated_doc_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
+    scope=None,
+    storage_level=None,
 ) -> DataFrame:
     """Distinct ids of training docs sharing >= 1 word n-gram with any
     benchmark doc. The benchmark n-gram set is broadcast (it is the small
     side by construction; at 10^12 train rows it MUST be, or the join
-    shuffles the corpus)."""
+    shuffles the corpus).
+
+    Both shingle tables are persisted BEFORE the explode (r7): without
+    the materialization boundary, predicate pushdown / CollapseProject
+    re-inline the O(tokens x n) shingle builder into the pushed filter
+    and the Generate operator, re-running it several times per row —
+    measured 14x on the train side at sf0.1 (7.3 s -> 0.5 s for the
+    explode alone).  The identical trap and fix as ngram_jaccard_pairs;
+    ``scope``/``storage_level`` follow the CacheScope discipline
+    (DISK_ONLY for corpus-scale callers)."""
+    from ..cache import persist_scoped
+
+    bench_sh = persist_scoped(
+        shingle_table(benchmark, id_col, bench_text_col or text_col, n),
+        scope, storage_level)
+    train_sh = persist_scoped(
+        shingle_table(train, id_col, text_col, n), scope, storage_level)
     bench_grams = (
-        shingle_table(benchmark, id_col, bench_text_col or text_col, n)
-        .select(F.explode("shingles").alias("gram"))
+        bench_sh.select(F.explode("shingles").alias("gram"))
         .distinct()
     )
-    train_grams = shingle_table(train, id_col, text_col, n).select(
+    train_grams = train_sh.select(
         "id", F.explode("shingles").alias("gram")
     )
     return (

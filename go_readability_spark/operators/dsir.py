@@ -74,7 +74,12 @@ def _bucket_dist(feats: DataFrame, n_buckets: int, alpha: float):
     """(bucket, p) with add-alpha smoothing over the full bucket space.
     Total count is a 1-row cross join (broadcast, never a shuffle)."""
     counts = feats.groupBy("bucket").agg(F.count("*").alias("c"))
-    total = feats.agg(F.count("*").alias("n"))
+    # r7: total derived from the aggregated counts, NOT a second scan of
+    # `feats` — the unigram+bigram explode pipeline is the expensive part
+    # and was evaluated twice per distribution. sum(c) == count(*) by
+    # construction; coalesce keeps the empty-corpus case at 0 exactly
+    # like count(*).
+    total = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
     # materialize every bucket id so unseen buckets get the smoothed floor
     spark = feats.sparkSession
     all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
