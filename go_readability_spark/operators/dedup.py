@@ -712,7 +712,15 @@ def simhash_near_pairs(
     chunks = simhash_chunks(F.col("simhash"), n_chunks)
     banded = simhashes.select("id", "simhash", F.posexplode(chunks).alias("chunk_no", "chunk"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # r7: the Hamming gate runs BEFORE the duplicate-candidate distinct,
+    # not after — hamming is a pure function of the joined row, so
+    # filter∘distinct ≡ distinct∘filter, and at sf0.1 the gate drops the
+    # distinct's shuffle from ~191k candidate rows to just the surviving
+    # near-pairs (the multi-chunk duplicates it exists to collapse).
+    # Same trade at any scale: the xor+popcount is codegen'd map-side
+    # work, the distinct is an exchange.
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
@@ -722,14 +730,8 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
