@@ -60,6 +60,28 @@ def test_single_exchange_in_extract(spark, pages_parquet):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_extract_exchange_key_follows_resume_semantics(spark, pages_parquet, tmp_path):
+    """The one extraction exchange is keyed by the coarse salt ONLY when
+    bucket-level resume is in play (checkpoint marks whole buckets done, so
+    each bucket must live in one task); without a checkpoint_dir the same
+    exchange uses the full-width url hash — n_buckets values hashed into P
+    partitions leave measured ~±40% per-task row-count imbalance at
+    n_buckets/P = 8 (guide §2.5 wants 20-100x more keys than partitions)."""
+    from go_readability_spark.plans import extract_pages
+
+    pages = spark.read.parquet(pages_parquet)
+    no_resume = _plan(extract_pages(pages, n_buckets=16, num_partitions=4))
+    m = re.search(r"hashpartitioning\(([^)]*)", no_resume)
+    assert m and "xxhash64(url" in m.group(1), no_resume
+    assert no_resume.count("Exchange") == 1, no_resume
+
+    ckpt = str(tmp_path / "ckpt_key")
+    resumable = _plan(extract_pages(pages, n_buckets=16, num_partitions=4,
+                                    checkpoint_dir=ckpt))
+    m = re.search(r"hashpartitioning\(salt", resumable)
+    assert m, resumable
+
+
 def test_filter_pushdown_to_scan(spark, pages_parquet):
     """A pre-filter (e.g. warc_ts window or url prefix) must reach the
     parquet scan as PushedFilters, not run post-scan only."""
